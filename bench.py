@@ -1,0 +1,58 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall seconds.
+
+Each query's result is fully materialized via a count over the final plan
+(the driver's correctness gate collects; here we only need execution, not
+transfer). A warmup query is run first so JVM/codegen startup is not billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cruncher_spark.plans import query_map
+from cruncher_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark("cruncher-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = query_map()
+    # warmup: touch each table + JIT the common plan shapes
+    qmap["batch_delta"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qmap.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()  # forces full execution of the aggregate/join plan
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Scalar helpers shared across plans.
+
+The reference needs only built-in SQL scalars (SURVEY.md §2.6); the two
+engine-specific items handled here are exact cross-engine summation of
+cent-valued doubles and the POSIX→Java regex dialect translation
+(worker.js:199-201 uses ``[[:digit:]]``, which Java regex lacks).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: POSIX bracket classes → Java regex equivalents (only classes the
+#: reference's build regexes use, plus the common ones for completeness).
+_POSIX_CLASSES = {
+    "[:digit:]": r"\d",
+    "[:alpha:]": r"\p{Alpha}",
+    "[:alnum:]": r"\p{Alnum}",
+    "[:space:]": r"\s",
+    "[:upper:]": r"\p{Upper}",
+    "[:lower:]": r"\p{Lower}",
+}
+
+
+def posix_to_java_regex(pattern: str) -> str:
+    """Translate MySQL/POSIX character classes to Java regex.
+
+    The reference binds ``^([[:digit:]]+;[[:digit:]]+,)*`` style fragments
+    into its build-match RLIKE (worker.js:199-201); Spark's ``rlike`` is
+    Java regex, so ``[[:digit:]]`` (a bracket expression containing the
+    POSIX class) becomes ``[\\d]``.
+    """
+    out = pattern
+    for posix, java in _POSIX_CLASSES.items():
+        out = out.replace(posix, java)
+    return out
+
+
+def dsum(col: str | Column, alias: str, scale: int = 2) -> Column:
+    """Exactly-reproducible sum of a cent-valued double column.
+
+    Doubles are summed order-dependently, so a Spark sum and a DuckDB sum of
+    the same column can differ in the last ulp and break value-hash
+    comparison. Casting to DECIMAL(18,scale) first makes the sum exact (and
+    engine/order independent); the final cast back to double renders
+    identically everywhere. Oracle-side mirror: ``oracle_dsum``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def oracle_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    """DuckDB SQL fragment mirroring :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def ident(name: str) -> str:
+    """Validate a SQL identifier before splicing into generated SQL."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"not a plain identifier: {name!r}")
+    return name

@@ -1,0 +1,106 @@
+"""Non-equi join operators: interval (series), band (skill tier), regex
+(build matching), and pairwise self-join (hero-vs-hero).
+
+All dimension sides in the reference are O(10-1000) rows (series, skill_tier,
+build), so every non-equi join here broadcasts the dim and stays a
+BroadcastNestedLoopJoin — no shuffle of the fact side, which is the only
+strategy that survives a 100 TB fact table. The self-join is the one genuine
+shuffle (both sides hash-partitioned on the match key); match cardinality is
+tiny and uniform so no skew handling is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    point: str | Column,
+    start: str,
+    end: str,
+    extra: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact to every interval row containing its time point.
+
+    Reference analog: series membership
+    ``p_s.created_at BETWEEN s.start AND s.end`` (crunch_global.sql:40) —
+    overlapping series (daily/patch/all-time) each match, deliberately
+    multiplying the fact. The dim is broadcast; the fact side is never moved.
+    """
+    point_col = F.col(point) if isinstance(point, str) else point
+    cond = point_col.between(intervals[start], intervals[end])
+    if extra is not None:
+        cond = cond & extra
+    return facts.join(F.broadcast(intervals), cond, how)
+
+
+def band_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value: str | Column,
+    lo: str,
+    hi: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a numeric fact value into its band row.
+
+    Reference analog: skill-tier bands
+    ``p.skill_tier BETWEEN st.start AND st.end`` (crunch_global.sql:45).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    return facts.join(F.broadcast(bands), v.between(bands[lo], bands[hi]), how)
+
+
+def regex_join(
+    facts: DataFrame,
+    patterns: DataFrame,
+    text: str | Column,
+    pattern_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Theta-join: fact row matches pattern row iff ``text RLIKE pattern``.
+
+    Reference analog: the item-build match — for each build slot,
+    ``p_s.item_grants RLIKE concat(:build_regex_start, item, ';', count,
+    :build_regex_end)`` (crunch_global.sql:53-58). Dialect note: the
+    reference's POSIX classes (``[[:digit:]]``, worker.js:199-201) must be
+    written as Java ``\\d``/``[0-9]`` here (see
+    :func:`cruncher_spark.functions.scalars.posix_to_java_regex`).
+
+    Pattern tables are tiny (builds are hand-curated), so this is a broadcast
+    nested-loop with the regex evaluated JVM-side inside codegen — no Python.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    return facts.join(F.broadcast(patterns), F.rlike(t, patterns[pattern_col]), how)
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_key: str,
+    id_col: str,
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+    anti_reflexive: bool = True,
+) -> DataFrame:
+    """Self-join rows sharing ``group_key`` into ordered pairs (A,B), A != B.
+
+    Reference analog: hero-vs-hero — every participant paired with every
+    *other* participant of the same match
+    (``p.match_api_id = p2.match_api_id AND p.api_id <> p2.api_id``,
+    crunch_hero_vs_hero.sql:41). Emits both (A,B) and (B,A), matching the
+    reference's asymmetric output (each side keeps its own dims).
+
+    Scale note: shuffle-hash/sort-merge on ``group_key``; per-key cardinality
+    is the match size (~10), so the join output is bounded at ~10x input and
+    evenly distributed.
+    """
+    left = df.select([F.col(c).alias(f"{left_prefix}{c}") for c in df.columns])
+    right = df.select([F.col(c).alias(f"{right_prefix}{c}") for c in df.columns])
+    cond = F.col(f"{left_prefix}{group_key}") == F.col(f"{right_prefix}{group_key}")
+    if anti_reflexive:
+        cond = cond & (F.col(f"{left_prefix}{id_col}") != F.col(f"{right_prefix}{id_col}"))
+    return left.join(right, cond, "inner")

@@ -1,0 +1,506 @@
+"""SURVEY.md §2 operator inventory expressed over the driver star schema.
+
+Every query here is one operator family of the reference re-expressed
+Spark-first (DataFrame/Catalyst), with a DuckDB oracle that is the *plain
+ANSI-SQL* statement of the same semantics. Reference sites cited per query.
+
+Cross-engine exactness: cent-valued doubles are summed as DECIMAL(18,2)
+(exact, order-independent) and cast back to double — see
+``cruncher_spark.functions.scalars.dsum``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cruncher_spark.functions.scalars import dsum
+from cruncher_spark.operators import (
+    band_join,
+    cooccurrence_pairs,
+    grouping_sets_rollup,
+    grouping_sets_sql,
+    interval_join,
+)
+from cruncher_spark.plans.registry import register
+from cruncher_spark.session import tune
+from cruncher_spark.sources import Star
+
+
+def _star(spark: SparkSession, sf_dir: str) -> Star:
+    tune(spark)
+    return Star(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# decimal-exact measure expressions shared by several queries
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+def _disc_price() -> F.Column:
+    # l_extendedprice * (1 - l_discount), exact in cents
+    return F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+
+
+_ORACLE_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# J3/A1-A7: the flagship — 'all'-row cube as native GROUPING SETS
+# ---------------------------------------------------------------------------
+
+_ROLLUP_DIMS = ["l_returnflag", "l_linestatus", "ship_year"]
+_ROLLUP_LABELS, _ROLLUP_GROUP_BY = grouping_sets_sql(_ROLLUP_DIMS)
+
+
+@register(
+    "global_rollup",
+    oracle=f"""
+    SELECT
+      {_ROLLUP_LABELS},
+      COUNT(*) AS played,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+      SUM(CAST(l_discount > 0.05 AS INT)) AS discounted,
+      CAST(ROUND(SUM(CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_tax_rounded
+    FROM (SELECT *, CAST(year(l_shipdate) AS INT) AS ship_year FROM lineitem)
+    {_ROLLUP_GROUP_BY}
+    """,
+    doc="J3→GROUPING SETS rewrite of the 'all'-row cube (crunch_global.sql:41-45,65); "
+    "measures A2 count, A3 bool→int sum, A4 plain sums, A7 round(sum).",
+)
+def global_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _star(spark, sf_dir).lineitem.withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    return grouping_sets_rollup(
+        li,
+        dims=_ROLLUP_DIMS,
+        aggs=[
+            F.count(F.lit(1)).alias("played"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum((F.col("l_discount") > 0.05).cast("int")).alias("discounted"),
+            F.round(F.sum(F.col("l_tax").cast(_DEC))).cast("double").alias("sum_tax_rounded"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: constrained grouping sets — dims that must never cross
+# ---------------------------------------------------------------------------
+
+_CONSTRAINED_SETS = [("l_returnflag",), ("l_linestatus",), ()]
+_CONSTR_LABELS, _CONSTR_GROUP_BY = grouping_sets_sql(
+    ["l_returnflag", "l_linestatus"], _CONSTRAINED_SETS
+)
+
+
+@register(
+    "constrained_rollup",
+    oracle=f"""
+    SELECT
+      {_CONSTR_LABELS},
+      COUNT(*) AS played,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    {_CONSTR_GROUP_BY}
+    """,
+    doc="J4: partial grouping sets — the crunch_player constraint that role is only "
+    "specific when hero is 'all' (never hero x role, crunch_player.sql:39).",
+)
+def constrained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _star(spark, sf_dir).lineitem
+    return grouping_sets_rollup(
+        li,
+        dims=["l_returnflag", "l_linestatus"],
+        sets=_CONSTRAINED_SETS,
+        aggs=[F.count(F.lit(1)).alias("played"), dsum("l_quantity", "sum_qty")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P6: micro-batch key filter + in-batch dedup → one batch's partial delta
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "batch_delta",
+    oracle=f"""
+    SELECT
+      l_returnflag, l_linestatus,
+      COUNT(*) AS played,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS sum_disc_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="P1 batch-key IN filter (crunch_global.sql:63) + P6 in-batch dedup "
+    "(worker.js:121,145) + A1 partial aggregate: one micro-batch's delta rows.",
+)
+def batch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    # the "arriving ids" of one micro-batch; dropDuplicates = worker's Set dedup
+    batch_keys = (
+        star.orders.filter((F.col("o_orderkey") % 97) == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .dropDuplicates(["l_orderkey"])
+    )
+    return (
+        star.lineitem.join(batch_keys, "l_orderkey", "inner")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("played"),
+            dsum("l_quantity", "sum_qty"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: interval/temporal join — overlapping series membership
+# ---------------------------------------------------------------------------
+
+_SERIES_ROWS = [
+    ("week1", "2024-01-01 00:00:00", "2024-01-08 00:00:00"),
+    ("week2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+    ("january", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+    ("all_time", "1970-01-01 00:00:00", "2100-01-01 00:00:00"),
+]
+_SERIES_VALUES = ", ".join(
+    f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _SERIES_ROWS
+)
+
+
+@register(
+    "series_interval_join",
+    oracle=f"""
+    SELECT s.series_name, e.event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (VALUES {_SERIES_VALUES}) s(series_name, start_ts, end_ts)
+      ON e.ts >= s.start_ts AND e.ts < s.end_ts
+    GROUP BY s.series_name, e.event_type
+    """,
+    doc="J5 interval join: overlapping calendar series each match "
+    "(p_s.created_at BETWEEN s.start AND s.end, crunch_global.sql:40) — "
+    "broadcast range join, fact side never shuffled.",
+)
+def series_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    series = spark.createDataFrame(
+        _SERIES_ROWS, "series_name string, start_s string, end_s string"
+    ).select(
+        "series_name",
+        F.to_timestamp("start_s").alias("start_ts"),
+        F.to_timestamp("end_s").alias("end_ts"),
+    )
+    joined = interval_join(
+        star.events, series, point="ts", start="start_ts", end="end_ts"
+    ).where(F.col("ts") < F.col("end_ts"))  # half-open, deterministic at boundaries
+    return joined.groupBy("series_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: band join — numeric value into range buckets (incl. an 'all' band)
+# ---------------------------------------------------------------------------
+
+_BAND_ROWS = [("small", 1, 14), ("medium", 15, 34), ("large", 35, 50), ("all", 1, 50)]
+_BAND_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BAND_ROWS)
+
+
+@register(
+    "band_join_rollup",
+    oracle=f"""
+    SELECT b.band_name,
+      COUNT(*) AS n_parts,
+      CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM part p
+    JOIN (VALUES {_BAND_VALUES}) b(band_name, lo, hi)
+      ON p.p_size BETWEEN b.lo AND b.hi
+    GROUP BY b.band_name
+    """,
+    doc="J6 band join: skill-tier bands p.skill_tier BETWEEN st.start AND st.end "
+    "plus the overlapping 'all' band (crunch_global.sql:45).",
+)
+def band_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    bands = spark.createDataFrame(_BAND_ROWS, "band_name string, lo int, hi int")
+    return (
+        band_join(star.part, bands, value="p_size", lo="lo", hi="hi")
+        .groupBy("band_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"), dsum("p_retailprice", "sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: regex theta-join
+# ---------------------------------------------------------------------------
+
+_PATTERN_ROWS = [
+    ("mentions_spark", "spark"),
+    ("starts_with_key", "^key"),
+    ("merge_then_batch", "merge.*batch"),
+    ("repeated_table", "(table ){2,}"),
+]
+_PATTERN_VALUES = ", ".join(f"('{n}', '{p}')" for n, p in _PATTERN_ROWS)
+
+
+@register(
+    "regex_theta_join",
+    oracle=f"""
+    SELECT m.pattern_name,
+      COUNT(*) AS n_docs,
+      SUM(d.n_chars) AS sum_chars
+    FROM documents d
+    JOIN (VALUES {_PATTERN_VALUES}) m(pattern_name, pattern)
+      ON regexp_matches(d.text, m.pattern)
+    GROUP BY m.pattern_name
+    """,
+    doc="J7 regex theta-join: the item-build RLIKE match (crunch_global.sql:53-58; "
+    "pattern codegen worker.js:199-201) as a broadcast nested-loop rlike join, "
+    "evaluated JVM-side in codegen.",
+)
+def regex_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators import regex_join
+
+    star = _star(spark, sf_dir)
+    patterns = spark.createDataFrame(_PATTERN_ROWS, "pattern_name string, pattern string")
+    return (
+        regex_join(star.documents, patterns, text="text", pattern_col="pattern")
+        .groupBy("pattern_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8/J9: IN-subquery semi-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_filter",
+    oracle="""
+    SELECT o_orderstatus,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 4000)
+    GROUP BY o_orderstatus
+    """,
+    doc="J8/J9 IN-subquery → left-semi join (filter-dim bridge, crunch_global.sql:39; "
+    "game-mode subset crunch_global.sql:49). Catalyst decorrelates to semi join.",
+)
+def semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    rich = star.customer.filter(F.col("c_acctbal") > 4000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        star.orders.join(rich, "o_custkey", "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10: pairwise self-join co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pair_cooccurrence",
+    oracle="""
+    SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+      (a.l_suppkey = b.l_suppkey) AS same_supplier,
+      COUNT(*) AS n_pairs
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber <> b.l_linenumber
+    GROUP BY a.l_returnflag, b.l_returnflag, (a.l_suppkey = b.l_suppkey)
+    """,
+    doc="J10 self-join pairs: hero-vs-hero — other participants of the same match "
+    "(crunch_hero_vs_hero.sql:41) with the derived bool grouping col played_with "
+    "(crunch_hero_vs_hero.sql:12) → same_supplier here.",
+)
+def pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    li = star.lineitem.select("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
+    pairs = cooccurrence_pairs(li, group_key="l_orderkey", id_col="l_linenumber")
+    return (
+        pairs.select(
+            F.col("a_l_returnflag").alias("flag_a"),
+            F.col("b_l_returnflag").alias("flag_b"),
+            (F.col("a_l_suppkey") == F.col("b_l_suppkey")).alias("same_supplier"),
+        )
+        .groupBy("flag_a", "flag_b", "same_supplier")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/A5: left join with NULL-absorbing coalesce sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "left_join_null_absorb",
+    oracle="""
+    SELECT c.c_mktsegment,
+      COUNT(*) AS n_rows,
+      COUNT(o.o_orderkey) AS n_orders,
+      CAST(SUM(COALESCE(CAST(o.o_totalprice AS DECIMAL(18,2)), 0)) AS DOUBLE) AS sum_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="J2 left-outer fact⟕items with A5 sum(coalesce(x,0)) NULL absorption "
+    "(crunch_global.sql:34,38) and A2 count(col) non-null counting.",
+)
+def left_join_null_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    return (
+        star.customer.join(
+            star.orders, star.customer.c_custkey == star.orders.o_custkey, "left"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.coalesce(F.col("o_totalprice").cast(_DEC), F.lit(0)))
+            .cast("double")
+            .alias("sum_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: CASE-weighted sum with no ELSE (NULL terms skipped by SUM)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "case_weighted_sum",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+      CAST(SUM(
+        CASE WHEN event_type = 'purchase' THEN CAST(1.33 AS DECIMAL(6,2))
+             WHEN event_type = 'click'    THEN CAST(0.33 AS DECIMAL(6,2))
+        END * CAST(value AS DECIMAL(18,2))
+      ) AS DOUBLE) AS fame,
+      COUNT(CASE WHEN event_type = 'purchase' THEN 1
+                 WHEN event_type = 'click' THEN 1 END) AS n_weighted
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    doc="A9 fame-style weighted sum: CASE ladder with no ELSE → NULL terms that "
+    "SUM skips (crunch_team.sql:5-22); Spark when() without otherwise matches.",
+)
+def case_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    weight = (
+        F.when(F.col("event_type") == "purchase", F.lit(1.33).cast("decimal(6,2)"))
+        .when(F.col("event_type") == "click", F.lit(0.33).cast("decimal(6,2)"))
+    )  # no .otherwise → NULL, exactly the reference's no-ELSE ladder
+    return (
+        star.events.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.sum(weight * F.col("value").cast(_DEC)).cast("double").alias("fame"),
+            F.count(weight).alias("n_weighted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: two-level aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "two_level_agg",
+    oracle="""
+    SELECT o.o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(r.revenue) AS DOUBLE) AS sum_revenue,
+      CAST(MAX(r.revenue) AS DOUBLE) AS max_order_revenue
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+    ) r ON r.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="A10 two-level aggregation: members-per-roster-per-match then fame per "
+    "membership (crunch_team.sql:23-40) — inner groupBy feeding an outer groupBy.",
+)
+def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    order_rev = (
+        star.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_disc_price()).alias("revenue"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    return (
+        star.orders.join(order_rev, "o_orderkey", "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("revenue").cast("double").alias("sum_revenue"),
+            F.max("revenue").cast("double").alias("max_order_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11/A12: additive merge — partial aggregates of disjoint batches re-merged
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "additive_merge",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(*) AS played,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(MAX(year(l_shipdate)) AS INT) AS last_ship_year
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="A11 merge-time additive aggregation (col = col + VALUES(col), "
+    "crunch_global.sql:69-87) + A12 merge-time MAX (crunch_player.sql:49): "
+    "two disjoint batch partials unioned and re-merged must equal the direct "
+    "aggregate — the additivity invariant the whole engine rests on.",
+)
+def additive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("played"),
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty_dec"),
+            F.max(F.year("l_shipdate").cast("int")).alias("last_ship_year"),
+        )
+
+    even = partial(star.lineitem.filter((F.col("l_orderkey") % 2) == 0))
+    odd = partial(star.lineitem.filter((F.col("l_orderkey") % 2) == 1))
+    merged = even.unionByName(odd)
+    return merged.groupBy("l_returnflag").agg(
+        F.sum("played").alias("played"),
+        F.sum("sum_qty_dec").cast("double").alias("sum_qty"),
+        F.max("last_ship_year").alias("last_ship_year"),
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for the cruncher workload.
+
+The reference delegates all execution tuning to MySQL plus deployment knobs
+(worker.js:26-34). Here the equivalents are Spark confs: AQE for runtime
+re-planning (skew joins, partition coalescing), broadcast thresholds sized so
+every cruncher dimension table (O(10-1000) rows) broadcasts, and Arrow for
+any pandas interchange. On a real cluster only ``master`` and memory sizing
+change; the SQL confs below are scale-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that are safe (and wanted) on any session, including one the
+#: test driver created before handing it to us. These are all runtime-settable.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # every cruncher dim is broadcast-sized; 64m keeps even a large build/item
+    # dim on the broadcast path at 100 TB fact scale
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # deterministic timestamp rendering against the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # the events table stores TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as long and convert in the loader (sources/tables.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (driver-owned)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static on some builds
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "cruncher-spark") -> SparkSession:
+    """Build a local session sized from SPARK_GRAFT_CPUS (default 32).
+
+    On a production cluster this function is replaced by whatever session the
+    platform provides; nothing else in the package assumes local mode.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

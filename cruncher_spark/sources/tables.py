@@ -1,0 +1,70 @@
+"""Batch table sources.
+
+Reference analog: every ``FROM``/``JOIN`` in the crunch scripts is a JDBC
+table scan executed by MySQL (SURVEY.md S2). Here sources are columnar
+parquet scans — Catalyst pushes filters and prunes columns into the scan,
+which the reference's row-store could not do. ``spark.read.format("jdbc")``
+remains available for parity deployments; the fixtures and the driver
+test data are parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: the driver-provided star schema (TESTDATA.md)
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Column pruning + predicate pushdown are left
+    to Catalyst — callers express plain DataFrame plans and the scan narrows
+    itself (verify with ``.explain``: ``PushedFilters``/``ReadSchema``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # nanosAsLong read the TIMESTAMP(NANOS) column as raw nanos; convert
+        # with integer division (doubles lose precision above 2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Star:
+    """Lazy handle over one scale-factor directory of the test star schema.
+
+    Also registers temp views on demand so operators can be expressed in
+    Spark SQL where that is clearer than the DataFrame API.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in STAR_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def view(self, *names: str) -> None:
+        """Register temp views (idempotent) for SQL-expressed queries."""
+        for n in names or STAR_TABLES:
+            self.table(n).createOrReplaceTempView(n)
