@@ -1,0 +1,101 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+All pure built-in ``pyspark.sql.functions`` (JVM-side, whole-stage codegen —
+no Python in the hot path), each with a documented DuckDB-SQL mirror so every
+operator stays oracle-checkable. Beyond-reference surface (the reference has
+no text ops); designed for 100 TB document tables: every expression is a
+narrow per-row projection, no shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish tokenizer regex: word pieces or single non-space punctuation.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+#: tiny per-language discriminative word lists for the n-gram language-ID
+#: heuristic (word, lang, weight). Deliberately small and editable; at scale
+#: this dim is broadcast.
+LANG_DICT: list[tuple[str, str, int]] = [
+    ("the", "en", 2), ("a", "en", 1), ("fast", "en", 1),
+    ("le", "fr", 2), ("la", "fr", 2), ("et", "fr", 1),
+    ("el", "es", 2), ("los", "es", 2), ("y", "es", 1),
+    ("der", "de", 2), ("und", "de", 2), ("das", "de", 1),
+    ("of", "zh", 1), ("big", "zh", 1),  # placeholder row set; dim is data-driven
+]
+
+
+def words(col: str | Column) -> Column:
+    """Whitespace word split. DuckDB mirror: ``string_split(text, ' ')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column.
+
+    DuckDB mirror::
+
+        SELECT DISTINCT doc_id, w[g] || ' ' || w[g+1] || ' ' || w[g+2]
+        FROM (SELECT doc_id, string_split(text,' ') w FROM docs),
+             unnest(range(1, len(w)-1)) t(g)
+
+    Guarded for texts with fewer than ``n`` words (empty array, matching the
+    empty ``range``).
+    """
+    w = words(col)
+    size = F.size(w)
+    idx = F.sequence(F.lit(1), size - (n - 1))  # 1-based start positions
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def portable_hash64(col: str | Column, salt: str = "") -> Column:
+    """Deterministic 60-bit integer hash reproducible in any SQL engine.
+
+    ``conv(substr(md5(s || '#salt'), 1, 15), 16, 10)`` — DuckDB mirror:
+    ``CAST('0x' || substr(md5(s || '#salt'), 1, 15) AS BIGINT)``.
+
+    md5 is ~3x slower than xxhash64 but cross-engine reproducible, which the
+    correctness gate needs; production MinHash at 100 TB should swap in
+    ``F.xxhash64`` (same call shape, engine-local).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    salted = F.concat(c, F.lit(f"#{salt}")) if salt else c
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def token_count(col: str | Column) -> Column:
+    """BPE-ish token count. DuckDB: ``len(regexp_extract_all(text, pat))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def n_words(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def stopword_ratio(col: str | Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of words in the stopword list (quality-scoring feature).
+
+    DuckDB mirror uses ``list_filter``/``len`` over the same split.
+    """
+    w = F.split(F.trim(F.col(col) if isinstance(col, str) else col), r"\s+")
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    return (n_stop.cast("double") / F.size(w)).alias("stopword_ratio")
+
+
+def doc_fingerprint(col: str | Column) -> Column:
+    """Canonical content fingerprint: md5 of the sorted distinct word set.
+
+    Near-dup resilient to word order/repetition; DuckDB mirror:
+    ``md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(c, " ")))))

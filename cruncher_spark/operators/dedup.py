@@ -1,0 +1,315 @@
+"""Deduplication operators for 100 TB-scale document tables.
+
+Four strategies, cheapest first:
+
+- exact: hash-groupBy on a content digest — one shuffle of (digest, id).
+- n-gram Jaccard: exact set overlap on word shingles — the verification
+  primitive; quadratic candidate generation, so only the baseline.
+- MinHash + LSH banding: the scale path — signatures are computed
+  *shuffle-free* per row (``array_min(transform(shingles, hash))``),
+  banding turns all-pairs into an equi-join on (band, key), and only
+  banded candidates pay exact-Jaccard verification via ``array_intersect``.
+- SimHash: bitwise signature (also shuffle-free per row) with banded
+  candidate generation; cheaper signatures, coarser recall.
+
+Everything is JVM-side expression work (higher-order array functions) plus
+equi-join shuffles — no Python UDFs, no explode/groupBy signature pass. All
+hashes go through ``portable_hash64`` (md5-based) so every operator is
+DuckDB-oracle-checkable end-to-end; swap ``F.xxhash64`` for production speed
+(same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cruncher_spark.functions.text import portable_hash64, word_shingles
+
+
+def exact_dedup_survivors(
+    df: DataFrame, id_col: str, text_col: str, keep: str = "min"
+) -> DataFrame:
+    """One surviving row id per distinct content digest (md5 of the text).
+
+    Scale: shuffles only (digest, id); the winner per group is picked with
+    min/max (map-side partial agg, no sort).
+    """
+    digest = F.md5(F.col(text_col)).alias("digest")
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return df.select(digest, F.col(id_col)).groupBy("digest").agg(agg.alias(id_col))
+
+
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) — distinct word n-gram shingles per doc.
+
+    Narrow projection, no shuffle; feeds both signatures and verification.
+    """
+    return df.select(F.col(id_col), word_shingles(text_col, n).alias("sh"))
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exploded distinct (id, shingle) pairs — candidate generation input."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
+
+
+def _pair_jaccard() -> Column:
+    """|A∩B| / |A∪B| over two distinct-element array columns sh_a/sh_b."""
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+
+
+def jaccard_verify_pairs(
+    doc_sh: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    min_jaccard: float,
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via array_intersect.
+
+    Two equi-joins against the narrow (id, sh) table — work is
+    O(|candidates| x shingles-per-doc), never all-pairs. AQE broadcasts the
+    candidate side when it is small (the common case after LSH).
+    """
+    a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _pair_jaccard())
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    min_jaccard: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the quadratic baseline).
+
+    Pairs sharing >=1 shingle are found via self-equi-join on shingle, then
+    intersection counts come from the same join (group-count) with doc set
+    sizes joined in (AQE broadcasts the small sizes table). Only viable when
+    per-shingle document frequency is bounded; use MinHash+LSH at scale.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+#: universal-hash family for MinHash: h_i(x) = (A_i * x + B_i) mod P over the
+#: base hash x = portable_hash64(shingle) mod P. One md5 per shingle total;
+#: the k permutations are cheap integer arithmetic. P < 2^31 keeps A*x+B
+#: within bigint range in every engine.
+MINHASH_P = 2147483647
+MINHASH_AB: list[tuple[int, int]] = [
+    (2 * i + 3, 1000003 * i + 12345) for i in range(64)
+]
+
+
+def minhash_signatures(
+    doc_sh: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature, shuffle-free and single-pass.
+
+    One ``aggregate`` fold over the hashed shingle array updates all k mins
+    at once (``zip_with`` against the constant (A,B) table), so the md5 base
+    hash is computed exactly once per shingle — a pure projection, no
+    explode, no shuffle. Columns: id, mh_0..mh_{k-1}. Docs with no shingles
+    are dropped (they can never match; mirrors the exploded form).
+    """
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in MINHASH_AB[:num_hashes]
+        ]
+    )
+    base = F.transform("sh", lambda s: portable_hash64(s) % MINHASH_P)
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
+    mins = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MINHASH_P)
+        ),
+    )
+    out = doc_sh.where(F.size("sh") > 0).select(F.col(id_col), mins.alias("mins"))
+    return out.select(
+        F.col(id_col),
+        *[F.col("mins")[i].alias(f"mh_{i}") for i in range(num_hashes)],
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: docs agreeing on all hashes of any band become a pair.
+
+    Each band is an equi-join key (band_idx, key) — Catalyst turns the
+    all-pairs problem into a shuffle-hash join on band buckets. Output
+    distinct (id_a, id_b), id_a < id_b.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        F.col(id_col),
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    a = exploded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → sign → band → verify.
+
+    Output: (id_a, id_b, jaccard) for verified near-duplicates. Plan shape:
+    one narrow scan produces (id, sh, signature); the only shuffles are the
+    band self-join and the two candidate-verification joins.
+    """
+    doc_sh = shingle_arrays(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(doc_sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    return jaccard_verify_pairs(doc_sh, cands, id_col, min_jaccard)
+
+
+def simhash(doc_sh: DataFrame, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash, shuffle-free: hash each shingle once
+    (``transform``), then per bit j the vote is
+    ``2 * count(hashes with bit j set) - n`` and bit j of the signature is
+    set iff the vote is positive. Output: (id, simhash BIGINT)."""
+    # single-pass fold: one md5 per shingle, all per-bit votes updated at
+    # once via zip_with against the constant powers array. (Per-bit filter()
+    # columns would let CollapseProject duplicate the md5 transform 32x.)
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    hashed = F.transform("sh", lambda s: portable_hash64(s, salt="simhash"))
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda v, p: v + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # empty shingle sets would hash to signature 0 and band-match each other;
+    # the exploded/oracle form never emits such docs
+    return doc_sh.where(F.size("sh") > 0).select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature into ``n_bands`` chunks
+    (pigeonhole: hamming <= n_bands-1 guarantees a matching band), join on
+    matching chunks, verify with exact popcount hamming.
+
+    Output: (id_a, id_b, hamming).
+    """
+    sims = simhash(shingle_arrays(df, id_col, text_col, shingle_n), id_col, bits)
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sims.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        F.col(id_col),
+        "simhash",
+        F.col("c.band_idx").alias("band_idx"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band_idx", "chunk"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band_idx", "chunk"
+    )
+    return (
+        a.join(b, ["band_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

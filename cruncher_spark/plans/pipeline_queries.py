@@ -1,0 +1,468 @@
+"""Training-data pipeline operators (beyond-reference surface): dedup,
+similarity search, text analysis — each registered with a DuckDB oracle
+built from the same parameters, so the correctness gate covers the scale
+operators too.
+
+Oracle SQL for MinHash/SimHash/LSH is *generated* from the identical
+parameters (hash salts, band layout, hyperplane signs) used by the Spark
+operators — one definition, two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cruncher_spark.functions.text import (
+    LANG_DICT,
+    TOKEN_REGEX,
+    doc_fingerprint,
+    token_count,
+)
+from cruncher_spark.operators.dedup import (
+    exact_dedup_survivors,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    shingle_table,
+    simhash_dup_pairs,
+)
+from cruncher_spark.operators.similarity import (
+    _hyperplane_signs,
+    ann_lsh_topk,
+    brute_force_topk,
+    threshold_neighbor_counts,
+)
+from cruncher_spark.plans.registry import register
+from cruncher_spark.session import tune
+from cruncher_spark.sources import Star
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE: distinct word-3-gram shingles (mirrors
+# functions.text.word_shingles / operators.dedup.shingle_table)
+# ---------------------------------------------------------------------------
+
+_SH_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    wl[CAST(g AS INT)] || ' ' || wl[CAST(g AS INT)+1] || ' ' || wl[CAST(g AS INT)+2] AS shingle
+  FROM w, unnest(range(1, len(wl)-1)) t(g)
+)
+"""
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+"""
+
+
+def _oracle_hash(expr: str, salt: str = "") -> str:
+    """DuckDB mirror of functions.text.portable_hash64 (no-salt → no concat,
+    matching the Spark side exactly)."""
+    salted = f"{expr} || '#{salt}'" if salt else expr
+    return f"CAST('0x' || substr(md5({salted}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_unique
+    FROM (SELECT arg_min(lang, doc_id) AS lang FROM documents GROUP BY md5(text))
+    GROUP BY lang
+    """,
+    doc="Exact dedup: hash-groupBy on content digest, min-id survivor; "
+    "one (digest,id) shuffle at any scale.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    survivors = exact_dedup_survivors(docs, "doc_id", "text")
+    return (
+        survivors.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, all-pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_CTE}, {_JACCARD_TAIL}
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs at tau=0.5 — the "
+    "verification primitive for MinHash; quadratic, so scale use is "
+    "candidate-verification only.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    sh = shingle_table(docs, "doc_id", "text", 3)
+    return jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (generated oracle)
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES, _BAND_SIZE = 8, 2
+_N_BANDS = _NUM_HASHES // _BAND_SIZE
+
+# universal-hash family mirror of operators.dedup.minhash_signatures:
+# mh_i = min over shingles of (A_i * (H(shingle) mod P) + B_i) mod P
+from cruncher_spark.operators.dedup import MINHASH_AB, MINHASH_P  # noqa: E402
+
+_BASE_H = f"({_oracle_hash('shingle', '')} % {MINHASH_P})"
+_MH_COLS = ",\n    ".join(
+    f"min(({MINHASH_AB[i][0]} * {_BASE_H} + {MINHASH_AB[i][1]}) % {MINHASH_P}) AS mh_{i}"
+    for i in range(_NUM_HASHES)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM mh".format(
+        b=b,
+        key=" || ':' || ".join(
+            f"CAST(mh_{b * _BAND_SIZE + j} AS VARCHAR)" for j in range(_BAND_SIZE)
+        ),
+    )
+    for b in range(_N_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SH_CTE},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL}
+    SELECT c.id_a, c.id_b, CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) AS jaccard
+    FROM common c
+    JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.5
+    """,
+    doc="MinHash(8 perms)+LSH(4 bands of 2) near-dup pipeline with exact "
+    "Jaccard verification of banded candidates — the 100 TB dedup path: "
+    "signatures are one map-side-combinable shuffle, banding turns all-pairs "
+    "into an equi-join.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        min_jaccard=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded near-dup (generated oracle)
+# ---------------------------------------------------------------------------
+
+_SIM_BITS, _SIM_BANDS, _MAX_HAMMING = 32, 4, 3
+_SIM_BAND_BITS = _SIM_BITS // _SIM_BANDS
+_SIM_H = _oracle_hash("shingle", "simhash")
+_VOTES = ",\n    ".join(
+    f"SUM(CASE WHEN ({_SIM_H} & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(_SIM_BITS)
+)
+_SIM_SUM = " + ".join(
+    f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIM_BITS)
+)
+_SIM_CHUNKS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_idx,"
+    f" (simhash >> {b * _SIM_BAND_BITS}) & {(1 << _SIM_BAND_BITS) - 1} AS chunk FROM sims"
+    for b in range(_SIM_BANDS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SH_CTE},
+    votes AS (SELECT doc_id, {_VOTES} FROM sh GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({_SIM_SUM} AS BIGINT) AS simhash FROM votes),
+    chunks AS ({_SIM_CHUNKS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.band_idx = b.band_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {_MAX_HAMMING}
+    """,
+    doc="SimHash(32-bit) near-dup: banded candidate generation (4x8-bit "
+    "chunks, pigeonhole) + exact hamming verify. Cheaper signatures than "
+    "MinHash; one groupBy with 32 conditional sums.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    return simhash_dup_pairs(
+        docs, "doc_id", "text",
+        max_hamming=_MAX_HAMMING, bits=_SIM_BITS, n_bands=_SIM_BANDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity: brute-force top-k, threshold near-dup, LSH ANN
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+_Q_FILTER = "vec_id % 20 = 0"
+
+
+@register(
+    "embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE {_Q_FILTER}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos
+      FROM q, c WHERE query_id <> neighbor_id
+    ),
+    ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
+    """,
+    doc="Brute-force cosine top-3 per query (every 20th vector as query set): "
+    "broadcast queries, JVM-side zip_with/aggregate fold, windowed rank — the "
+    "exact ANN baseline.",
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = Star(spark, sf_dir).embeddings
+    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    out = brute_force_topk(emb, queries, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embedding_dup_threshold",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE {_Q_FILTER}),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id,
+           SUM(CAST(cos >= 0.8 AS INT)) AS n_near,
+           MAX(cos) AS max_cos
+    FROM scored GROUP BY query_id
+    """,
+    doc="Embedding-cosine near-dup detection: per-query count of neighbors "
+    "above tau=0.8 — dedup by semantic similarity.",
+)
+def embedding_dup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = Star(spark, sf_dir).embeddings
+    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    return threshold_neighbor_counts(emb, queries, min_cos=0.8)
+
+
+def _plane_sql(signs: list[int]) -> str:
+    return "[" + ", ".join(f"{float(s):.1f}" for s in signs) + "]"
+
+
+_PLANES = _hyperplane_signs(EMB_DIM, 8)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_sql(_PLANES[p])}) > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(8)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE {_Q_FILTER}),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM bucketed),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    ),
+    ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
+    """,
+    doc="ANN scale path: random-hyperplane LSH (8 deterministic ±1 planes) "
+    "buckets vectors; scoring becomes an equi-join on bucket instead of a "
+    "cross join — N x N/256 pairs instead of N x N.",
+)
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = Star(spark, sf_dir).embeddings
+    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    out = ann_lsh_topk(emb, queries, dim=EMB_DIM, k=3, n_planes=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis: quality metrics, language-ID, fingerprinting
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of")
+_STOP_SQL = "['the', 'a', 'of']"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+        n_chars,
+        len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens,
+        len(string_split(trim(text), ' ')) AS n_words,
+        len(list_filter(string_split(trim(text), ' '),
+                        x -> list_contains({_STOP_SQL}, x))) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      SUM(n_tokens) AS sum_tokens,
+      SUM(n_words) AS sum_words,
+      SUM(n_chars) AS sum_chars,
+      SUM(n_stop) AS sum_stopwords,
+      CAST(SUM(n_chars) AS DOUBLE) / SUM(n_words) AS chars_per_word,
+      CAST(SUM(n_stop) AS DOUBLE) / SUM(n_words) AS stopword_ratio
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Text quality scoring: BPE-ish token counts (regexp), word counts, "
+    "stopword ratios — per-row projections, no shuffle beyond the final "
+    "per-lang rollup.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    w = F.split(F.trim(F.col("text")), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    per_doc = docs.select(
+        "lang",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        F.size(w).alias("n_words"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop, x))).alias("n_stop"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_stop").alias("sum_stopwords"),
+        (F.sum("n_chars").cast("double") / F.sum("n_words")).alias("chars_per_word"),
+        (F.sum("n_stop").cast("double") / F.sum("n_words")).alias("stopword_ratio"),
+    )
+
+
+_DICT_VALUES = ", ".join(f"('{w}', '{lang}', {wt})" for w, lang, wt in LANG_DICT)
+
+
+@register(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, lang AS label_lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    scores AS (
+      SELECT t.doc_id, t.label_lang, d.lang AS cand_lang, SUM(d.weight) AS score
+      FROM tokens t
+      JOIN (VALUES {_DICT_VALUES}) d(word, lang, weight) ON d.word = t.word
+      GROUP BY t.doc_id, t.label_lang, d.lang
+    ),
+    best AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM scores
+    )
+    SELECT label_lang, cand_lang AS predicted_lang, COUNT(*) AS n_docs
+    FROM best WHERE rn = 1
+    GROUP BY label_lang, cand_lang
+    """,
+    doc="n-gram-dictionary language ID: explode words, join a broadcast "
+    "(word,lang,weight) dim, argmax score per doc with deterministic "
+    "tie-break, confusion counts vs the labeled lang.",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    dict_df = spark.createDataFrame(LANG_DICT, "word string, cand_lang string, weight int")
+    tokens = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    scores = (
+        tokens.join(F.broadcast(dict_df), "word")
+        .groupBy("doc_id", "label_lang", "cand_lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("label_lang", F.col("cand_lang").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprint_groups",
+    oracle="""
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id,
+            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          FROM documents)
+    GROUP BY fp HAVING COUNT(*) > 1
+    """,
+    doc="Document fingerprinting: md5 over the sorted distinct word set "
+    "(order/repetition-invariant canonical form); groups sharing a "
+    "fingerprint are template-duplicates.",
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    return (
+        docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") > 1)
+    )
