@@ -1,0 +1,349 @@
+"""The six crunch materialized-view plans, re-expressed Spark-first.
+
+Reference: the SQL scripts in /root/reference (crunch_global.sql,
+crunch_player.sql, crunch_hero_vs_hero.sql, crunch_phases.sql,
+crunch_phases_bans.sql, crunch_team.sql). Each function builds the *delta*
+DataFrame one micro-batch contributes to its point table; the merge layer
+(cruncher_spark.merge) folds deltas into persistent state.
+
+Architecture vs the reference (SURVEY.md §2.3 J3/J4): the reference fans
+out every fact row through OR-'all' dimension joins — a 4-dim fan-out
+multiplies the stream 16x *before* the aggregate. Here:
+
+- 1:1 dims (hero, role, region, game_mode) become GROUPING SETS axes — the
+  fan-out happens inside the aggregate (map-side partial), nothing is
+  multiplied before the shuffle;
+- genuinely multi-match dims (series intervals, the filter bridge, skill
+  bands, regex-matched builds) stay fan-out joins, but against broadcast
+  dims, in explicit specific/'all' union arms — multiplier ~8x instead of
+  the reference's 256x worst case;
+- conditional strata (game_mode/skill_tier specific only when
+  s.show_in_web, crunch_global.sql:44-45; builds only for casual/ranked in
+  gm='all' x region='all' cells, crunch_global.sql:46-50; player never
+  crosses hero x role, crunch_player.sql:39) become per-stratum grouping
+  sets, unioned.
+
+At 100 TB the only shuffles are the final aggregates (and the hero-vs-hero
+self-join on match key); every dimension access is a broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cruncher_spark.functions.scalars import dsum, posix_to_java_regex
+
+#: worker.js:199-201 — the build-slot match regex fragments, POSIX→Java.
+BUILD_REGEX_START = posix_to_java_regex("^([[:digit:]]+;[[:digit:]]+,)*(")
+BUILD_REGEX_END = posix_to_java_regex(")+(,[[:digit:]]+;[[:digit:]]+)*$")
+
+#: measure columns shared by crunch_global/player/hero_vs_hero
+#: (crunch_global.sql:20-32)
+STATS_SUMS = (
+    "duration", "kills", "deaths", "assists", "farm", "minion_kills",
+    "jungle_kills", "non_jungle_minion_kills", "crystal_mine_captures",
+    "gold_mine_captures", "kraken_captures", "turret_captures", "gold",
+)
+
+Tables = Mapping[str, DataFrame]
+
+
+def item_use_aggs(item_ids: Sequence[int], source: str = "item_uses") -> list[Column]:
+    """Dynamic per-activable-item use sums (worker.js:91-103's JS codegen,
+    done at plan-build time): one ``sum(coalesce(item_uses[k], 0))`` per
+    activable item, named ``item_XXX_use`` (zero-padded, worker.js:92)."""
+    return [
+        F.sum(
+            F.coalesce(F.element_at(F.col(source), F.lit(int(k))), F.lit(0))
+        ).alias(f"item_{int(k):03d}_use")
+        for k in item_ids
+    ]
+
+
+def activable_item_ids(tables: Tables) -> list[int]:
+    """worker.js:83-85 — item dim lookup at startup."""
+    return sorted(
+        r.id for r in tables["item"].where(F.col("is_activable")).select("id").collect()
+    )
+
+
+def _dim_ids(tables: Tables, name: str, where: Column | None = None) -> dict:
+    df = tables[name]
+    if where is not None:
+        df = df.where(where)
+    return {r["name"]: r["id"] for r in df.select("name", "id").collect()}
+
+
+def _batch_join(df: DataFrame, key: str, batch_ids) -> DataFrame:
+    """P1 batch-key restriction (crunch_global.sql:63). Small Python lists
+    become an ``isin`` (pushed into the scan); DataFrames become a semi
+    join (the scale path)."""
+    if isinstance(batch_ids, DataFrame):
+        other = batch_ids.toDF(key)
+        return df.join(other, key, "left_semi")
+    return df.where(F.col(key).isin(list(batch_ids)))
+
+
+def _grouping_sets_agg(
+    df: DataFrame,
+    fixed: Sequence[str],
+    axes: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """GROUPING SETS over ``fixed + set`` for each set, with per-axis rolled
+    flags ``_g_<axis>`` in the output (true = this axis is the 'all' cell)."""
+    all_cols = list(fixed) + list(axes)
+    gsets = [list(fixed) + list(s) for s in sets]
+    grouped = df.groupingSets(gsets, *[F.col(c) for c in all_cols])
+    # no-arg grouping_id covers all grouping cols; ``fixed`` are in every
+    # set so their bits are always 0 and the low bits are exactly the axes
+    out = grouped.agg(F.grouping_id().alias("_gid"), *aggs)
+    n = len(axes)
+    flags = [
+        (F.col("_gid").bitwiseAND(F.lit(1 << (n - 1 - i))) != 0).alias(f"_g_{a}")
+        for i, a in enumerate(axes)
+    ]
+    agg_names = [
+        c for c in out.columns if c != "_gid" and c not in all_cols
+    ]
+    return out.select(*all_cols, *flags, *[F.col(c) for c in agg_names])
+
+
+def _axis_id(
+    axis: str, all_id: int, valid_ids: Sequence[int] | None = None
+) -> tuple[Column, Column]:
+    """(output id column, validity predicate) for a rolled-flag axis.
+
+    Specific cells for values missing from the dim are dropped — in the
+    reference an unknown id matches only the 'all' row
+    (crunch_global.sql:41), so it contributes to rolled cells but never
+    produces a specific row.
+    """
+    flag = F.col(f"_g_{axis}")
+    out = F.when(flag, F.lit(all_id)).otherwise(F.col(axis))
+    valid = F.lit(True) if valid_ids is None else (flag | F.col(axis).isin(list(valid_ids)))
+    return out, valid
+
+
+def _filter_candidates(
+    base: DataFrame, tables: Tables, dimension_on: str
+) -> DataFrame:
+    """J8: ``f.name='all' OR f.id IN (bridge filters of the match)``
+    (crunch_global.sql:39) → union of the constant 'all' arm and the
+    deduped bridge join. Adds ``filter_id``."""
+    filters = tables["filter"].where(F.col("dimension_on") == dimension_on)
+    all_id = {r["name"]: r["id"] for r in filters.collect()}["all"]
+    arm_all = base.withColumn("filter_id", F.lit(all_id))
+    bridge = (
+        tables["global_point_filters"]
+        .dropDuplicates(["match_api_id", "filter_id"])  # IN-subquery set semantics
+        .join(
+            F.broadcast(filters.where(F.col("name") != "all").select(F.col("id").alias("filter_id"))),
+            "filter_id",
+            "left_semi",
+        )
+    )
+    arm_specific = base.join(F.broadcast(bridge), "match_api_id")
+    return arm_all.unionByName(arm_specific)
+
+
+def _series_join(
+    base: DataFrame, tables: Tables, dimension_on: str, time_col: str
+) -> DataFrame:
+    """J5: interval membership ``time BETWEEN s.start AND s.end``
+    (crunch_global.sql:40); overlapping series each match (intended
+    fan-out). Adds series_id, show_in_web."""
+    series = tables["series"].where(F.col("dimension_on") == dimension_on)
+    return base.join(
+        F.broadcast(series.select(F.col("id").alias("series_id"), "start", "end", "show_in_web")),
+        F.col(time_col).between(F.col("start"), F.col("end")),
+    ).drop("start", "end")
+
+
+def _tier_arms(
+    base: DataFrame, tables: Tables, all_tier_id: int, require_web: bool
+) -> DataFrame:
+    """J6: ``(skill_tier BETWEEN st.start AND st.end [AND s.show_in_web])
+    OR st.name='all'`` (crunch_global.sql:45) → 'all' arm union band-join
+    arm. Adds skill_tier_id."""
+    arm_all = base.withColumn("skill_tier_id", F.lit(all_tier_id))
+    tiers = tables["skill_tier"].where(F.col("name") != "all")
+    specific_base = base.where(F.col("show_in_web")) if require_web else base
+    arm_specific = specific_base.join(
+        F.broadcast(
+            tiers.select(F.col("id").alias("skill_tier_id"), F.col("start").alias("_lo"), F.col("end").alias("_hi"))
+        ),
+        F.col("skill_tier").between(F.col("_lo"), F.col("_hi")),
+    ).drop("_lo", "_hi")
+    return arm_all.unionByName(arm_specific)
+
+
+def _build_slot_cond(grants: Column, b: DataFrame, slot: int) -> Column:
+    """One slot of the J7 regex build match (crunch_global.sql:53-58)."""
+    pattern = F.concat(
+        F.lit(BUILD_REGEX_START),
+        b[f"item_{slot}"].cast("string"),
+        F.lit(";"),
+        b[f"item_{slot}_count"].cast("string"),
+        F.lit(BUILD_REGEX_END),
+    )
+    return b[f"item_{slot}"].isNull() | F.rlike(grants, pattern)
+
+
+def crunch_global_delta(
+    tables: Tables,
+    batch_ids,
+    now: Column | None = None,
+) -> DataFrame:
+    """crunch_global.sql as a Spark plan: the global rollup cube delta.
+
+    Output columns = global_point minus the auto-id: updated_at, 8 dim ids
+    (+ hero2_id/role2_id placeholder 1s, crunch_global.sql:12-13), 18
+    measures, and one item_XXX_use per activable item.
+    """
+    now = now if now is not None else F.current_timestamp()
+    item_ids = activable_item_ids(tables)
+    hero_ids = _dim_ids(tables, "hero")
+    role_ids = _dim_ids(tables, "role")
+    region_ids = _dim_ids(tables, "region")
+    mode_ids = _dim_ids(tables, "game_mode")
+    tier_ids = _dim_ids(tables, "skill_tier")
+    build_all_id = _dim_ids(tables, "build", F.col("dimension_on") == "global").get("all")
+    casual_ranked = [mode_ids[n] for n in ("casual", "ranked") if n in mode_ids]
+
+    p = _batch_join(tables["participant"], "api_id", batch_ids)
+    p_s = tables["participant_stats"].withColumnRenamed("created_at", "stats_created_at")
+    base = (
+        p.join(p_s, p_s["participant_api_id"] == p["api_id"])
+        .drop("participant_api_id")
+        .join(
+            tables["participant_items"].withColumnRenamed("participant_api_id", "pi_api_id"),
+            F.col("pi_api_id") == F.col("api_id"),
+            "left",
+        )
+        .drop("pi_api_id")
+    )
+    base = _series_join(base, tables, "global", "stats_created_at")
+    base = _filter_candidates(base, tables, "global")
+    base = _tier_arms(base, tables, tier_ids["all"], require_web=True)
+
+    # J7 build arms: 'all' always; specific only per-patch global for
+    # casual/ranked (crunch_global.sql:46-50) — the gm='all' x reg='all'
+    # restriction is a stratum constraint handled in the grouping sets below.
+    arm_all = base.withColumn("build_id", F.lit(build_all_id)).withColumn(
+        "_build_specific", F.lit(False)
+    )
+    builds = tables["build"].where(
+        (F.col("name") != "all") & (F.col("dimension_on") == "global")
+    )
+    slot_conds = None
+    for slot in range(1, 7):
+        c = _build_slot_cond(F.col("item_grants"), builds, slot)
+        slot_conds = c if slot_conds is None else (slot_conds & c)
+    arm_build = (
+        base.where(F.col("show_in_web") & F.col("game_mode_id").isin(casual_ranked))
+        .join(F.broadcast(builds.select(F.col("id").alias("build_id"), *[
+            c for s in range(1, 7) for c in (f"item_{s}", f"item_{s}_count")
+        ])), slot_conds)
+        .drop(*[c for s in range(1, 7) for c in (f"item_{s}", f"item_{s}_count")])
+        .withColumn("_build_specific", F.lit(True))
+    )
+    fanned = arm_all.unionByName(arm_build)
+
+    measures = [
+        F.count("id").alias("played"),
+        F.sum(F.col("winner").cast("int")).alias("wins"),
+        # A6: single-arg coalesce — a plain sum (crunch_global.sql:19).
+        # Double measures sum via DECIMAL(18,2) for order/engine-exact
+        # results (scalars.dsum) — semantics identical at 2-dec inputs.
+        dsum("trueskill_delta", "trueskill_delta"),
+        F.sum("duration").alias("time_spent"),
+        *[
+            dsum(c, c) if c == "farm" else F.sum(c).alias(c)
+            for c in STATS_SUMS[1:]
+        ],
+        F.round(F.sum(F.col("impact_score").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("impact_score"),
+        F.sum(F.coalesce(F.col("surrender"), F.lit(0))).alias("surrender"),
+        *item_use_aggs(item_ids),
+    ]
+
+    fixed = ["series_id", "filter_id", "skill_tier_id", "build_id"]
+    axes = ["hero_id", "role_id", "shard_id", "game_mode_id"]
+
+    def subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
+        out: list[tuple[str, ...]] = []
+        for mask in range(1 << len(names)):
+            out.append(tuple(n for i, n in enumerate(names) if mask & (1 << i)))
+        return out
+
+    strata = [
+        # visible series, 'all' build: full cube over the four 1:1 dims
+        (
+            fanned.where(F.col("show_in_web") & ~F.col("_build_specific")),
+            subsets(["hero_id", "role_id", "shard_id", "game_mode_id"]),
+        ),
+        # daily series: game_mode rolled up (crunch_global.sql:44 gate)
+        (
+            fanned.where(~F.col("show_in_web") & ~F.col("_build_specific")),
+            subsets(["hero_id", "role_id", "shard_id"]),
+        ),
+        # specific builds live only in gm='all' x region='all' cells
+        # (crunch_global.sql:48,50)
+        (
+            fanned.where(F.col("_build_specific")),
+            subsets(["hero_id", "role_id"]),
+        ),
+    ]
+
+    parts = []
+    for df, sets in strata:
+        parts.append(_grouping_sets_agg(df, fixed, axes, sets, measures))
+    agg = parts[0]
+    for other in parts[1:]:
+        agg = agg.unionByName(other)
+
+    hero_out, hero_ok = _axis_id("hero_id", hero_ids["all"], list(hero_ids.values()))
+    role_out, role_ok = _axis_id("role_id", role_ids["all"], list(role_ids.values()))
+    mode_out, mode_ok = _axis_id("game_mode_id", mode_ids["all"], list(mode_ids.values()))
+    region_map = F.create_map(
+        *[x for n, i in region_ids.items() if n != "all" for x in (F.lit(n), F.lit(i))]
+    )
+    region_specific = F.element_at(region_map, F.col("shard_id"))
+    region_out = F.when(F.col("_g_shard_id"), F.lit(region_ids["all"])).otherwise(region_specific)
+    region_ok = F.col("_g_shard_id") | region_specific.isNotNull()
+
+    measure_names = [
+        "played", "wins", "trueskill_delta", "time_spent", *STATS_SUMS[1:],
+        "impact_score", "surrender",
+        *[f"item_{k:03d}_use" for k in item_ids],
+    ]
+    return (
+        agg.where(hero_ok & role_ok & mode_ok & region_ok)
+        .select(
+            now.alias("updated_at"),
+            F.col("series_id"),
+            F.col("filter_id"),
+            hero_out.alias("hero_id"),
+            mode_out.alias("game_mode_id"),
+            F.col("skill_tier_id"),
+            F.col("build_id"),
+            role_out.alias("role_id"),
+            F.lit(1).alias("hero2_id"),   # collapsed placeholder dims
+            F.lit(1).alias("role2_id"),   # (crunch_global.sql:12-13,65)
+            region_out.alias("region_id"),
+            *[F.col(m) for m in measure_names],
+        )
+    )
+
+
+#: merge key for global_point (crunch_global.sql:65's GROUP BY)
+GLOBAL_POINT_KEY = (
+    "series_id", "filter_id", "hero_id", "game_mode_id", "skill_tier_id",
+    "build_id", "role_id", "hero2_id", "role2_id", "region_id",
+)
