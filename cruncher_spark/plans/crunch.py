@@ -347,3 +347,514 @@ GLOBAL_POINT_KEY = (
     "series_id", "filter_id", "hero_id", "game_mode_id", "skill_tier_id",
     "build_id", "role_id", "hero2_id", "role2_id", "region_id",
 )
+
+
+def _stats_measures(item_ids: Sequence[int], *, round_impact: bool,
+                    with_trueskill: bool, duration_alias: str) -> list[Column]:
+    """The shared measure list of global/player/hero_vs_hero
+    (crunch_global.sql:17-35, crunch_player.sql:14-32,
+    crunch_hero_vs_hero.sql:19-37). Doubles sum via DECIMAL(18,2)
+    (order/engine-exact; identical semantics at 2-dec inputs)."""
+    impact = F.sum(F.col("impact_score").cast("decimal(18,2)"))
+    if round_impact:
+        impact = F.round(impact)
+    return [
+        F.count("id").alias("played"),
+        F.sum(F.col("winner").cast("int")).alias("wins"),
+        *([dsum("trueskill_delta", "trueskill_delta")] if with_trueskill else []),
+        F.sum("duration").alias(duration_alias),
+        *[
+            dsum(c, c) if c == "farm" else F.sum(c).alias(c)
+            for c in STATS_SUMS[1:]
+        ],
+        impact.cast("double").alias("impact_score"),
+        F.sum(F.coalesce(F.col("surrender"), F.lit(0))).alias("surrender"),
+        *item_use_aggs(item_ids),
+    ]
+
+
+def _fact_base(tables: Tables, batch_ids) -> DataFrame:
+    """participant ⋈ stats ⟕ items for a batch (J1/J2,
+    crunch_global.sql:36-38)."""
+    p = _batch_join(tables["participant"], "api_id", batch_ids)
+    p_s = tables["participant_stats"].withColumnRenamed(
+        "created_at", "stats_created_at"
+    )
+    return (
+        p.join(p_s, p_s["participant_api_id"] == p["api_id"])
+        .drop("participant_api_id")
+        .join(
+            tables["participant_items"].withColumnRenamed(
+                "participant_api_id", "pi_api_id"
+            ),
+            F.col("pi_api_id") == F.col("api_id"),
+            "left",
+        )
+        .drop("pi_api_id")
+    )
+
+
+def crunch_player_delta(
+    tables: Tables,
+    batch_ids,
+) -> DataFrame:
+    """crunch_player.sql as a Spark plan: the per-player rollup delta.
+
+    The role dim is *constrained*: role specific only when hero is 'all'
+    (crunch_player.sql:39 ``-- do not cross hero x role``), so the sets
+    over (hero, role) are {(), (hero), (role)} — exactly grouping sets,
+    never a blind cube. game_mode is unconstrained (crunch_player.sql:41).
+    ``updated_at`` is max(created_at) per group — the reference emits an
+    arbitrary in-group value (non-aggregated select, MySQL permissive
+    mode) and its merge keeps the greater (crunch_player.sql:49), so max
+    is the merge-equivalent deterministic choice.
+    """
+    item_ids = activable_item_ids(tables)
+    hero_ids = _dim_ids(tables, "hero")
+    role_ids = _dim_ids(tables, "role")
+    mode_ids = _dim_ids(tables, "game_mode")
+
+    base = _fact_base(tables, batch_ids)
+    base = _series_join(base, tables, "player", "stats_created_at")
+    base = _filter_candidates(base, tables, "player")
+
+    measures = [
+        F.max("created_at").alias("updated_at"),
+        *_stats_measures(
+            item_ids, round_impact=False, with_trueskill=False,
+            duration_alias="time_spent",
+        ),
+    ]
+
+    fixed = ["player_api_id", "series_id", "filter_id"]
+    axes = ["hero_id", "role_id", "game_mode_id"]
+    hr_sets: list[tuple[str, ...]] = [(), ("hero_id",), ("role_id",)]
+    sets = [hr + gm for hr in hr_sets for gm in [(), ("game_mode_id",)]]
+
+    agg = _grouping_sets_agg(base, fixed, axes, sets, measures)
+
+    hero_out, hero_ok = _axis_id("hero_id", hero_ids["all"], list(hero_ids.values()))
+    role_out, role_ok = _axis_id("role_id", role_ids["all"], list(role_ids.values()))
+    mode_out, mode_ok = _axis_id("game_mode_id", mode_ids["all"], list(mode_ids.values()))
+
+    agg_names = [
+        c for c in agg.columns
+        if c not in set(fixed) | set(axes) and not c.startswith("_g_")
+    ]
+    return agg.where(hero_ok & role_ok & mode_ok).select(
+        *fixed,
+        hero_out.alias("hero_id"),
+        mode_out.alias("game_mode_id"),
+        role_out.alias("role_id"),
+        *[F.col(c) for c in agg_names],
+    )
+
+
+#: merge key for player_point (crunch_player.sql:45's GROUP BY)
+PLAYER_POINT_KEY = (
+    "player_api_id", "series_id", "filter_id", "hero_id", "game_mode_id",
+    "role_id",
+)
+
+
+def crunch_hero_vs_hero_delta(
+    tables: Tables,
+    batch_ids,
+    now: Column | None = None,
+) -> DataFrame:
+    """crunch_hero_vs_hero.sql as a Spark plan: pairwise co-occurrence.
+
+    J10: self-join on match_api_id (the one genuinely fact-sized shuffle
+    besides the aggregate — co-partitioned by repartitioning both sides on
+    the match key). hero/role of both pair sides join *exactly* (no 'all',
+    crunch_hero_vs_hero.sql:44-47); only region/game_mode roll up, and
+    series is visible-only (no daily, crunch_hero_vs_hero.sql:43).
+    """
+    now = now if now is not None else F.current_timestamp()
+    item_ids = activable_item_ids(tables)
+    hero_ids = _dim_ids(tables, "hero")
+    role_ids = _dim_ids(tables, "role")
+    region_ids = _dim_ids(tables, "region")
+    mode_ids = _dim_ids(tables, "game_mode")
+    tier_ids = _dim_ids(tables, "skill_tier")
+    hero_specific = [i for n, i in hero_ids.items() if n != "all"]
+    role_specific = [i for n, i in role_ids.items() if n != "all"]
+
+    base = _fact_base(tables, batch_ids)
+    p2 = tables["participant"].select(
+        F.col("match_api_id").alias("p2_match_api_id"),
+        F.col("api_id").alias("p2_api_id"),
+        F.col("roster_api_id").alias("p2_roster_api_id"),
+        F.col("hero_id").alias("hero2_id"),
+        F.col("role_id").alias("role2_id"),
+    )
+    base = base.join(
+        p2,
+        (F.col("match_api_id") == F.col("p2_match_api_id"))
+        & (F.col("api_id") != F.col("p2_api_id")),
+    ).drop("p2_match_api_id", "p2_api_id")
+    base = base.withColumn(
+        "played_with", F.col("roster_api_id") == F.col("p2_roster_api_id")
+    ).drop("p2_roster_api_id")
+    # exact dim membership on both pair sides (inner joins in the
+    # reference drop unknown hero/role ids)
+    base = base.where(
+        F.col("hero_id").isin(hero_specific)
+        & F.col("role_id").isin(role_specific)
+        & F.col("hero2_id").isin(hero_specific)
+        & F.col("role2_id").isin(role_specific)
+    )
+    base = _series_join(
+        base, tables, "global", "stats_created_at"
+    ).where(F.col("show_in_web"))
+    base = _filter_candidates(base, tables, "global")
+    base = _tier_arms(base, tables, tier_ids["all"], require_web=False)
+
+    measures = _stats_measures(
+        item_ids, round_impact=False, with_trueskill=True,
+        duration_alias="duration",
+    )
+
+    fixed = [
+        "series_id", "filter_id", "hero_id", "role_id", "hero2_id",
+        "role2_id", "played_with", "skill_tier_id",
+    ]
+    axes = ["shard_id", "game_mode_id"]
+
+    sets = [(), ("shard_id",), ("game_mode_id",), ("shard_id", "game_mode_id")]
+    agg = _grouping_sets_agg(base, fixed, axes, sets, measures)
+
+    mode_out, mode_ok = _axis_id("game_mode_id", mode_ids["all"], list(mode_ids.values()))
+    region_map = F.create_map(
+        *[x for n, i in region_ids.items() if n != "all" for x in (F.lit(n), F.lit(i))]
+    )
+    region_specific = F.element_at(region_map, F.col("shard_id"))
+    region_out = F.when(
+        F.col("_g_shard_id"), F.lit(region_ids["all"])
+    ).otherwise(region_specific)
+    region_ok = F.col("_g_shard_id") | region_specific.isNotNull()
+
+    agg_names = [
+        c for c in agg.columns
+        if c not in set(fixed) | set(axes) and not c.startswith("_g_")
+    ]
+    return agg.where(mode_ok & region_ok).select(
+        now.alias("updated_at"),
+        *fixed,
+        mode_out.alias("game_mode_id"),
+        region_out.cast("bigint").alias("region_id"),
+        *[F.col(c) for c in agg_names],
+    )
+
+
+#: merge key for global_point_hero_vs_hero (crunch_hero_vs_hero.sql:54)
+HERO_VS_HERO_KEY = (
+    "series_id", "filter_id", "hero_id", "role_id", "hero2_id", "role2_id",
+    "played_with", "game_mode_id", "skill_tier_id", "region_id",
+)
+
+
+def crunch_phases_delta(
+    tables: Tables,
+    batch_phase_ids,
+    now: Column | None = None,
+) -> DataFrame:
+    """crunch_phases.sql as a Spark plan: per in-game time-slice rollup.
+
+    Batch key is participant_phases.id (crunch_phases.sql:90 ``-- TODO
+    rename``); (phase_start, phase_end) are plain grouping keys
+    (pre-windowed upstream); series membership is on p.created_at
+    (crunch_phases.sql:83), not stats. 59 additive measures plus
+    ``build_id=1`` and ``time_spent=0`` placeholders
+    (crunch_phases.sql:10,20).
+    """
+    from cruncher_spark.schemas import PARTICIPANT_PHASES, PHASE_MEASURES
+    from pyspark.sql import types as T
+
+    now = now if now is not None else F.current_timestamp()
+    item_ids = activable_item_ids(tables)
+    hero_ids = _dim_ids(tables, "hero")
+    role_ids = _dim_ids(tables, "role")
+    region_ids = _dim_ids(tables, "region")
+    mode_ids = _dim_ids(tables, "game_mode")
+    tier_ids = _dim_ids(tables, "skill_tier")
+
+    ph = _batch_join(tables["participant_phases"], "id", batch_phase_ids)
+    ph = ph.select(
+        F.col("id").alias("ph_id"),
+        F.col("participant_api_id"),
+        F.col("start").alias("phase_start"),
+        F.col("end").alias("phase_end"),
+        "item_uses",
+        *PHASE_MEASURES,
+    )
+    base = ph.join(
+        tables["participant"], ph["participant_api_id"] == F.col("api_id")
+    ).drop("participant_api_id")
+    base = _series_join(base, tables, "global", "created_at")
+    base = _filter_candidates(base, tables, "global")
+    base = _tier_arms(base, tables, tier_ids["all"], require_web=True)
+
+    def phase_sum(c: str) -> Column:
+        if isinstance(PARTICIPANT_PHASES[c].dataType, T.DoubleType):
+            return dsum(c, c)
+        return F.sum(c).alias(c)
+
+    measures = [
+        F.count("id").alias("played"),
+        # sum(p.winner) is uncast in the reference (crunch_phases.sql:19);
+        # MySQL coerces bool→int — rendered explicitly here
+        F.sum(F.col("winner").cast("int")).alias("wins"),
+        *[phase_sum(c) for c in PHASE_MEASURES],
+        *item_use_aggs(item_ids),
+    ]
+
+    fixed = ["series_id", "filter_id", "skill_tier_id", "phase_start", "phase_end"]
+    axes = ["hero_id", "role_id", "shard_id", "game_mode_id"]
+
+    def subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
+        return [
+            tuple(n for i, n in enumerate(names) if mask & (1 << i))
+            for mask in range(1 << len(names))
+        ]
+
+    strata = [
+        (
+            base.where(F.col("show_in_web")),
+            subsets(["hero_id", "role_id", "shard_id", "game_mode_id"]),
+        ),
+        # daily series: game_mode rolled up (crunch_phases.sql:87 gate)
+        (
+            base.where(~F.col("show_in_web")),
+            subsets(["hero_id", "role_id", "shard_id"]),
+        ),
+    ]
+    parts = [
+        _grouping_sets_agg(df, fixed, axes, sets, measures)
+        for df, sets in strata
+    ]
+    agg = parts[0].unionByName(parts[1])
+
+    hero_out, hero_ok = _axis_id("hero_id", hero_ids["all"], list(hero_ids.values()))
+    role_out, role_ok = _axis_id("role_id", role_ids["all"], list(role_ids.values()))
+    mode_out, mode_ok = _axis_id("game_mode_id", mode_ids["all"], list(mode_ids.values()))
+    region_map = F.create_map(
+        *[x for n, i in region_ids.items() if n != "all" for x in (F.lit(n), F.lit(i))]
+    )
+    region_specific = F.element_at(region_map, F.col("shard_id"))
+    region_out = F.when(
+        F.col("_g_shard_id"), F.lit(region_ids["all"])
+    ).otherwise(region_specific)
+    region_ok = F.col("_g_shard_id") | region_specific.isNotNull()
+
+    agg_names = [
+        c for c in agg.columns
+        if c not in set(fixed) | set(axes) and not c.startswith("_g_")
+    ]
+    return agg.where(hero_ok & role_ok & mode_ok & region_ok).select(
+        now.alias("updated_at"),
+        F.col("series_id"),
+        F.col("filter_id"),
+        hero_out.alias("hero_id"),
+        mode_out.alias("game_mode_id"),
+        F.col("skill_tier_id"),
+        F.lit(1).alias("build_id"),  # crunch_phases.sql:10 -- TODO
+        role_out.alias("role_id"),
+        region_out.cast("bigint").alias("region_id"),
+        F.col("phase_start"),
+        F.col("phase_end"),
+        F.lit(0).alias("time_spent"),  # crunch_phases.sql:20
+        *[F.col(c) for c in agg_names],
+    )
+
+
+#: merge key for global_point_phase (crunch_phases.sql:92's GROUP BY)
+PHASE_POINT_KEY = (
+    "series_id", "filter_id", "hero_id", "game_mode_id", "skill_tier_id",
+    "role_id", "region_id", "phase_start", "phase_end",
+)
+
+
+def crunch_phases_bans_delta(
+    tables: Tables,
+    batch_phase_ids,
+    now: Column | None = None,
+) -> DataFrame:
+    """crunch_phases_bans.sql as a Spark plan: hero-ban counts.
+
+    The hero dim joins on ``ph.ban`` (crunch_phases_bans.sql:19
+    ``-- special to ban table!``): a NULL ban matches only the 'all' row,
+    so specific cells exist only for known banned heroes while every row
+    still counts toward 'all'.
+    """
+    now = now if now is not None else F.current_timestamp()
+    hero_ids = _dim_ids(tables, "hero")
+    region_ids = _dim_ids(tables, "region")
+    mode_ids = _dim_ids(tables, "game_mode")
+    tier_ids = _dim_ids(tables, "skill_tier")
+
+    ph = _batch_join(tables["participant_phases"], "id", batch_phase_ids)
+    ph = ph.select(
+        F.col("id").alias("ph_id"),
+        F.col("participant_api_id"),
+        F.col("ban").alias("ban_hero_id"),
+    )
+    base = ph.join(
+        tables["participant"], ph["participant_api_id"] == F.col("api_id")
+    ).drop("participant_api_id")
+    base = _series_join(base, tables, "global", "created_at")
+    base = _filter_candidates(base, tables, "global")
+    base = _tier_arms(base, tables, tier_ids["all"], require_web=True)
+
+    measures = [F.count("id").alias("played")]
+    fixed = ["series_id", "filter_id", "skill_tier_id"]
+    axes = ["ban_hero_id", "shard_id", "game_mode_id"]
+
+    def subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
+        return [
+            tuple(n for i, n in enumerate(names) if mask & (1 << i))
+            for mask in range(1 << len(names))
+        ]
+
+    strata = [
+        (
+            base.where(F.col("show_in_web")),
+            subsets(["ban_hero_id", "shard_id", "game_mode_id"]),
+        ),
+        (
+            base.where(~F.col("show_in_web")),
+            subsets(["ban_hero_id", "shard_id"]),
+        ),
+    ]
+    parts = [
+        _grouping_sets_agg(df, fixed, axes, sets, measures)
+        for df, sets in strata
+    ]
+    agg = parts[0].unionByName(parts[1])
+
+    hero_out, hero_ok = _axis_id(
+        "ban_hero_id", hero_ids["all"], list(hero_ids.values())
+    )
+    mode_out, mode_ok = _axis_id(
+        "game_mode_id", mode_ids["all"], list(mode_ids.values())
+    )
+    region_map = F.create_map(
+        *[x for n, i in region_ids.items() if n != "all" for x in (F.lit(n), F.lit(i))]
+    )
+    region_specific = F.element_at(region_map, F.col("shard_id"))
+    region_out = F.when(
+        F.col("_g_shard_id"), F.lit(region_ids["all"])
+    ).otherwise(region_specific)
+    region_ok = F.col("_g_shard_id") | region_specific.isNotNull()
+
+    return agg.where(hero_ok & mode_ok & region_ok).select(
+        now.alias("updated_at"),
+        F.col("series_id"),
+        F.col("filter_id"),
+        hero_out.alias("hero_id"),
+        mode_out.alias("game_mode_id"),
+        F.col("skill_tier_id"),
+        region_out.cast("bigint").alias("region_id"),
+        F.col("played"),
+        F.lit(0).alias("banned"),  # crunch_phases_bans.sql:14 placeholder
+    )
+
+
+#: merge key for global_point_bans (crunch_phases_bans.sql:26's GROUP BY)
+BANS_POINT_KEY = (
+    "series_id", "filter_id", "hero_id", "game_mode_id", "skill_tier_id",
+    "region_id",
+)
+
+
+def crunch_team_fame(
+    tables: Tables,
+    team_id: int,
+    today: Column | None = None,
+) -> DataFrame:
+    """crunch_team.sql as a Spark plan: 7-day weighted fame per membership.
+
+    Two-level aggregation (crunch_team.sql:23-40): members-per-
+    (team, match, roster) counts, re-joined to the match's participants ×
+    the team's memberships, then a CASE-weighted sum **with no ELSE** —
+    tm_cnt>3 or NULL winner yields a NULL term that SUM skips
+    (crunch_team.sql:5-22); Spark ``when`` without ``otherwise`` has the
+    same NULL semantics. Output (tm_id, fame) *overwrites* the target
+    (crunch_team.sql:41-42) — an overwrite merge, not additive.
+    """
+    today = today if today is not None else F.current_date()
+    p = tables["participant"]
+    inner = (
+        p.where(F.col("created_at") > F.date_sub(today.cast("date"), 7))
+        .join(
+            tables["player"].select(F.col("api_id").alias("player_api_id")),
+            "player_api_id",
+        )
+        .join(
+            F.broadcast(
+                tables["team_membership"]
+                .where(F.col("team_id") == team_id)
+                .select(
+                    F.col("id").alias("tm_id_inner"),
+                    F.col("player_api_id"),
+                    F.col("team_id"),
+                )
+            ),
+            "player_api_id",
+        )
+        .join(
+            tables["roster"].select(
+                F.col("api_id").alias("roster_api_id"),
+                F.col("id").alias("roster_id"),
+                F.col("match_api_id").alias("r_match_api_id"),
+            ),
+            "roster_api_id",
+        )
+        .join(
+            tables["match"].select(F.col("api_id").alias("r_match_api_id")),
+            "r_match_api_id",
+        )
+        .groupBy(
+            F.col("team_id").alias("t_id"),
+            F.col("r_match_api_id").alias("m_api_id"),
+            F.col("roster_id"),
+        )
+        .agg(F.count("tm_id_inner").alias("tm_cnt"))
+    )
+    w1 = (
+        F.when(F.col("tm_cnt") == 1, F.lit(0.33).cast("decimal(10,2)"))
+        .when(F.col("tm_cnt") == 2, F.lit(0.66).cast("decimal(10,2)"))
+        .when(F.col("tm_cnt") == 3, F.lit(1.33).cast("decimal(10,2)"))
+    )
+    w2 = (
+        F.when(F.col("winner"), F.lit(1).cast("decimal(10,2)"))
+        .when(~F.col("winner"), F.lit(0.7).cast("decimal(10,2)"))
+    )
+    w3 = (
+        F.when(F.col("status") == "initiate", 10)
+        .when(F.col("status") == "member", 75)
+        .when(F.col("status") == "veteran", 100)
+        .when(F.col("status") == "officer", 125)
+        .when(F.col("status") == "leader", 125)
+    )
+    return (
+        inner.join(
+            p.select("match_api_id", "player_api_id", "winner"),
+            inner["m_api_id"] == F.col("match_api_id"),
+        )
+        .join(
+            F.broadcast(
+                tables["team_membership"].select(
+                    F.col("id").alias("tm_id"),
+                    F.col("team_id").alias("tm_team_id"),
+                    F.col("player_api_id").alias("tm_player_api_id"),
+                    F.col("status"),
+                )
+            ),
+            (F.col("t_id") == F.col("tm_team_id"))
+            & (F.col("player_api_id") == F.col("tm_player_api_id")),
+        )
+        .groupBy("tm_id")
+        .agg(F.sum(w1 * w2 * w3).cast("double").alias("fame"))
+    )
+

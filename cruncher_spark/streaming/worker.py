@@ -1,0 +1,151 @@
+"""Streaming shell: the worker.js event loop as Structured Streaming.
+
+One ``CrunchWorker`` ≈ one deployed reference worker (worker.js:23-24's
+QUEUE/SCRIPT parameterization): a stream of fact keys, a plan builder, a
+point table. The reference's per-message guards and commit protocol map
+to (SURVEY.md §2.1, §2.7):
+
+- poison filter (>1024-byte message NACKed, worker.js:129-137)
+  → length filter routing to the quarantine sink
+- RELIABILITY sampling (worker.js:139-143) → ``df.sample`` — and like the
+  reference, sums are *not* scaled up (documented load-shed semantics)
+- in-batch dedup via Set (worker.js:121,145) → ``dropDuplicates``
+- count-or-timeout micro-batch (1000 ids / 5 s, worker.js:29-30)
+  → ``trigger(processingTime=...)`` + ``maxFilesPerTrigger`` rate cap;
+  Spark has no exact count-OR-time trigger (approximation documented)
+- at-least-once + DLQ (worker.js:167-182) → try/except in foreachBatch
+  appending failed batch keys to the quarantine table
+- ACK→notify (worker.js:183-190) → appending (routing_key, event) rows to
+  the notify sink after a successful merge
+- replay double-count fixed: the merge ledger keys on batch_id
+  (merge/upsert.py), so redelivered batches are idempotent.
+
+Sources: tests use the file source (a directory of id files); production
+swaps in Kafka (``spark.readStream.format("kafka")``) — the pipeline from
+``load()`` onward is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cruncher_spark.merge.upsert import PointTable
+
+PlanFn = Callable[[Mapping[str, DataFrame], DataFrame], DataFrame]
+
+
+class CrunchWorker:
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: Mapping[str, DataFrame],
+        plan_fn: PlanFn,
+        point: PointTable,
+        *,
+        reliability: float = 1.0,
+        max_message_bytes: int = 1024,
+        quarantine_dir: str | None = None,
+        notify_dir: str | None = None,
+        notify_routing_key: str | None = None,
+        exactly_once: bool = True,
+    ):
+        self.spark = spark
+        self.tables = tables
+        self.plan_fn = plan_fn
+        self.point = point
+        self.reliability = reliability
+        self.max_message_bytes = max_message_bytes
+        self.quarantine_dir = quarantine_dir
+        self.notify_dir = notify_dir
+        self.notify_routing_key = notify_routing_key
+        self.exactly_once = exactly_once
+        self.batches_processed = 0
+        self.batches_failed = 0
+
+    # -- one micro-batch (the foreachBatch body) ----------------------------
+
+    def process_batch(self, ids_df: DataFrame, batch_id: int) -> None:
+        ids = ids_df.select(F.col(ids_df.columns[0]).alias("value"))
+
+        # S7 poison-message guard (worker.js:129-137)
+        poisoned = ids.where(F.length("value") > self.max_message_bytes)
+        ids = ids.where(F.length("value") <= self.max_message_bytes)
+        if self.quarantine_dir is not None:
+            self._append_quarantine(poisoned, batch_id, reason="poison")
+
+        # P2 reliability sampling (worker.js:139-143; uncompensated)
+        if self.reliability < 1.0:
+            ids = ids.sample(fraction=self.reliability, seed=batch_id)
+
+        # P6 in-batch dedup (worker.js:121,145)
+        ids = ids.dropDuplicates(["value"])
+
+        try:
+            delta = self.plan_fn(self.tables, ids.select("value"))
+            applied = self.point.merge(
+                delta, batch_id=str(batch_id) if self.exactly_once else None
+            )
+            self.batches_processed += 1
+            if applied and self.notify_dir is not None:
+                self._append_notify(batch_id)
+        except Exception:
+            # T4/S5: failed batch → DLQ, stream continues (the reference
+            # republishes to QUEUE+"_failed" and NACKs)
+            self.batches_failed += 1
+            if self.quarantine_dir is None:
+                raise
+            self._append_quarantine(ids, batch_id, reason="crunch_failed")
+
+    # -- sinks --------------------------------------------------------------
+
+    def _append_quarantine(self, ids: DataFrame, batch_id: int, reason: str) -> None:
+        (
+            ids.withColumn("batch_id", F.lit(str(batch_id)))
+            .withColumn("reason", F.lit(reason))
+            .withColumn("quarantined_at", F.current_timestamp())
+            .write.mode("append")
+            .parquet(self.quarantine_dir)
+        )
+
+    def _append_notify(self, batch_id: int) -> None:
+        # S6: "crunch_update" to the topic exchange (worker.js:184-190)
+        self.spark.createDataFrame(
+            [(self.notify_routing_key or "global", "crunch_update", str(batch_id))],
+            "routing_key string, event string, batch_id string",
+        ).write.mode("append").parquet(self.notify_dir)
+
+    # -- stream wiring ------------------------------------------------------
+
+    def start_file_stream(
+        self,
+        ids_dir: str,
+        checkpoint_dir: str,
+        *,
+        trigger_seconds: float | None = None,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = False,
+    ):
+        """Consume id files from a directory (one id per line).
+
+        ``max_files_per_trigger`` bounds in-flight work like the
+        reference's AMQP prefetch (worker.js:126-127); the processing-time
+        trigger is the LOAD_TIMEOUT analog (worker.js:30).
+        """
+        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        reader = self.spark.readStream.format("text")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.load(ids_dir)
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()

@@ -1,0 +1,239 @@
+"""Merge layer + streaming shell: incremental state ≡ one-shot batch."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cruncher_spark.merge import MergePolicy, PointTable
+from cruncher_spark.plans.crunch import (
+    GLOBAL_POINT_KEY,
+    crunch_global_delta,
+    crunch_team_fame,
+)
+from cruncher_spark.streaming import CrunchWorker
+
+
+def _now():
+    return F.lit("2026-08-10 12:00:00").cast("timestamp")
+
+
+GLOBAL_POLICIES = {"updated_at": MergePolicy.KEEP}
+
+
+def _global_point(spark, tmp_path, name="gp"):
+    return PointTable(
+        spark,
+        str(tmp_path / name),
+        key=GLOBAL_POINT_KEY,
+        policies=GLOBAL_POLICIES,
+        num_buckets=4,
+    )
+
+
+def _ids(tables, n=60):
+    return [
+        r.api_id for r in tables["participant"].select("api_id").limit(n).collect()
+    ]
+
+
+def _assert_frames_equal(a, b, drop=()):
+    if drop:
+        a, b = a.drop(*drop), b.drop(*drop)
+    assert sorted(a.columns) == sorted(b.columns)
+    b = b.select(*a.columns)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def _mysql_add_fold(deltas, key):
+    """Fold a list of delta frames the way ON DUPLICATE KEY UPDATE does:
+    per key, a measure is NULL if ANY contributing delta is NULL
+    (MySQL ``NULL + x = NULL``), else the exact sum."""
+    u = deltas[0]
+    for d in deltas[1:]:
+        u = u.unionByName(d)
+    dtypes = dict(u.dtypes)
+
+    def fold(c):
+        s = (
+            F.sum(F.col(c).cast("decimal(28,6)"))
+            if dtypes[c] == "double"
+            else F.sum(c)
+        )
+        return (
+            F.when(F.max(F.col(c).isNull().cast("int")) == 1, F.lit(None))
+            .otherwise(s)
+            .cast(dtypes[c])
+            .alias(c)
+        )
+
+    measures = [c for c in u.columns if c not in key and c != "updated_at"]
+    return u.groupBy(*key).agg(
+        F.max("updated_at").alias("updated_at"),
+        *[fold(c) for c in measures],
+    )
+
+
+def test_incremental_merge_equals_batch_fold(spark, crunch_tables, tmp_path):
+    """Three sequential merges == the ON-DUPLICATE fold of the three
+    deltas (crunch_global.sql:68-87) — including the reference's
+    NULL-poisoning add (a cell touched by an all-NULL-winner batch stays
+    NULL) and per-batch impact_score rounding."""
+    ids = _ids(crunch_tables, 60)
+    point = _global_point(spark, tmp_path)
+    deltas = [
+        crunch_global_delta(crunch_tables, ids[lo : lo + 20], now=_now())
+        for lo in range(0, 60, 20)
+    ]
+    for i, d in enumerate(deltas):
+        point.merge(d, batch_id=f"b{i}")
+    expected = _mysql_add_fold(deltas, list(GLOBAL_POINT_KEY))
+    _assert_frames_equal(point.read(), expected)
+
+
+def test_replay_is_idempotent_with_ledger(spark, crunch_tables, tmp_path):
+    ids = _ids(crunch_tables, 20)
+    delta = crunch_global_delta(crunch_tables, ids, now=_now())
+    point = _global_point(spark, tmp_path)
+    assert point.merge(delta, batch_id="b0") is True
+    before = point.read().agg(F.sum("played")).collect()[0][0]
+    assert point.merge(delta, batch_id="b0") is False  # redelivery
+    after = point.read().agg(F.sum("played")).collect()[0][0]
+    assert before == after
+
+
+def test_replay_double_counts_without_ledger(spark, crunch_tables, tmp_path):
+    """batch_id=None reproduces the reference's at-least-once semantics
+    (worker.js:167-182): a replayed batch adds twice."""
+    ids = _ids(crunch_tables, 20)
+    delta = crunch_global_delta(crunch_tables, ids, now=_now())
+    point = _global_point(spark, tmp_path)
+    point.merge(delta, batch_id=None)
+    before = point.read().agg(F.sum("played")).collect()[0][0]
+    point.merge(delta, batch_id=None)
+    assert point.read().agg(F.sum("played")).collect()[0][0] == 2 * before
+
+
+def test_max_and_overwrite_policies(spark, tmp_path):
+    point = PointTable(
+        spark,
+        str(tmp_path / "pt"),
+        key=["k"],
+        policies={"seen": MergePolicy.MAX, "fame": MergePolicy.OVERWRITE,
+                  "label": MergePolicy.KEEP},
+        num_buckets=1,
+    )
+    df1 = spark.createDataFrame(
+        [(1, 10, 5.0, "first"), (2, 20, 6.0, "first")],
+        "k int, seen int, fame double, label string",
+    )
+    df2 = spark.createDataFrame(
+        [(1, 5, 9.0, "second"), (3, 30, 7.0, "second")],
+        "k int, seen int, fame double, label string",
+    )
+    point.merge(df1, batch_id="a")
+    point.merge(df2, batch_id="b")
+    rows = {r.k: r for r in point.read().collect()}
+    assert rows[1].seen == 10 and rows[1].fame == 9.0 and rows[1].label == "first"
+    assert rows[2].seen == 20 and rows[2].fame == 6.0
+    assert rows[3].seen == 30 and rows[3].fame == 7.0
+
+
+def test_team_fame_overwrite_merge(spark, crunch_tables, tmp_path):
+    """S4: team fame is recompute-and-overwrite (crunch_team.sql:41-42)."""
+    point = PointTable(
+        spark,
+        str(tmp_path / "fame"),
+        key=["tm_id"],
+        policies={"fame": MergePolicy.OVERWRITE},
+        num_buckets=1,
+    )
+    fame1 = crunch_team_fame(crunch_tables, 1, today=F.lit("2026-08-10"))
+    point.merge(fame1, batch_id="t1-run1")
+    fame2 = crunch_team_fame(crunch_tables, 1, today=F.lit("2026-08-12"))
+    point.merge(fame2, batch_id="t1-run2")
+    expect = {r.tm_id: r.fame for r in fame2.collect()}
+    got = {r.tm_id: r.fame for r in point.read().collect() if r.tm_id in expect}
+    assert got == expect
+
+
+# --- streaming ------------------------------------------------------------
+
+
+@pytest.fixture()
+def id_stream_dir(tmp_path, crunch_tables):
+    ids = _ids(crunch_tables, 60)
+    d = tmp_path / "ids_in"
+    d.mkdir()
+    for i, lo in enumerate(range(0, 60, 20)):
+        (d / f"batch_{i}.txt").write_text("\n".join(ids[lo : lo + 20]) + "\n")
+    return d, ids
+
+
+def test_stream_accumulates_to_batch_result(
+    spark, crunch_tables, tmp_path, id_stream_dir
+):
+    d, ids = id_stream_dir
+    point = _global_point(spark, tmp_path, "gp_stream")
+    worker = CrunchWorker(
+        spark,
+        crunch_tables,
+        lambda tables, batch: crunch_global_delta(tables, batch, now=_now()),
+        point,
+        quarantine_dir=str(tmp_path / "dlq"),
+        notify_dir=str(tmp_path / "notify"),
+        notify_routing_key="global",
+    )
+    q = worker.start_file_stream(
+        str(d),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert worker.batches_processed == 3 and worker.batches_failed == 0
+    deltas = [
+        crunch_global_delta(crunch_tables, ids[lo : lo + 20], now=_now())
+        for lo in range(0, 60, 20)
+    ]
+    expected = _mysql_add_fold(deltas, list(GLOBAL_POINT_KEY))
+    _assert_frames_equal(point.read(), expected)
+    notifies = spark.read.parquet(str(tmp_path / "notify"))
+    assert notifies.count() == 3
+    assert notifies.select("routing_key").distinct().collect()[0][0] == "global"
+
+
+def test_stream_poison_and_dlq(spark, crunch_tables, tmp_path, id_stream_dir):
+    d, ids = id_stream_dir
+    (d / "batch_poison.txt").write_text("x" * 2000 + "\n")
+    point = _global_point(spark, tmp_path, "gp_poison")
+    boom = {"n": 0}
+
+    def plan(tables, batch):
+        boom["n"] += 1
+        if boom["n"] == 2:  # fail exactly one micro-batch
+            raise RuntimeError("injected crunch failure")
+        return crunch_global_delta(tables, batch, now=_now())
+
+    worker = CrunchWorker(
+        spark,
+        crunch_tables,
+        plan,
+        point,
+        quarantine_dir=str(tmp_path / "dlq2"),
+    )
+    q = worker.start_file_stream(
+        str(d),
+        str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert worker.batches_failed == 1
+    dlq = spark.read.parquet(str(tmp_path / "dlq2"))
+    reasons = {r.reason for r in dlq.select("reason").distinct().collect()}
+    assert "poison" in reasons and "crunch_failed" in reasons
+    # every poisoned message is quarantined, none crunched
+    assert dlq.where(F.col("reason") == "poison").count() == 1
