@@ -336,7 +336,7 @@ def crunch_global_delta(
             role_out.alias("role_id"),
             F.lit(1).alias("hero2_id"),   # collapsed placeholder dims
             F.lit(1).alias("role2_id"),   # (crunch_global.sql:12-13,65)
-            region_out.alias("region_id"),
+            region_out.cast("bigint").alias("region_id"),
             *[F.col(m) for m in measure_names],
         )
     )

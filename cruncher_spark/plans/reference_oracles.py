@@ -36,7 +36,7 @@ def _dsum(expr: str, alias: str) -> str:
 
 def _item_use_sums(item_ids: Sequence[int], src: str = "p_i.item_uses") -> str:
     return ",\n    ".join(
-        f"SUM(COALESCE({src}[{k}][1], 0)) AS item_{k:03d}_use" for k in item_ids
+        f"CAST(SUM(COALESCE({src}[{k}][1], 0)) AS BIGINT) AS item_{k:03d}_use" for k in item_ids
     )
 
 
@@ -65,23 +65,23 @@ SELECT
     1 AS role2_id,
     reg.id AS region_id,
     COUNT(p.id) AS played,
-    SUM(CAST(p.winner AS INT)) AS wins,
+    CAST(SUM(CAST(p.winner AS INT)) AS BIGINT) AS wins,
     {_dsum("p.trueskill_delta", "trueskill_delta")},
-    SUM(p_s.duration) AS time_spent,
-    SUM(p_s.kills) AS kills,
-    SUM(p_s.deaths) AS deaths,
-    SUM(p_s.assists) AS assists,
+    CAST(SUM(p_s.duration) AS BIGINT) AS time_spent,
+    CAST(SUM(p_s.kills) AS BIGINT) AS kills,
+    CAST(SUM(p_s.deaths) AS BIGINT) AS deaths,
+    CAST(SUM(p_s.assists) AS BIGINT) AS assists,
     {_dsum("p_s.farm", "farm")},
-    SUM(p_s.minion_kills) AS minion_kills,
-    SUM(p_s.jungle_kills) AS jungle_kills,
-    SUM(p_s.non_jungle_minion_kills) AS non_jungle_minion_kills,
-    SUM(p_s.crystal_mine_captures) AS crystal_mine_captures,
-    SUM(p_s.gold_mine_captures) AS gold_mine_captures,
-    SUM(p_s.kraken_captures) AS kraken_captures,
-    SUM(p_s.turret_captures) AS turret_captures,
-    SUM(p_s.gold) AS gold,
+    CAST(SUM(p_s.minion_kills) AS BIGINT) AS minion_kills,
+    CAST(SUM(p_s.jungle_kills) AS BIGINT) AS jungle_kills,
+    CAST(SUM(p_s.non_jungle_minion_kills) AS BIGINT) AS non_jungle_minion_kills,
+    CAST(SUM(p_s.crystal_mine_captures) AS BIGINT) AS crystal_mine_captures,
+    CAST(SUM(p_s.gold_mine_captures) AS BIGINT) AS gold_mine_captures,
+    CAST(SUM(p_s.kraken_captures) AS BIGINT) AS kraken_captures,
+    CAST(SUM(p_s.turret_captures) AS BIGINT) AS turret_captures,
+    CAST(SUM(p_s.gold) AS BIGINT) AS gold,
     CAST(ROUND(SUM(CAST(p_s.impact_score AS DECIMAL(18,2)))) AS DOUBLE) AS impact_score,
-    SUM(COALESCE(p_i.surrender, 0)) AS surrender,
+    CAST(SUM(COALESCE(p_i.surrender, 0)) AS BIGINT) AS surrender,
     {_item_use_sums(item_ids)}
 FROM participant p
 JOIN participant_stats p_s ON (p_s.participant_api_id = p.api_id)
@@ -118,22 +118,22 @@ SELECT
     gm.id AS game_mode_id,
     r.id AS role_id,
     COUNT(p.id) AS played,
-    SUM(CAST(p.winner AS INT)) AS wins,
-    SUM(p_s.duration) AS time_spent,
-    SUM(p_s.kills) AS kills,
-    SUM(p_s.deaths) AS deaths,
-    SUM(p_s.assists) AS assists,
+    CAST(SUM(CAST(p.winner AS INT)) AS BIGINT) AS wins,
+    CAST(SUM(p_s.duration) AS BIGINT) AS time_spent,
+    CAST(SUM(p_s.kills) AS BIGINT) AS kills,
+    CAST(SUM(p_s.deaths) AS BIGINT) AS deaths,
+    CAST(SUM(p_s.assists) AS BIGINT) AS assists,
     {_dsum("p_s.farm", "farm")},
-    SUM(p_s.minion_kills) AS minion_kills,
-    SUM(p_s.jungle_kills) AS jungle_kills,
-    SUM(p_s.non_jungle_minion_kills) AS non_jungle_minion_kills,
-    SUM(p_s.crystal_mine_captures) AS crystal_mine_captures,
-    SUM(p_s.gold_mine_captures) AS gold_mine_captures,
-    SUM(p_s.kraken_captures) AS kraken_captures,
-    SUM(p_s.turret_captures) AS turret_captures,
-    SUM(p_s.gold) AS gold,
+    CAST(SUM(p_s.minion_kills) AS BIGINT) AS minion_kills,
+    CAST(SUM(p_s.jungle_kills) AS BIGINT) AS jungle_kills,
+    CAST(SUM(p_s.non_jungle_minion_kills) AS BIGINT) AS non_jungle_minion_kills,
+    CAST(SUM(p_s.crystal_mine_captures) AS BIGINT) AS crystal_mine_captures,
+    CAST(SUM(p_s.gold_mine_captures) AS BIGINT) AS gold_mine_captures,
+    CAST(SUM(p_s.kraken_captures) AS BIGINT) AS kraken_captures,
+    CAST(SUM(p_s.turret_captures) AS BIGINT) AS turret_captures,
+    CAST(SUM(p_s.gold) AS BIGINT) AS gold,
     {_dsum("p_s.impact_score", "impact_score")},
-    SUM(COALESCE(p_i.surrender, 0)) AS surrender,
+    CAST(SUM(COALESCE(p_i.surrender, 0)) AS BIGINT) AS surrender,
     {_item_use_sums(item_ids)}
 FROM participant p
 JOIN participant_stats p_s ON (p_s.participant_api_id = p.api_id)
@@ -165,23 +165,23 @@ SELECT
     st.id AS skill_tier_id,
     reg.id AS region_id,
     COUNT(p.id) AS played,
-    SUM(CAST(p.winner AS INT)) AS wins,
+    CAST(SUM(CAST(p.winner AS INT)) AS BIGINT) AS wins,
     {_dsum("p.trueskill_delta", "trueskill_delta")},
-    SUM(p_s.duration) AS duration,
-    SUM(p_s.kills) AS kills,
-    SUM(p_s.deaths) AS deaths,
-    SUM(p_s.assists) AS assists,
+    CAST(SUM(p_s.duration) AS BIGINT) AS duration,
+    CAST(SUM(p_s.kills) AS BIGINT) AS kills,
+    CAST(SUM(p_s.deaths) AS BIGINT) AS deaths,
+    CAST(SUM(p_s.assists) AS BIGINT) AS assists,
     {_dsum("p_s.farm", "farm")},
-    SUM(p_s.minion_kills) AS minion_kills,
-    SUM(p_s.jungle_kills) AS jungle_kills,
-    SUM(p_s.non_jungle_minion_kills) AS non_jungle_minion_kills,
-    SUM(p_s.crystal_mine_captures) AS crystal_mine_captures,
-    SUM(p_s.gold_mine_captures) AS gold_mine_captures,
-    SUM(p_s.kraken_captures) AS kraken_captures,
-    SUM(p_s.turret_captures) AS turret_captures,
-    SUM(p_s.gold) AS gold,
+    CAST(SUM(p_s.minion_kills) AS BIGINT) AS minion_kills,
+    CAST(SUM(p_s.jungle_kills) AS BIGINT) AS jungle_kills,
+    CAST(SUM(p_s.non_jungle_minion_kills) AS BIGINT) AS non_jungle_minion_kills,
+    CAST(SUM(p_s.crystal_mine_captures) AS BIGINT) AS crystal_mine_captures,
+    CAST(SUM(p_s.gold_mine_captures) AS BIGINT) AS gold_mine_captures,
+    CAST(SUM(p_s.kraken_captures) AS BIGINT) AS kraken_captures,
+    CAST(SUM(p_s.turret_captures) AS BIGINT) AS turret_captures,
+    CAST(SUM(p_s.gold) AS BIGINT) AS gold,
     {_dsum("p_s.impact_score", "impact_score")},
-    SUM(COALESCE(p_i.surrender, 0)) AS surrender,
+    CAST(SUM(COALESCE(p_i.surrender, 0)) AS BIGINT) AS surrender,
     {_item_use_sums(item_ids)}
 FROM participant p
 JOIN participant_stats p_s ON (p_s.participant_api_id = p.api_id)
@@ -218,7 +218,7 @@ def crunch_phases_sql(batch_ids: Sequence[str], item_ids: Sequence[int]) -> str:
         if isinstance(PARTICIPANT_PHASES[c].dataType, T.DoubleType):
             sums.append(_dsum(f"ph.{c}", c))
         else:
-            sums.append(f"SUM(ph.{c}) AS {c}")
+            sums.append(f"CAST(SUM(ph.{c}) AS BIGINT) AS {c}")
     sums_sql = ",\n    ".join(sums)
     return f"""
 SELECT
@@ -233,7 +233,7 @@ SELECT
     ph.start AS phase_start,
     ph."end" AS phase_end,
     COUNT(p.id) AS played,
-    SUM(CAST(p.winner AS INT)) AS wins,
+    CAST(SUM(CAST(p.winner AS INT)) AS BIGINT) AS wins,
     0 AS time_spent,
     {sums_sql},
     {_item_use_sums(item_ids, src="ph.item_uses")}
