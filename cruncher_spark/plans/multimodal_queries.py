@@ -1,0 +1,127 @@
+"""Registry entries for the multimodal column operators.
+
+Payloads are synthesized deterministically from ``documents.text``
+(utf-8 bytes), so DuckDB can verify the full pipeline — including the
+mapInPandas fake-decode features — with plain SQL over the same view
+(``md5(text)`` == md5 of the payload bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cruncher_spark.operators.multimodal import (
+    attach_media,
+    decode_features,
+    frame_sample,
+    resize_media,
+)
+from cruncher_spark.plans.registry import register
+from cruncher_spark.sources.tables import Star
+
+#: doc_id % 3 → kind, mirrored in SQL
+KIND_CASE = (
+    "CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    " ELSE 'video' END"
+)
+
+
+@register(
+    "multimodal_metadata",
+    f"""
+    SELECT
+        {KIND_CASE} AS kind,
+        COUNT(*) AS n,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        CAST(MAX(16 + (doc_id % 24) * 16) AS INT) AS max_width,
+        CAST(
+            SUM(
+                CASE WHEN doc_id % 3 = 2
+                     THEN FLOOR(octet_length(encode(text)) / 256) + 1
+                END
+            ) AS BIGINT
+        ) AS frames_total
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="binary media columns with typed metadata, derived JVM-side "
+    "(no UDF): per-kind byte and frame accounting",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(Star(spark, sf_dir).documents)
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.sum("n_frames").alias("frames_total"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    f"""
+    SELECT
+        doc_id AS media_id,
+        {KIND_CASE} AS kind,
+        md5(text) AS f_hash,
+        CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+    FROM documents
+    """,
+    doc="mapInPandas decode/feature-extract (Arrow batches); codec step "
+    "stubbed behind real_decode=True NotImplementedError, deterministic "
+    "md5 fingerprint features verified end-to-end",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(Star(spark, sf_dir).documents)
+    return decode_features(media).select(
+        "media_id", "kind", "f_hash", "size_bytes"
+    )
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT
+        doc_id AS media_id,
+        CAST(LEAST(octet_length(encode(text)), 1024) AS INT) AS resized_bytes
+    FROM documents
+    """,
+    doc="mapInPandas resize (deterministic byte truncation standing in "
+    "for decode-scale-reencode in the same Arrow batch loop)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(Star(spark, sf_dir).documents)
+    return resize_media(media, max_bytes=1024).select(
+        "media_id", F.octet_length("payload").cast("int").alias("resized_bytes")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH positions AS (
+        SELECT
+            doc_id,
+            octet_length(encode(text)) AS nbytes,
+            unnest(range(1, octet_length(encode(text)) + 1, 1024)) AS g
+        FROM documents
+        WHERE doc_id % 3 = 2
+    )
+    SELECT
+        doc_id AS media_id,
+        CAST(COUNT(*) AS INT) AS n_frames_sampled,
+        CAST(SUM(LEAST(256, nbytes - g + 1)) AS BIGINT) AS sampled_bytes
+    FROM positions
+    GROUP BY doc_id
+    """,
+    doc="every-Nth fixed-size frame sampling, fully JVM-side "
+    "(sequence + transform + posexplode on binary; no Python)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(Star(spark, sf_dir).documents)
+    frames = frame_sample(media, frame_size=256, every_n=4)
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("int").alias("n_frames_sampled"),
+        F.sum("frame_bytes").alias("sampled_bytes"),
+    )
