@@ -1,0 +1,75 @@
+"""REST API layer: query serving + crunch-merge endpoint."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from cruncher_spark.api import CruncherAPI
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def api(spark, crunch_tables, tmp_path_factory):
+    a = CruncherAPI(
+        spark,
+        SF_DIR,
+        tables=crunch_tables,
+        state_dir=str(tmp_path_factory.mktemp("api_points")),
+    ).start()
+    yield a
+    a.stop()
+
+
+def _get(api, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{api.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(api, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{api.port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_and_catalog(api):
+    status, body = _get(api, "/health")
+    assert status == 200 and body["status"] == "ok"
+    status, body = _get(api, "/queries")
+    assert status == 200 and "crunch_global" in body and len(body) >= 30
+
+
+def test_query_endpoint_runs_registry_query(api):
+    status, body = _get(api, "/query/text_quality?limit=5")
+    assert status == 200
+    assert body["columns"] and len(body["rows"]) <= 5
+
+
+def test_query_endpoint_404(api):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/query/nope")
+    assert e.value.code == 404
+
+
+def test_crunch_endpoint_merges_batches(api):
+    ids1 = [f"p-{i}" for i in range(1, 11)]
+    ids2 = [f"p-{i}" for i in range(11, 21)]
+    s, r1 = _post(api, "/crunch/global", {"ids": ids1, "batch_id": "b1"})
+    assert s == 200 and r1["applied"] is True
+    s, r2 = _post(api, "/crunch/global", {"ids": ids2, "batch_id": "b2"})
+    assert s == 200 and r2["applied"] is True
+    assert r2["state_rows"] >= r1["state_rows"]
+    # replay is idempotent through the API too
+    s, r3 = _post(api, "/crunch/global", {"ids": ids1, "batch_id": "b1"})
+    assert s == 200 and r3["applied"] is False
+    assert r3["state_rows"] == r2["state_rows"]
+    s, point = _get(api, "/point/global?limit=3")
+    assert s == 200 and point["rows"] and "played" in point["columns"]
