@@ -31,6 +31,11 @@ def main() -> None:
     qmap = query_map()
     # warmup: touch each table + JIT the common plan shapes
     qmap["batch_delta"](spark, sf_dir).count()
+    # warm the Python workers + Arrow path (one-time ~8s fork/import cost
+    # that would otherwise be billed to the first Pandas-UDF query)
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in qmap.items():

@@ -63,18 +63,52 @@ def item_use_aggs(item_ids: Sequence[int], source: str = "item_uses") -> list[Co
     ]
 
 
+#: dim lookups happen once per process per dim table (the reference does
+#: its item lookup once at worker startup, worker.js:83-85); keyed by the
+#: DataFrame object identity so fresh tables invalidate naturally
+_DIM_CACHE: dict[tuple, object] = {}
+
+
 def activable_item_ids(tables: Tables) -> list[int]:
     """worker.js:83-85 — item dim lookup at startup."""
-    return sorted(
-        r.id for r in tables["item"].where(F.col("is_activable")).select("id").collect()
-    )
+    key = ("items", id(tables["item"]))
+    if key not in _DIM_CACHE:
+        _DIM_CACHE[key] = sorted(
+            r.id
+            for r in tables["item"].where(F.col("is_activable")).select("id").collect()
+        )
+    return _DIM_CACHE[key]
+
+
+def _series_ids(
+    tables: Tables, dimension_on: str, web_only: bool = False
+) -> list:
+    key = ("series", id(tables["series"]), dimension_on, web_only)
+    if key not in _DIM_CACHE:
+        df = tables["series"].where(F.col("dimension_on") == dimension_on)
+        if web_only:
+            df = df.where(F.col("show_in_web"))
+        _DIM_CACHE[key] = [r.id for r in df.select("id").collect()]
+    return _DIM_CACHE[key]
+
+
+def _subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
+    return [
+        tuple(n for i, n in enumerate(names) if mask & (1 << i))
+        for mask in range(1 << len(names))
+    ]
 
 
 def _dim_ids(tables: Tables, name: str, where: Column | None = None) -> dict:
-    df = tables[name]
-    if where is not None:
-        df = df.where(where)
-    return {r["name"]: r["id"] for r in df.select("name", "id").collect()}
+    key = ("ids", name, id(tables[name]), None if where is None else str(where))
+    if key not in _DIM_CACHE:
+        df = tables[name]
+        if where is not None:
+            df = df.where(where)
+        _DIM_CACHE[key] = {
+            r["name"]: r["id"] for r in df.select("name", "id").collect()
+        }
+    return _DIM_CACHE[key]
 
 
 def _batch_join(df: DataFrame, key: str, batch_ids) -> DataFrame:
@@ -136,7 +170,9 @@ def _filter_candidates(
     (crunch_global.sql:39) → union of the constant 'all' arm and the
     deduped bridge join. Adds ``filter_id``."""
     filters = tables["filter"].where(F.col("dimension_on") == dimension_on)
-    all_id = {r["name"]: r["id"] for r in filters.collect()}["all"]
+    all_id = _dim_ids(
+        tables, "filter", F.col("dimension_on") == dimension_on
+    )["all"]
     arm_all = base.withColumn("filter_id", F.lit(all_id))
     bridge = (
         tables["global_point_filters"]
@@ -234,9 +270,7 @@ def crunch_global_delta(
     # J7 build arms: 'all' always; specific only per-patch global for
     # casual/ranked (crunch_global.sql:46-50) — the gm='all' x reg='all'
     # restriction is a stratum constraint handled in the grouping sets below.
-    arm_all = base.withColumn("build_id", F.lit(build_all_id)).withColumn(
-        "_build_specific", F.lit(False)
-    )
+    arm_all = base.withColumn("build_id", F.lit(build_all_id))
     builds = tables["build"].where(
         (F.col("name") != "all") & (F.col("dimension_on") == "global")
     )
@@ -250,7 +284,6 @@ def crunch_global_delta(
             c for s in range(1, 7) for c in (f"item_{s}", f"item_{s}_count")
         ])), slot_conds)
         .drop(*[c for s in range(1, 7) for c in (f"item_{s}", f"item_{s}_count")])
-        .withColumn("_build_specific", F.lit(True))
     )
     fanned = arm_all.unionByName(arm_build)
 
@@ -276,37 +309,29 @@ def crunch_global_delta(
     fixed = ["series_id", "filter_id", "skill_tier_id", "build_id"]
     axes = ["hero_id", "role_id", "shard_id", "game_mode_id"]
 
-    def subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
-        out: list[tuple[str, ...]] = []
-        for mask in range(1 << len(names)):
-            out.append(tuple(n for i, n in enumerate(names) if mask & (1 << i)))
-        return out
+    # ONE aggregate over the full cube, then per-stratum cells filtered
+    # out afterwards. Valid because the stratum is a function of cells'
+    # own keys: series_id determines show_in_web and build_id determines
+    # build-specificity, so no cross-stratum cell merging can occur.
+    # One shuffle instead of three + union (SURVEY.md §7 watch-list).
+    agg = _grouping_sets_agg(
+        fanned.drop("show_in_web"), fixed, axes, _subsets(axes), measures
+    )
 
-    strata = [
-        # visible series, 'all' build: full cube over the four 1:1 dims
-        (
-            fanned.where(F.col("show_in_web") & ~F.col("_build_specific")),
-            subsets(["hero_id", "role_id", "shard_id", "game_mode_id"]),
-        ),
-        # daily series: game_mode rolled up (crunch_global.sql:44 gate)
-        (
-            fanned.where(~F.col("show_in_web") & ~F.col("_build_specific")),
-            subsets(["hero_id", "role_id", "shard_id"]),
-        ),
-        # specific builds live only in gm='all' x region='all' cells
-        # (crunch_global.sql:48,50)
-        (
-            fanned.where(F.col("_build_specific")),
-            subsets(["hero_id", "role_id"]),
-        ),
+    web_series = _series_ids(tables, "global", web_only=True)
+    specific_builds = [
+        i for n, i in _dim_ids(
+            tables, "build", F.col("dimension_on") == "global"
+        ).items() if n != "all"
     ]
-
-    parts = []
-    for df, sets in strata:
-        parts.append(_grouping_sets_agg(df, fixed, axes, sets, measures))
-    agg = parts[0]
-    for other in parts[1:]:
-        agg = agg.unionByName(other)
+    # daily series: game_mode only 'all' (crunch_global.sql:44 gate)
+    daily_ok = F.col("series_id").isin(web_series) | F.col("_g_game_mode_id")
+    # specific builds live only in gm='all' x region='all' cells
+    # (crunch_global.sql:48,50)
+    build_ok = ~F.col("build_id").isin(specific_builds) | (
+        F.col("_g_game_mode_id") & F.col("_g_shard_id")
+    )
+    agg = agg.where(daily_ok & build_ok)
 
     hero_out, hero_ok = _axis_id("hero_id", hero_ids["all"], list(hero_ids.values()))
     role_out, role_ok = _axis_id("role_id", role_ids["all"], list(role_ids.values()))
@@ -612,28 +637,16 @@ def crunch_phases_delta(
     fixed = ["series_id", "filter_id", "skill_tier_id", "phase_start", "phase_end"]
     axes = ["hero_id", "role_id", "shard_id", "game_mode_id"]
 
-    def subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
-        return [
-            tuple(n for i, n in enumerate(names) if mask & (1 << i))
-            for mask in range(1 << len(names))
-        ]
-
-    strata = [
-        (
-            base.where(F.col("show_in_web")),
-            subsets(["hero_id", "role_id", "shard_id", "game_mode_id"]),
-        ),
-        # daily series: game_mode rolled up (crunch_phases.sql:87 gate)
-        (
-            base.where(~F.col("show_in_web")),
-            subsets(["hero_id", "role_id", "shard_id"]),
-        ),
-    ]
-    parts = [
-        _grouping_sets_agg(df, fixed, axes, sets, measures)
-        for df, sets in strata
-    ]
-    agg = parts[0].unionByName(parts[1])
+    # single aggregate + post-filter (series_id determines show_in_web;
+    # see crunch_global_delta): daily series keep only gm-rolled cells
+    # (crunch_phases.sql:87 gate)
+    agg = _grouping_sets_agg(
+        base.drop("show_in_web"), fixed, axes, _subsets(axes), measures
+    )
+    web_series = _series_ids(tables, "global", web_only=True)
+    agg = agg.where(
+        F.col("series_id").isin(web_series) | F.col("_g_game_mode_id")
+    )
 
     hero_out, hero_ok = _axis_id("hero_id", hero_ids["all"], list(hero_ids.values()))
     role_out, role_ok = _axis_id("role_id", role_ids["all"], list(role_ids.values()))
@@ -710,27 +723,14 @@ def crunch_phases_bans_delta(
     fixed = ["series_id", "filter_id", "skill_tier_id"]
     axes = ["ban_hero_id", "shard_id", "game_mode_id"]
 
-    def subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
-        return [
-            tuple(n for i, n in enumerate(names) if mask & (1 << i))
-            for mask in range(1 << len(names))
-        ]
-
-    strata = [
-        (
-            base.where(F.col("show_in_web")),
-            subsets(["ban_hero_id", "shard_id", "game_mode_id"]),
-        ),
-        (
-            base.where(~F.col("show_in_web")),
-            subsets(["ban_hero_id", "shard_id"]),
-        ),
-    ]
-    parts = [
-        _grouping_sets_agg(df, fixed, axes, sets, measures)
-        for df, sets in strata
-    ]
-    agg = parts[0].unionByName(parts[1])
+    # single aggregate + post-filter (see crunch_global_delta)
+    agg = _grouping_sets_agg(
+        base.drop("show_in_web"), fixed, axes, _subsets(axes), measures
+    )
+    web_series = _series_ids(tables, "global", web_only=True)
+    agg = agg.where(
+        F.col("series_id").isin(web_series) | F.col("_g_game_mode_id")
+    )
 
     hero_out, hero_ok = _axis_id(
         "ban_hero_id", hero_ids["all"], list(hero_ids.values())

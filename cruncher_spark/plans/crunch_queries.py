@@ -50,13 +50,21 @@ def _with_fixture_ctes(sql: str) -> str:
     return f"WITH\n{ctes}\n{sql}"
 
 
+_TABLE_CACHE: dict[int, dict] = {}
+
+
 def _tables(spark: SparkSession):
-    return {
-        name: spark.read.schema(schema).parquet(
-            str(FIXTURES_DIR / f"{name}.parquet")
-        )
-        for name, schema in ALL_TABLES.items()
-    }
+    """One tables dict per session — stable DataFrame identities let the
+    dim-lookup cache in plans.crunch hit across the six queries."""
+    key = id(spark)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = {
+            name: spark.read.schema(schema).parquet(
+                str(FIXTURES_DIR / f"{name}.parquet")
+            )
+            for name, schema in ALL_TABLES.items()
+        }
+    return _TABLE_CACHE[key]
 
 
 def _now_col():
