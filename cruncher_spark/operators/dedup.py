@@ -135,6 +135,56 @@ def jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    doc_sh: DataFrame,
+    id_col: str,
+    min_jaccard: float,
+) -> DataFrame:
+    """Exact Jaccard pairs with PPJoin-style prefix filtering.
+
+    Theorem (prefix filtering): under any fixed global ordering of
+    shingles, two sets with J(A,B) >= tau must share an element within
+    each one's first ``|X| - ceil(tau*|X|) + 1`` elements. Candidates
+    therefore come from an equi-join on *prefix* shingles only (ordered
+    by md5 hash — a proxy for rare-first frequency ordering), then exact
+    ``array_intersect`` verification. Output identical to
+    :func:`jaccard_pairs`; join volume shrinks ~(1-tau)^2.
+
+    Scale: the prefix join is the only fat shuffle and its size is
+    tunable by tau; verification joins the narrow (id, sh) table twice
+    on already-small candidates (AQE broadcasts them).
+    """
+    hashed = doc_sh.select(
+        F.col(id_col),
+        "sh",
+        F.array_sort(
+            F.transform("sh", lambda s: portable_hash64(s))
+        ).alias("hs"),
+    )
+    prefix_n = (
+        F.size("hs") - F.ceil(F.size("hs") * F.lit(min_jaccard)) + 1
+    ).cast("int")
+    prefixes = hashed.select(
+        F.col(id_col),
+        F.size("hs").alias("n"),
+        F.explode(F.slice("hs", F.lit(1), prefix_n)).alias("h"),
+    )
+    a = prefixes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"), "h")
+    b = prefixes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"), "h")
+    # length filter: J >= tau forces tau <= |A|/|B| <= 1/tau
+    cands = (
+        a.join(b, "h")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("na") >= F.ceil(F.col("nb") * F.lit(min_jaccard)))
+            & (F.col("nb") >= F.ceil(F.col("na") * F.lit(min_jaccard)))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify_pairs(doc_sh, cands, id_col, min_jaccard)
+
+
 #: universal-hash family for MinHash: h_i(x) = (A_i * x + B_i) mod P over the
 #: base hash x = portable_hash64(shingle) mod P. One md5 per shingle total;
 #: the k permutations are cheap integer arithmetic. P < 2^31 keeps A*x+B

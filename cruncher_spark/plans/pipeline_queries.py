@@ -115,9 +115,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
+    from cruncher_spark.operators.dedup import prefix_jaccard_pairs, shingle_arrays
+
     docs = Star(spark, sf_dir).documents
-    sh = shingle_table(docs, "doc_id", "text", 3)
-    return jaccard_pairs(sh, "doc_id", min_jaccard=0.5)
+    # prefix-filtered exact join — same result set as the naive
+    # all-shared-shingle join (jaccard_pairs), ~(1-tau)^2 the volume
+    return prefix_jaccard_pairs(
+        shingle_arrays(docs, "doc_id", "text", 3), "doc_id", min_jaccard=0.5
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -466,3 +471,41 @@ def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .where(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (events: each click matched to the user's latest prior view)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT
+        l.event_id,
+        l.user_id,
+        l.ts,
+        l.value,
+        r.ts AS ts_asof,
+        r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="Backward as-of join (an operator Spark lacks): one union-sort "
+    "window pass — a single shuffle on the group key, linear per group; "
+    "checked against DuckDB's native ASOF JOIN.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.joins import asof_join
+
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, views, on="ts", by="user_id",
+                     right_cols=["ts", "value"])

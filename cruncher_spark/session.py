@@ -20,6 +20,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # coalesce small-but-CPU-heavy shuffles to many partitions, not one:
+    # sketch/join stages on compact rows are compute-bound, and the 64m
+    # default advisory size serializes them onto a single core
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # every cruncher dim is broadcast-sized; 64m keeps even a large build/item
     # dim on the broadcast path at 100 TB fact scale

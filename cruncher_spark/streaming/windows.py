@@ -1,0 +1,109 @@
+"""Stream-time operators beyond the reference's surface.
+
+The reference needs no stream windows (SURVEY.md §2.7 T6/T8: its 'series'
+are calendar intervals and its state lives in the sink), but a complete
+engine serves event streams too:
+
+- :func:`windowed_event_counts` — event-time tumbling windows with a
+  watermark: the canonical late-data-tolerant streaming aggregate
+  (state bounded by the watermark horizon, emitted on watermark passage
+  in append mode).
+- :func:`sessionize` — gap-based session windows per key via
+  ``applyInPandasWithState``: the custom-stateful-operator escape hatch
+  for semantics tumbling/sliding windows can't express. State is one
+  small tuple per key (micros + counters), so state size is O(active
+  keys), not O(events); per-batch work is one Arrow exchange per key
+  group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp,"
+    " n_events int, total_value double"
+)
+#: timestamps as epoch micros — keep state columns to plain longs/doubles
+SESSION_STATE_SCHEMA = "session_start long, last_ts long, n int, total double"
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time counts with late-data watermark (T6/T8
+    upgrade). In append mode a window emits exactly once, when the
+    watermark passes its end — replays and out-of-order arrivals inside
+    the lateness horizon are absorbed by state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user via ``applyInPandasWithState``.
+
+    A session closes when the next event of the same user arrives more
+    than ``gap_minutes`` after the previous one; closed sessions are
+    emitted immediately, the open tail is carried in state across
+    micro-batches. (The trailing session of a finite stream stays open —
+    flush policy is the caller's, as with any session store.)
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                us = int(ts.value // 1000)  # pandas ns → epoch micros
+                if start is None:
+                    start, last, n, total = us, us, 1, float(value)
+                elif us - last > gap_us:
+                    closed.append((user_id, start, last, n, total))
+                    start, last, n, total = us, us, 1, float(value)
+                else:
+                    last, n, total = us, n + 1, total + float(value)
+        state.update((start, last, n, total))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "total_value",
+                ],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -52,6 +52,7 @@ class CrunchWorker:
         notify_dir: str | None = None,
         notify_routing_key: str | None = None,
         exactly_once: bool = True,
+        slowmode_seconds: float = 0.0,
     ):
         self.spark = spark
         self.tables = tables
@@ -63,12 +64,18 @@ class CrunchWorker:
         self.notify_dir = notify_dir
         self.notify_routing_key = notify_routing_key
         self.exactly_once = exactly_once
+        self.slowmode_seconds = slowmode_seconds
         self.batches_processed = 0
         self.batches_failed = 0
 
     # -- one micro-batch (the foreachBatch body) ----------------------------
 
     def process_batch(self, ids_df: DataFrame, batch_id: int) -> None:
+        # T3 SLOWMODE throttle (worker.js:31-32,162-165)
+        if self.slowmode_seconds > 0:
+            import time
+
+            time.sleep(self.slowmode_seconds)
         ids = ids_df.select(F.col(ids_df.columns[0]).alias("value"))
 
         # S7 poison-message guard (worker.js:129-137)

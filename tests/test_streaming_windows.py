@@ -1,0 +1,97 @@
+"""Stream-time operators: watermark windows + stateful sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from cruncher_spark.streaming.windows import sessionize, windowed_event_counts
+
+EVENTS_SCHEMA = "user_id long, ts timestamp, event_type string, value double"
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture()
+def event_batches(spark, tmp_path):
+    """Two event files = two micro-batches (maxFilesPerTrigger=1).
+
+    user 1: events at 0,10,20 min (batch1) then 100,110 (batch2) — the
+    30-min gap closes session A inside batch2.
+    user 2: events at 0 (batch1) and 5 (batch2) — one still-open session.
+    """
+    b1 = [(1, _ts(0), "click", 1.0), (1, _ts(10), "view", 2.0),
+          (1, _ts(20), "click", 3.0), (2, _ts(0), "view", 5.0)]
+    b2 = [(1, _ts(100), "click", 4.0), (1, _ts(110), "view", 1.5),
+          (2, _ts(5), "click", 7.0)]
+    d = tmp_path / "events_in"
+    d.mkdir()
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+    return d
+
+
+def _run_stream(spark, src_df, sink_name, ckpt):
+    q = (
+        src_df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {sink_name}")
+
+
+def test_sessionize_closes_on_gap_and_carries_state(
+    spark, tmp_path, event_batches
+):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{event_batches}/*.parquet")
+    )
+    out = _run_stream(
+        spark, sessionize(stream, gap_minutes=30), "sessions", tmp_path / "ck1"
+    )
+    rows = out.collect()
+    # exactly one closed session: user 1's batch-1 events, closed by the
+    # 80-min gap straddling the batch boundary (state carried across)
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.user_id == 1 and s.n_events == 3
+    assert s.session_start == _ts(0) and s.session_end == _ts(20)
+    assert s.total_value == pytest.approx(6.0)
+
+
+def test_windowed_counts_emit_on_watermark(spark, tmp_path, event_batches):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{event_batches}/*.parquet")
+    )
+    out = _run_stream(
+        spark,
+        windowed_event_counts(stream, window="1 hour", watermark="10 minutes"),
+        "wincounts",
+        tmp_path / "ck2",
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in out.collect()
+    }
+    # after batch 2 the watermark (max ts 01:50 - 10 min) passed the
+    # 00:00-01:00 window, so exactly that window was emitted, per type
+    assert (T0, "click") in got and (T0, "view") in got
+    assert got[(T0, "click")][0] == 3  # users 1+1+2 clicks in hour 0
+    assert got[(T0, "view")][0] == 2
+    # the 01:00 window is still open (watermark 01:40 < 02:00)
+    assert all(ws == T0 for ws, _ in got)
