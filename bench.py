@@ -43,6 +43,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.count()  # forces full execution of the aggregate/join plan
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators persist() reused subtrees; drop them so no query is
+        # billed for a predecessor's cache memory / GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -105,6 +105,7 @@ def jaccard_pairs(
     sizes joined in (AQE broadcasts the small sizes table). Only viable when
     per-shingle document frequency is bounded; use MinHash+LSH at scale.
     """
+    shingles = shingles.persist()  # feeds sizes + both join sides
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -144,30 +145,41 @@ def prefix_jaccard_pairs(
 
     Theorem (prefix filtering): under any fixed global ordering of
     shingles, two sets with J(A,B) >= tau must share an element within
-    each one's first ``|X| - ceil(tau*|X|) + 1`` elements. Candidates
-    therefore come from an equi-join on *prefix* shingles only (ordered
-    by md5 hash — a proxy for rare-first frequency ordering), then exact
-    ``array_intersect`` verification. Output identical to
-    :func:`jaccard_pairs`; join volume shrinks ~(1-tau)^2.
+    each one's first ``|X| - ceil(tau*|X|) + 1`` elements. The ordering
+    is free to choose, and it decides everything: ordering by ascending
+    global document frequency puts the RAREST shingles in every prefix,
+    so prefix-join buckets are df-bounded-tiny (a hash ordering, by
+    contrast, leaves stopword shingles in prefixes and measured ~1700x
+    more candidates than true pairs). Candidates from the rare-first
+    prefix equi-join + length filter are then exactly verified with
+    ``array_intersect``. Output identical to :func:`jaccard_pairs`.
 
-    Scale: the prefix join is the only fat shuffle and its size is
-    tunable by tau; verification joins the narrow (id, sh) table twice
-    on already-small candidates (AQE broadcasts them).
+    Scale: one df aggregate (map-side combinable), one join to attach
+    df, one per-doc sort, then a self-join whose buckets are capped by
+    the df of rare shingles — each stage is a single bounded shuffle.
+    ``doc_sh`` and the ordered-prefix table are persisted because each
+    feeds two plan branches (a/b sides, candidate + verify); without the
+    persist Spark recomputes the shingling subtree four times.
     """
-    hashed = doc_sh.select(
+    doc_sh = doc_sh.persist()
+    exploded = doc_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keyed = exploded.join(dfreq, "shingle").select(
         F.col(id_col),
-        "sh",
-        F.array_sort(
-            F.transform("sh", lambda s: portable_hash64(s))
-        ).alias("hs"),
+        F.struct(
+            F.col("df"), portable_hash64("shingle").alias("h")
+        ).alias("key"),
     )
+    ordered = keyed.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("key")).alias("ks")
+    ).persist()
     prefix_n = (
-        F.size("hs") - F.ceil(F.size("hs") * F.lit(min_jaccard)) + 1
+        F.size("ks") - F.ceil(F.size("ks") * F.lit(min_jaccard)) + 1
     ).cast("int")
-    prefixes = hashed.select(
+    prefixes = ordered.select(
         F.col(id_col),
-        F.size("hs").alias("n"),
-        F.explode(F.slice("hs", F.lit(1), prefix_n)).alias("h"),
+        F.size("ks").alias("n"),
+        F.explode(F.slice("ks", F.lit(1), prefix_n)).alias("h"),
     )
     a = prefixes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"), "h")
     b = prefixes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"), "h")
@@ -270,10 +282,13 @@ def minhash_dedup_pairs(
 
     Output: (id_a, id_b, jaccard) for verified near-duplicates. Plan shape:
     one narrow scan produces (id, sh, signature); the only shuffles are the
-    band self-join and the two candidate-verification joins.
+    band self-join and the two candidate-verification joins. ``doc_sh``
+    (feeds signatures + both verify sides) and ``sigs`` (feeds both sides
+    of the band self-join) are persisted — they are O(docs) narrow tables,
+    and without the persist every branch recomputes the shingling scan.
     """
-    doc_sh = shingle_arrays(df, id_col, text_col, shingle_n)
-    sigs = minhash_signatures(doc_sh, id_col, num_hashes)
+    doc_sh = shingle_arrays(df, id_col, text_col, shingle_n).persist()
+    sigs = minhash_signatures(doc_sh, id_col, num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
     return jaccard_verify_pairs(doc_sh, cands, id_col, min_jaccard)
 
@@ -325,9 +340,12 @@ def simhash_dup_pairs(
     (pigeonhole: hamming <= n_bands-1 guarantees a matching band), join on
     matching chunks, verify with exact popcount hamming.
 
-    Output: (id_a, id_b, hamming).
+    Output: (id_a, id_b, hamming). ``sims`` feeds both sides of the band
+    self-join; persisting it keeps the shingle+signature scan single-pass.
     """
-    sims = simhash(shingle_arrays(df, id_col, text_col, shingle_n), id_col, bits)
+    sims = simhash(
+        shingle_arrays(df, id_col, text_col, shingle_n), id_col, bits
+    ).persist()
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     chunks = F.array(

@@ -30,12 +30,12 @@ from cruncher_spark.operators.dedup import (
 from cruncher_spark.operators.similarity import (
     _hyperplane_signs,
     ann_lsh_topk,
-    brute_force_topk,
+    score_topk_arrow,
     threshold_neighbor_counts,
 )
 from cruncher_spark.plans.registry import register
 from cruncher_spark.session import tune
-from cruncher_spark.sources import Star
+from cruncher_spark.sources import Star, fan_out
 
 EMB_DIM = 64
 
@@ -87,7 +87,7 @@ def _oracle_hash(expr: str, salt: str = "") -> str:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    docs = Star(spark, sf_dir).documents
+    docs = fan_out(Star(spark, sf_dir).documents)
     survivors = exact_dedup_survivors(docs, "doc_id", "text")
     return (
         survivors.join(docs.select("doc_id", "lang"), "doc_id")
@@ -117,7 +117,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from cruncher_spark.operators.dedup import prefix_jaccard_pairs, shingle_arrays
 
-    docs = Star(spark, sf_dir).documents
+    docs = fan_out(Star(spark, sf_dir).documents)
     # prefix-filtered exact join — same result set as the naive
     # all-shared-shingle join (jaccard_pairs), ~(1-tau)^2 the volume
     return prefix_jaccard_pairs(
@@ -178,7 +178,7 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    docs = Star(spark, sf_dir).documents
+    docs = fan_out(Star(spark, sf_dir).documents)
     return minhash_dedup_pairs(
         docs, "doc_id", "text",
         min_jaccard=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
@@ -229,7 +229,7 @@ _SIM_CHUNKS = "\n  UNION ALL ".join(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    docs = Star(spark, sf_dir).documents
+    docs = fan_out(Star(spark, sf_dir).documents)
     return simhash_dup_pairs(
         docs, "doc_id", "text",
         max_hamming=_MAX_HAMMING, bits=_SIM_BITS, n_bands=_SIM_BANDS,
@@ -268,9 +268,9 @@ _Q_FILTER = "vec_id % 20 = 0"
 )
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    emb = Star(spark, sf_dir).embeddings
+    emb = fan_out(Star(spark, sf_dir).embeddings)
     queries = emb.filter((F.col("vec_id") % 20) == 0)
-    out = brute_force_topk(emb, queries, k=3)
+    out = score_topk_arrow(emb, queries, k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -294,7 +294,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    emb = Star(spark, sf_dir).embeddings
+    emb = fan_out(Star(spark, sf_dir).embeddings)
     queries = emb.filter((F.col("vec_id") % 20) == 0)
     return threshold_neighbor_counts(emb, queries, min_cos=0.8)
 
@@ -332,9 +332,60 @@ _BUCKET_SQL = " + ".join(
 )
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    emb = Star(spark, sf_dir).embeddings
+    emb = fan_out(Star(spark, sf_dir).embeddings)
     queries = emb.filter((F.col("vec_id") % 20) == 0)
     out = ann_lsh_topk(emb, queries, dim=EMB_DIM, k=3, n_planes=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_IVF_K, _IVF_PROBE = 16, 2
+_CCOS = (
+    "round(list_dot_product(v, cv)"
+    " / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_K}),
+    cellscore AS (SELECT e.vec_id, cid, {_CCOS} AS ccos FROM e CROSS JOIN cent),
+    rcells AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+      FROM cellscore
+    ),
+    q AS (SELECT query_id, cell, v AS qv FROM
+            (SELECT vec_id AS query_id, cid AS cell FROM rcells
+             WHERE crn <= {_IVF_PROBE} AND {_Q_FILTER}) p
+          JOIN e ON e.vec_id = p.query_id),
+    c AS (SELECT a.vec_id AS neighbor_id, cell, v AS cv FROM
+            (SELECT vec_id, cid AS cell FROM rcells WHERE crn = 1) a
+          JOIN e ON e.vec_id = a.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos
+      FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id
+    ),
+    ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
+    """,
+    doc="ANN scale path #2: IVF-flat — map-side coarse-cell assignment "
+    "(16 inlined centroids, zero shuffle), queries probe their 2 nearest "
+    "cells, scoring equi-joins on cell (~N*probe/K pairs). The cell "
+    "column doubles as a partition key at scale.",
+)
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import ann_ivf_topk
+
+    tune(spark)
+    emb = fan_out(Star(spark, sf_dir).embeddings)
+    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    out = ann_ivf_topk(
+        emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=3
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -374,7 +425,7 @@ _STOP_SQL = "['the', 'a', 'of']"
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    docs = Star(spark, sf_dir).documents
+    docs = fan_out(Star(spark, sf_dir).documents)
     w = F.split(F.trim(F.col("text")), " ")
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     per_doc = docs.select(
@@ -426,7 +477,7 @@ _DICT_VALUES = ", ".join(f"('{w}', '{lang}', {wt})" for w, lang, wt in LANG_DICT
 )
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    docs = Star(spark, sf_dir).documents
+    docs = fan_out(Star(spark, sf_dir).documents)
     dict_df = spark.createDataFrame(LANG_DICT, "word string, cand_lang string, weight int")
     tokens = docs.select(
         "doc_id",
@@ -464,7 +515,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    docs = Star(spark, sf_dir).documents
+    docs = fan_out(Star(spark, sf_dir).documents)
     return (
         docs.select("doc_id", doc_fingerprint("text").alias("fp"))
         .groupBy("fp")

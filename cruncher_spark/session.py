@@ -12,6 +12,14 @@ from __future__ import annotations
 
 import os
 
+# Pin BLAS/OpenMP pools to one thread BEFORE numpy loads anywhere (driver or
+# the Python workers forked under it). Every worker otherwise spins up a
+# cores-wide BLAS pool; with 32 workers x 32 threads the resulting thrash
+# measured 5-10x slowdowns on Arrow-UDF stages. Executor-side parallelism
+# comes from Spark partitions, not intra-op threads.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 #: SQL confs that are safe (and wanted) on any session, including one the
@@ -63,6 +71,10 @@ def get_spark(app_name: str = "cruncher-spark") -> SparkSession:
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # cluster deployments: pin worker-side BLAS pools the same way the
+    # module-level setdefault does for local mode
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{v}", "1")
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

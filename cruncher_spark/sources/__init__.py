@@ -1,3 +1,3 @@
-from cruncher_spark.sources.tables import Star, load_table
+from cruncher_spark.sources.tables import Star, fan_out, load_table
 
-__all__ = ["Star", "load_table"]
+__all__ = ["Star", "fan_out", "load_table"]

@@ -42,6 +42,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow scan before CPU-heavy per-row work.
+
+    A single small parquet file arrives as ONE input partition, serializing
+    shingling/regex/UDF work onto one core (measured 20x slowdown in the
+    dedup family). At production scale a 100 TB table arrives in thousands
+    of splits and callers skip this; for operator pipelines whose first
+    stage is expensive per-row compute, one extra round-robin exchange of
+    the narrow input buys full-cluster parallelism.
+    """
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 class Star:
     """Lazy handle over one scale-factor directory of the test star schema.
 
