@@ -285,7 +285,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q, c WHERE query_id <> neighbor_id
     )
     SELECT query_id,
-           SUM(CAST(cos >= 0.8 AS INT)) AS n_near,
+           CAST(SUM(CAST(cos >= 0.8 AS INT)) AS BIGINT) AS n_near,
            MAX(cos) AS max_cos
     FROM scored GROUP BY query_id
     """,
@@ -411,10 +411,10 @@ _STOP_SQL = "['the', 'a', 'of']"
     )
     SELECT lang,
       COUNT(*) AS n_docs,
-      SUM(n_tokens) AS sum_tokens,
-      SUM(n_words) AS sum_words,
-      SUM(n_chars) AS sum_chars,
-      SUM(n_stop) AS sum_stopwords,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(SUM(n_words) AS BIGINT) AS sum_words,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(n_stop) AS BIGINT) AS sum_stopwords,
       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_words) AS chars_per_word,
       CAST(SUM(n_stop) AS DOUBLE) / SUM(n_words) AS stopword_ratio
     FROM per_doc GROUP BY lang

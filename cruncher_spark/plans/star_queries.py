@@ -69,7 +69,7 @@ _ROLLUP_LABELS, _ROLLUP_GROUP_BY = grouping_sets_sql(_ROLLUP_DIMS)
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       CAST(SUM({_ORACLE_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-      SUM(CAST(l_discount > 0.05 AS INT)) AS discounted,
+      CAST(SUM(CAST(l_discount > 0.05 AS INT)) AS BIGINT) AS discounted,
       CAST(ROUND(SUM(CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_tax_rounded
     FROM (SELECT *, CAST(year(l_shipdate) AS INT) AS ship_year FROM lineitem)
     {_ROLLUP_GROUP_BY}
@@ -264,7 +264,7 @@ _PATTERN_VALUES = ", ".join(f"('{n}', '{p}')" for n, p in _PATTERN_ROWS)
     oracle=f"""
     SELECT m.pattern_name,
       COUNT(*) AS n_docs,
-      SUM(d.n_chars) AS sum_chars
+      CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
     FROM documents d
     JOIN (VALUES {_PATTERN_VALUES}) m(pattern_name, pattern)
       ON regexp_matches(d.text, m.pattern)
