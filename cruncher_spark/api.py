@@ -53,7 +53,9 @@ CRUNCH_VIEWS = {
     "phases": (
         crunch_plans.crunch_phases_delta,
         crunch_plans.PHASE_POINT_KEY,
-        {"updated_at": MergePolicy.KEEP},
+        # crunch_phases.sql's ON DUPLICATE list (lines 95-156) omits `wins`
+        # (unlike every other view) — first insert wins for that column too.
+        {"updated_at": MergePolicy.KEEP, "wins": MergePolicy.KEEP},
     ),
     "phases_bans": (
         crunch_plans.crunch_phases_bans_delta,

@@ -10,29 +10,40 @@ merge policies seen in the reference:
 - ``max``        — ``CASE WHEN VALUES(c) > c THEN VALUES(c) ELSE c END``
                    (A12, crunch_player.sql:49; NULL comparison keeps old)
 - ``overwrite``  — ``UPDATE … SET c = src.c`` (S4, crunch_team.sql:41-42)
+- ``keep``       — column absent from the ON DUPLICATE list — first
+                   insert wins (updated_at in crunch_global.sql:68-87;
+                   wins in crunch_phases.sql:95-156)
 
-On a production deployment the natural sink is a Delta/Iceberg table and
-one ``MERGE INTO tgt USING src ON <key> WHEN MATCHED UPDATE SET
-m = tgt.m + src.m WHEN NOT MATCHED INSERT *`` per batch — O(changed
-files) with data skipping on the merge key. This module implements the
-same semantics dependency-free over plain parquet: full-outer join of
-state with the (already key-unique) delta, rewrite, atomic directory
-swap. The join co-partitions on the merge key; state files are written
-bucketed by key hash so successive merges shuffle only the delta.
+Cost model — O(delta), like the reference's ``ON DUPLICATE KEY UPDATE``:
+state is laid out in ``num_buckets`` hash buckets of the merge key
+(``__bucket=N`` parquet partitions). A merge reads and rewrites ONLY the
+buckets the delta's keys hash into; every untouched bucket is hard-linked
+into the new state version (zero data movement, byte-identical files).
+On a production deployment the same role is played by Delta/Iceberg
+``MERGE INTO`` with data skipping on the merge key; this module gives the
+same semantics and the same O(delta·state/num_buckets) merge cost
+dependency-free over plain parquet.
+
+Commit protocol — one atomic step: each merge writes a complete new
+version directory ``v_NNNNNN/`` holding data buckets *and* the
+``_applied_batches`` ledger, then atomically renames ``CURRENT.tmp`` over
+the ``CURRENT`` pointer file. A crash anywhere before that rename leaves
+the previous version fully intact (orphan version dirs are garbage-
+collected on the next merge); there is no window where the batch is
+applied but unrecorded.
 
 Exactly-once: the reference ACKs after commit and therefore double-counts
 replayed batches (worker.js:167-182, at-least-once). Here every applied
-``batch_id`` is recorded in a ``_applied_batches`` ledger inside the same
-swap, so replays are idempotent (T4's deliberate upgrade; the reference's
+``batch_id`` is recorded in the ledger committed by the same pointer
+flip, so replays are idempotent (T4's deliberate upgrade; the reference's
 at-least-once behavior is available by passing ``batch_id=None``).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
-import tempfile
-import time
 from collections.abc import Mapping, Sequence
 from enum import Enum
 from pathlib import Path
@@ -40,13 +51,17 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# NB: must not start with "_" or "." — Hadoop file listing hides such paths,
+# which would make the partition dirs invisible to subsequent reads.
+_BUCKET_COL = "pt_bucket"
+
 
 class MergePolicy(str, Enum):
     ADD = "add"
     MAX = "max"
     OVERWRITE = "overwrite"
     #: column absent from the ON DUPLICATE list — first insert wins
-    #: (updated_at in crunch_global.sql:68-87 et al.)
+    #: (updated_at in crunch_global.sql:68-87; wins in crunch_phases.sql)
     KEEP = "keep"
 
 
@@ -56,6 +71,9 @@ class PointTable:
     ``key`` is the grouping-key tuple (merge identity — the reference's
     PRIMARY KEY on the point table); ``policies`` maps measure column →
     MergePolicy, defaulting to ADD (the dominant reference policy).
+    ``num_buckets`` fixes the hash-bucket layout at table creation; an
+    existing table's persisted bucket count always wins so the key→bucket
+    mapping stays stable for the table's lifetime.
     """
 
     def __init__(
@@ -72,31 +90,49 @@ class PointTable:
         self.policies = dict(policies or {})
         self.num_buckets = num_buckets
 
-    # -- state access -------------------------------------------------------
+    # -- versioned state access ---------------------------------------------
 
     @property
-    def _data_dir(self) -> Path:
-        return self.path / "data"
+    def _pointer(self) -> Path:
+        return self.path / "CURRENT"
 
-    @property
-    def _ledger_dir(self) -> Path:
-        return self.path / "_applied_batches"
+    def _current_version(self) -> Path | None:
+        if not self._pointer.exists():
+            return None
+        name = self._pointer.read_text().strip()
+        vdir = self.path / name
+        return vdir if vdir.exists() else None
 
     def exists(self) -> bool:
-        return self._data_dir.exists()
+        return self._current_version() is not None
+
+    def _data_dir(self) -> Path:
+        cur = self._current_version()
+        if cur is None:
+            raise FileNotFoundError(f"point table not initialized: {self.path}")
+        return cur / "data"
 
     def read(self) -> DataFrame:
-        if not self.exists():
-            raise FileNotFoundError(f"point table not initialized: {self.path}")
-        return self.spark.read.parquet(str(self._data_dir))
+        return self.spark.read.parquet(str(self._data_dir())).drop(_BUCKET_COL)
 
     def applied_batches(self) -> set[str]:
-        if not self._ledger_dir.exists():
+        cur = self._current_version()
+        if cur is None or not (cur / "ledger").exists():
             return set()
-        df = self.spark.read.parquet(str(self._ledger_dir))
+        df = self.spark.read.parquet(str(cur / "ledger"))
         return {r.batch_id for r in df.select("batch_id").collect()}
 
+    def _meta(self, cur: Path) -> dict:
+        p = cur / "meta.json"
+        if p.exists():
+            return json.loads(p.read_text())
+        return {"num_buckets": self.num_buckets}
+
     # -- merge --------------------------------------------------------------
+
+    def _bucket_expr(self) -> F.Column:
+        # Murmur3 of the full key tuple; stable across sessions, null-safe.
+        return F.pmod(F.hash(*[F.col(k) for k in self.key]), F.lit(self.num_buckets))
 
     def merge(self, delta: DataFrame, batch_id: str | None = None) -> bool:
         """Fold one delta (key-unique rows) into the table.
@@ -104,16 +140,51 @@ class PointTable:
         Returns False (no-op) if ``batch_id`` was already applied —
         idempotent replay. With ``batch_id=None`` replays double-count,
         which is the reference's at-least-once behavior.
+
+        Cost: reads/rewrites only the hash buckets containing the delta's
+        keys; all other buckets are hard-linked into the new version.
         """
         if batch_id is not None and batch_id in self.applied_batches():
             return False
 
-        if not self.exists():
-            merged = delta
-        else:
-            merged = self._merge_frames(self.read(), delta)
+        cur = self._current_version()
+        if cur is not None:
+            self.num_buckets = int(self._meta(cur)["num_buckets"])
 
-        self._swap_in(merged, batch_id)
+        # The delta is consumed twice (bucket discovery + merge write);
+        # persist so the upstream crunch plan runs once per batch.
+        delta = delta.persist()
+        try:
+            return self._merge_persisted(delta, cur, batch_id)
+        finally:
+            delta.unpersist()
+
+    def _merge_persisted(
+        self, delta: DataFrame, cur: Path | None, batch_id: str | None
+    ) -> bool:
+        # which buckets does this delta touch?
+        affected = sorted(
+            r[0]
+            for r in delta.select(self._bucket_expr().alias("b")).distinct().collect()
+        )
+
+        merged = None
+        if affected:
+            if cur is None:
+                merged = delta
+            else:
+                existing = [
+                    cur / "data" / f"{_BUCKET_COL}={b}"
+                    for b in affected
+                    if (cur / "data" / f"{_BUCKET_COL}={b}").exists()
+                ]
+                if existing:
+                    tgt = self.spark.read.parquet(*[str(p) for p in existing])
+                    merged = self._merge_frames(tgt, delta)
+                else:
+                    merged = delta
+
+        self._commit(cur, merged, affected, batch_id)
         return True
 
     def _merge_frames(self, tgt: DataFrame, src: DataFrame) -> DataFrame:
@@ -160,36 +231,66 @@ class PointTable:
             )
         return joined.select(out)
 
-    def _swap_in(self, merged: DataFrame, batch_id: str | None) -> None:
-        """Write the new state beside the old, then atomically swap dirs.
+    # -- commit -------------------------------------------------------------
 
-        Parquet has no transaction log; the rename is the commit point
-        (Delta's _delta_log plays this role at scale — see module doc).
+    def _commit(
+        self,
+        cur: Path | None,
+        merged: DataFrame | None,
+        affected: list[int],
+        batch_id: str | None,
+    ) -> None:
+        """Write a complete new version dir, then flip CURRENT atomically.
+
+        The new version holds rewritten affected buckets, hard links to
+        every untouched bucket file of the previous version, and the
+        updated batch ledger. The single ``os.replace`` of the pointer
+        file is the lone commit point for data + ledger together.
         """
         self.path.mkdir(parents=True, exist_ok=True)
-        tmp = Path(
-            tempfile.mkdtemp(prefix="_staging_", dir=str(self.path))
-        )
-        (
-            merged.repartition(self.num_buckets, *[F.col(k) for k in self.key])
-            .write.mode("overwrite")
-            .parquet(str(tmp / "data"))
-        )
-        if batch_id is not None:
-            ledger = self.applied_batches() | {batch_id}
+        cur_n = int(cur.name.split("_")[1]) if cur is not None else 0
+        new = self.path / f"v_{cur_n + 1:06d}"
+        if new.exists():  # leftover from a crashed earlier attempt
+            shutil.rmtree(new)
+        (new / "data").mkdir(parents=True)
+
+        if merged is not None:
+            (
+                merged.withColumn(_BUCKET_COL, self._bucket_expr())
+                # one shuffle partition per affected bucket → one coherent
+                # file per bucket dir (at cluster scale raise this factor)
+                .repartition(max(len(affected), 1), F.col(_BUCKET_COL))
+                .write.mode("append")
+                .partitionBy(_BUCKET_COL)
+                .parquet(str(new / "data"))
+            )
+        if cur is not None:  # hard-link untouched buckets: zero data movement
+            touched = {f"{_BUCKET_COL}={b}" for b in affected}
+            for bdir in sorted((cur / "data").glob(f"{_BUCKET_COL}=*")):
+                if bdir.name in touched:
+                    continue
+                dst = new / "data" / bdir.name
+                dst.mkdir(parents=True, exist_ok=True)
+                for f_ in bdir.iterdir():
+                    if f_.is_file():
+                        os.link(f_, dst / f_.name)
+
+        if batch_id is not None or (cur is not None and (cur / "ledger").exists()):
+            ledger = self.applied_batches() | ({batch_id} if batch_id else set())
             self.spark.createDataFrame(
                 [(b,) for b in sorted(ledger)], "batch_id string"
-            ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "ledger"))
+            ).coalesce(1).write.mode("overwrite").parquet(str(new / "ledger"))
 
-        old = Path(str(self._data_dir) + f".old.{int(time.time() * 1e6)}")
-        if self._data_dir.exists():
-            os.rename(self._data_dir, old)
-        os.rename(tmp / "data", self._data_dir)
-        if batch_id is not None:
-            old_ledger = Path(str(self._ledger_dir) + ".old")
-            if self._ledger_dir.exists():
-                os.rename(self._ledger_dir, old_ledger)
-            os.rename(tmp / "ledger", self._ledger_dir)
-            shutil.rmtree(old_ledger, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        (new / "meta.json").write_text(
+            json.dumps({"num_buckets": self.num_buckets, "key": self.key})
+        )
+
+        tmp_ptr = self.path / f"CURRENT.tmp.{new.name}"
+        tmp_ptr.write_text(new.name)
+        os.replace(tmp_ptr, self._pointer)  # ← the commit point
+
+        # GC: everything not referenced by CURRENT (old versions, orphans
+        # from crashes before their pointer flip) is garbage.
+        for v in self.path.glob("v_*"):
+            if v.name != new.name:
+                shutil.rmtree(v, ignore_errors=True)

@@ -29,6 +29,7 @@ self-join on match key); every dimension access is a broadcast.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -64,32 +65,57 @@ def item_use_aggs(item_ids: Sequence[int], source: str = "item_uses") -> list[Co
 
 
 #: dim lookups happen once per process per dim table (the reference does
-#: its item lookup once at worker startup, worker.js:83-85); keyed by the
-#: DataFrame object identity so fresh tables invalidate naturally
+#: its item lookup once at worker startup, worker.js:83-85). Entries are
+#: keyed by the DataFrame's id() BUT tracked via weakref: when a dim table
+#: is garbage-collected its entries are evicted, so a recycled CPython
+#: address can never serve a dead table's cached ids, and the cache stays
+#: bounded (round-1 ADVICE).
 _DIM_CACHE: dict[tuple, object] = {}
+_DIM_REFS: dict[int, "weakref.ref"] = {}
+
+
+def _evict_dim(did: int) -> None:
+    _DIM_REFS.pop(did, None)
+    for k in [k for k in _DIM_CACHE if k[-1] == did]:
+        _DIM_CACHE.pop(k, None)
+
+
+def _dim_cached(df: DataFrame, key: tuple, compute):
+    did = id(df)
+    ref = _DIM_REFS.get(did)
+    if ref is None or ref() is not df:
+        _evict_dim(did)  # fresh object (or recycled address): start clean
+        _DIM_REFS[did] = weakref.ref(df, lambda _, d=did: _evict_dim(d))
+    full = key + (did,)
+    if full not in _DIM_CACHE:
+        _DIM_CACHE[full] = compute()
+    return _DIM_CACHE[full]
 
 
 def activable_item_ids(tables: Tables) -> list[int]:
     """worker.js:83-85 — item dim lookup at startup."""
-    key = ("items", id(tables["item"]))
-    if key not in _DIM_CACHE:
-        _DIM_CACHE[key] = sorted(
+    return _dim_cached(
+        tables["item"],
+        ("items",),
+        lambda: sorted(
             r.id
             for r in tables["item"].where(F.col("is_activable")).select("id").collect()
-        )
-    return _DIM_CACHE[key]
+        ),
+    )
 
 
 def _series_ids(
     tables: Tables, dimension_on: str, web_only: bool = False
 ) -> list:
-    key = ("series", id(tables["series"]), dimension_on, web_only)
-    if key not in _DIM_CACHE:
+    def compute():
         df = tables["series"].where(F.col("dimension_on") == dimension_on)
         if web_only:
             df = df.where(F.col("show_in_web"))
-        _DIM_CACHE[key] = [r.id for r in df.select("id").collect()]
-    return _DIM_CACHE[key]
+        return [r.id for r in df.select("id").collect()]
+
+    return _dim_cached(
+        tables["series"], ("series", dimension_on, web_only), compute
+    )
 
 
 def _subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
@@ -100,15 +126,17 @@ def _subsets(names: Sequence[str]) -> list[tuple[str, ...]]:
 
 
 def _dim_ids(tables: Tables, name: str, where: Column | None = None) -> dict:
-    key = ("ids", name, id(tables[name]), None if where is None else str(where))
-    if key not in _DIM_CACHE:
+    def compute():
         df = tables[name]
         if where is not None:
             df = df.where(where)
-        _DIM_CACHE[key] = {
-            r["name"]: r["id"] for r in df.select("name", "id").collect()
-        }
-    return _DIM_CACHE[key]
+        return {r["name"]: r["id"] for r in df.select("name", "id").collect()}
+
+    return _dim_cached(
+        tables[name],
+        ("ids", name, None if where is None else str(where)),
+        compute,
+    )
 
 
 def _batch_join(df: DataFrame, key: str, batch_ids) -> DataFrame:
@@ -155,11 +183,18 @@ def _axis_id(
     Specific cells for values missing from the dim are dropped — in the
     reference an unknown id matches only the 'all' row
     (crunch_global.sql:41), so it contributes to rolled cells but never
-    produces a specific row.
+    produces a specific row. The 'all' row id itself is likewise excluded
+    from the specific arm: a fact whose axis value *equals* the all-row id
+    matches that one dim row once in the reference's OR-join, so emitting
+    both a specific and a rolled cell would produce duplicate merge keys.
     """
     flag = F.col(f"_g_{axis}")
     out = F.when(flag, F.lit(all_id)).otherwise(F.col(axis))
-    valid = F.lit(True) if valid_ids is None else (flag | F.col(axis).isin(list(valid_ids)))
+    valid = (
+        F.lit(True)
+        if valid_ids is None
+        else (flag | F.col(axis).isin([i for i in valid_ids if i != all_id]))
+    )
     return out, valid
 
 

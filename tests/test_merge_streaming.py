@@ -159,6 +159,56 @@ def test_team_fame_overwrite_merge(spark, crunch_tables, tmp_path):
     assert got == expect
 
 
+def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    """O(delta) merge: a delta touching one key rewrites only that key's
+    hash bucket; every other bucket's files are hard-linked (same inode —
+    zero data movement) into the new version, and the ledger commits in
+    the same atomic pointer flip (no applied-but-unrecorded window)."""
+    import os
+
+    point = PointTable(
+        spark, str(tmp_path / "pt"), key=["k"], num_buckets=8,
+    )
+    base = spark.createDataFrame(
+        [(i, 1) for i in range(64)], "k int, n int"
+    )
+    point.merge(base, batch_id="seed")
+
+    def bucket_inodes():
+        cur = point._current_version()
+        return {
+            d.name: {f.name: os.stat(f).st_ino for f in d.iterdir() if f.is_file()}
+            for d in (cur / "data").iterdir()
+            if d.is_dir()
+        }
+
+    before = bucket_inodes()
+    point.merge(
+        spark.createDataFrame([(3, 10)], "k int, n int"), batch_id="one-key"
+    )
+    after = bucket_inodes()
+
+    from pyspark.sql import functions as SF
+
+    touched = point.spark.createDataFrame([(3,)], "k int").select(
+        SF.pmod(SF.hash("k"), SF.lit(8)).alias("b")
+    ).collect()[0][0]
+    touched_dir = f"pt_bucket={touched}"
+
+    assert touched_dir in before and touched_dir in after
+    for name, inodes in after.items():
+        if name == touched_dir:
+            assert inodes != before[name]  # rewritten
+        else:
+            assert inodes == before[name]  # hard-linked, byte-identical
+
+    # merged value landed; all other rows untouched
+    rows = {r.k: r.n for r in point.read().collect()}
+    assert rows[3] == 11 and rows[5] == 1 and len(rows) == 64
+    # ledger committed atomically with the data
+    assert point.applied_batches() == {"seed", "one-key"}
+
+
 # --- streaming ------------------------------------------------------------
 
 
