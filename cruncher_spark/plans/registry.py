@@ -17,18 +17,25 @@ from pyspark.sql import DataFrame, SparkSession
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 
+#: the driver's correctness gate runs oracles at this scale factor
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
 @dataclass(frozen=True)
 class Query:
     name: str
     fn: SparkQuery
-    oracle: str | None  # None → non-SQL-expressible, driver does rows-only check
+    #: str → static ANSI SQL; callable(sf_dir) → SQL generated against the
+    #: gate's data (used when the plan embeds data-fitted literals, e.g.
+    #: k-means IVF centroids); None → non-SQL-expressible, rows-only check
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
 
 
 QUERIES: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | Callable[[str], str] | None, doc: str = ""):
     """Decorator: add a (spark, oracle) pair to the registry."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -43,9 +50,13 @@ def query_map() -> dict[str, SparkQuery]:
     return {name: q.fn for name, q in QUERIES.items()}
 
 
-def oracle_map() -> dict[str, str]:
+def oracle_map(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
     _load_all()
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: (q.oracle(sf_dir) if callable(q.oracle) else q.oracle)
+        for name, q in QUERIES.items()
+        if q.oracle is not None
+    }
 
 
 def _load_all() -> None:

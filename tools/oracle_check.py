@@ -71,7 +71,7 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qmap, omap = query_map(), oracle_map()
+    qmap, omap = query_map(), oracle_map(sf_dir)
     failures = 0
     for name, fn in qmap.items():
         if only and name not in only:
