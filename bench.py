@@ -6,6 +6,12 @@ Each query's result is fully materialized via a count over the final plan
 (the driver's correctness gate collects; here we only need execution, not
 transfer). A warmup query is run first so JVM/codegen startup is not billed
 to the first query.
+
+Measurement hygiene (round-1 lesson: per-query swings of 2-6x under
+machine load): every query runs $SPARK_GRAFT_BENCH_REPS times (default 2)
+and reports the FASTEST rep, and the JSON carries the 1-minute load
+average at start/end so a polluted run is visible in the record. Compare
+rounds only on an idle box.
 """
 
 from __future__ import annotations
@@ -25,6 +31,8 @@ from cruncher_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("cruncher-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -39,13 +47,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qmap.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()  # forces full execution of the aggregate/join plan
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators persist() reused subtrees; drop them so no query is
-        # billed for a predecessor's cache memory / GC pressure
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(max(reps, 1)):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()  # forces full execution of the aggregate/join plan
+            best = min(best, time.perf_counter() - t0)
+            # operators persist() reused subtrees; drop them so no query is
+            # billed for a predecessor's cache memory / GC pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -56,6 +67,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "load_1m_start": load_start,
+                "load_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )

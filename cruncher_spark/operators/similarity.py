@@ -113,21 +113,93 @@ def _scored_pairs(
 def threshold_neighbor_counts(
     vectors: DataFrame,
     queries: DataFrame,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos: float = 0.8,
     round_digits: int = 6,
-    dim: int | None = None,
+    n_bands: int = 4,
+    band_planes: int = 4,
 ) -> DataFrame:
-    """Per-query count of candidates with cosine >= min_cos (near-dup
-    detection by embedding). Output: (query_id, n_near, max_cos)."""
-    scored = _scored_pairs(vectors, queries, id_col, vec_col, round_digits, dim)
-    return (
-        scored.groupBy("query_id")
-        .agg(
-            F.sum((F.col("cos") >= min_cos).cast("int")).alias("n_near"),
-            F.max("cos").alias("max_cos"),
+    """Per-query count of near-duplicate neighbors (cosine >= min_cos)
+    among banded-LSH candidates, exactly re-scored.
+
+    Round-2 rework: the round-1 form scored every Q x N pair — the last
+    pipeline operator on the brute-force path. Now candidate generation
+    is banded signed-random-projection LSH (``n_bands`` bands of
+    ``band_planes`` deterministic hyperplanes; a pair collides when ANY
+    band's sign-pattern matches — at cos 0.8, 4 bands x 4 planes catch
+    ~87% of true pairs), and only colliding pairs pay the exact cosine.
+    Each band is an equi-join key, so the pair search is a shuffle join
+    on (band, key) buckets, never a cross join. Queries with no
+    colliding candidate drop out (no neighbors found).
+
+    Output: (query_id, n_near, max_cos) — max_cos over scored
+    candidates, deterministic across engines (banding uses the same md5
+    hyperplane family as :func:`lsh_bucket`).
+    """
+    planes = _hyperplane_signs(dim, n_bands * band_planes)
+
+    def band_keys() -> Column:
+        def key(b: int) -> Column:
+            k = F.lit(0)
+            for f in range(band_planes):
+                signs = planes[b * band_planes + f]
+                sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+                proj = F.aggregate(
+                    F.zip_with(F.col(vec_col), sign_arr, lambda x, s: x.cast("double") * s),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                k = k + F.when(proj > 0, F.lit(1 << f)).otherwise(F.lit(0))
+            return k
+
+        bands = F.array(
+            *[
+                F.struct(F.lit(b).alias("band_idx"), key(b).alias("band_key"))
+                for b in range(n_bands)
+            ]
         )
+        return F.explode(bands)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), band_keys().alias("bk")
+    ).select("query_id", "bk.band_idx", "bk.band_key")
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), band_keys().alias("bk")
+    ).select("neighbor_id", "bk.band_idx", "bk.band_key")
+    cands = (
+        q.join(c, ["band_idx", "band_key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # exact re-score: join vectors back onto the (small) candidate list
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col), dim).alias("q_norm"),
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col), dim).alias("c_norm"),
+    )
+    scored = (
+        cands.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"), dim)
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ),
+        )
+    )
+    return scored.groupBy("query_id").agg(
+        F.sum((F.col("cos") >= min_cos).cast("int")).alias("n_near"),
+        F.max("cos").alias("max_cos"),
     )
 
 

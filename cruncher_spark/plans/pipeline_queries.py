@@ -274,33 +274,55 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _plane_sql(signs: list[int]) -> str:
+    return "[" + ", ".join(f"{float(s):.1f}" for s in signs) + "]"
+
+
+_NDUP_BANDS, _NDUP_BAND_PLANES = 4, 4
+_NDUP_PLANES = _hyperplane_signs(EMB_DIM, _NDUP_BANDS * _NDUP_BAND_PLANES)
+
+
+def _ndup_band_key_sql(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(_NDUP_PLANES[b * _NDUP_BAND_PLANES + f])})"
+        f" > 0 THEN {1 << f} ELSE 0 END)"
+        for f in range(_NDUP_BAND_PLANES)
+    )
+
+
 @register(
     "embedding_dup_threshold",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE {_Q_FILTER}),
-    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-    scored AS (
-      SELECT query_id, neighbor_id, {_COS} AS cos
-      FROM q, c WHERE query_id <> neighbor_id
-    )
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (SELECT vec_id, v,
+                   {", ".join(f"{_ndup_band_key_sql(b)} AS k{b}" for b in range(_NDUP_BANDS))}
+            FROM e),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      q.v AS qv, c.v AS cv
+      FROM sig q JOIN sig c
+        ON ({" OR ".join(f"q.k{b} = c.k{b}" for b in range(_NDUP_BANDS))})
+      WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM cands)
     SELECT query_id,
            CAST(SUM(CAST(cos >= 0.8 AS INT)) AS BIGINT) AS n_near,
            MAX(cos) AS max_cos
     FROM scored GROUP BY query_id
     """,
-    doc="Embedding-cosine near-dup detection: per-query count of neighbors "
-    "above tau=0.8 — dedup by semantic similarity.",
+    doc="Embedding-cosine near-dup detection: banded random-hyperplane LSH "
+    "candidates (4 bands x 4 planes, equi-join on band key — no Q x N "
+    "cross join) exactly re-scored; per-query count of neighbors above "
+    "tau=0.8.",
 )
 def embedding_dup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = fan_out(Star(spark, sf_dir).embeddings)
     queries = emb.filter((F.col("vec_id") % 20) == 0)
-    return threshold_neighbor_counts(emb, queries, min_cos=0.8)
-
-
-def _plane_sql(signs: list[int]) -> str:
-    return "[" + ", ".join(f"{float(s):.1f}" for s in signs) + "]"
+    return threshold_neighbor_counts(
+        emb, queries, dim=EMB_DIM, min_cos=0.8,
+        n_bands=_NDUP_BANDS, band_planes=_NDUP_BAND_PLANES,
+    )
 
 
 _PLANES = _hyperplane_signs(EMB_DIM, 8)
