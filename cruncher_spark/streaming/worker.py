@@ -20,9 +20,16 @@ to (SURVEY.md §2.1, §2.7):
 - replay double-count fixed: the merge ledger keys on batch_id
   (merge/upsert.py), so redelivered batches are idempotent.
 
-Sources: tests use the file source (a directory of id files); production
-swaps in Kafka (``spark.readStream.format("kafka")``) — the pipeline from
-``load()`` onward is source-agnostic.
+Sources: the pipeline from the source DataFrame onward is source-agnostic
+(``_start_stream``). Tests use the file source (a directory of id files);
+``start_kafka_stream`` is the production analog of the reference's AMQP
+consume (worker.js:59-70,127-149): ``format("kafka")`` with
+``maxOffsetsPerTrigger`` as the prefetch/backpressure bound and the
+record ``value`` decoded from bytes exactly like the reference reads the
+message body. The sandbox has no broker or kafka connector jar, so the
+Kafka branch is integration-tested by driving the identical decode +
+pipeline over a Kafka-SHAPED stream (same columns/types as the kafka
+source) fed from files — see tests/test_merge_streaming.py.
 """
 
 from __future__ import annotations
@@ -127,6 +134,27 @@ class CrunchWorker:
 
     # -- stream wiring ------------------------------------------------------
 
+    def _start_stream(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        *,
+        trigger_seconds: float | None = None,
+        available_now: bool = False,
+    ):
+        """Source-agnostic tail of the pipeline: any single-value-column
+        stream → guarded/sampled/deduped foreachBatch merge."""
+        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        writer = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_seconds is not None:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return writer.start()
+
     def start_file_stream(
         self,
         ids_dir: str,
@@ -142,17 +170,75 @@ class CrunchWorker:
         reference's AMQP prefetch (worker.js:126-127); the processing-time
         trigger is the LOAD_TIMEOUT analog (worker.js:30).
         """
-        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
         reader = self.spark.readStream.format("text")
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        stream = reader.load(ids_dir)
-        writer = (
-            stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
+        return self._start_stream(
+            reader.load(ids_dir),
+            checkpoint_dir,
+            trigger_seconds=trigger_seconds,
+            available_now=available_now,
         )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif trigger_seconds is not None:
-            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        return writer.start()
+
+    # -- Kafka source (S1 production path) ----------------------------------
+
+    @staticmethod
+    def decode_kafka_values(stream: DataFrame) -> DataFrame:
+        """Kafka record → message body, the worker.js:145 ``msg.content``
+        read: the binary ``value`` column decoded as UTF-8. Works on any
+        DataFrame with the kafka source's schema (key/value binary +
+        topic/partition/offset/timestamp metadata)."""
+        return stream.select(F.col("value").cast("string").alias("value"))
+
+    def kafka_reader(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        *,
+        max_offsets_per_trigger: int | None = 1000,
+        starting_offsets: str = "earliest",
+    ):
+        """The configured ``format("kafka")`` reader (S1, worker.js:59-70).
+
+        ``maxOffsetsPerTrigger`` bounds in-flight records per micro-batch —
+        the AMQP ``prefetch(BATCHSIZE)`` backpressure analog
+        (worker.js:126-127, default 1000 like BATCHSIZE).
+        """
+        reader = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+        )
+        if max_offsets_per_trigger is not None:
+            reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        return reader
+
+    def start_kafka_stream(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        checkpoint_dir: str,
+        *,
+        trigger_seconds: float | None = 5.0,
+        max_offsets_per_trigger: int | None = 1000,
+        starting_offsets: str = "earliest",
+        available_now: bool = False,
+    ):
+        """Consume fact ids from a Kafka topic — the reference's queue
+        consume (worker.js:127-149) with the 5 s LOAD_TIMEOUT as the
+        default trigger. Requires the spark-sql-kafka connector on the
+        classpath (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13``).
+        """
+        stream = self.kafka_reader(
+            bootstrap_servers,
+            topic,
+            max_offsets_per_trigger=max_offsets_per_trigger,
+            starting_offsets=starting_offsets,
+        ).load()
+        return self._start_stream(
+            self.decode_kafka_values(stream),
+            checkpoint_dir,
+            trigger_seconds=trigger_seconds,
+            available_now=available_now,
+        )
