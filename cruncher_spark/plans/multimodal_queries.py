@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from cruncher_spark.operators.multimodal import (
     attach_media,
     decode_features,
+    decode_features_real,
     frame_sample,
+    resize_image_real,
     resize_media,
 )
 from cruncher_spark.plans.registry import register
@@ -76,6 +78,52 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(Star(spark, sf_dir).documents)
     return decode_features(media).select(
         "media_id", "kind", "f_hash", "size_bytes"
+    )
+
+
+@register(
+    "multimodal_decode_real",
+    f"""
+    SELECT
+        doc_id AS media_id,
+        {KIND_CASE} AS kind,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 24) * 16 END AS INT) AS width,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 18) * 16 END AS INT) AS height,
+        CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 4000 END AS INT) AS sample_rate,
+        CAST(CASE WHEN doc_id % 3 = 1 THEN n_chars END AS BIGINT) AS n_samples
+    FROM documents
+    WHERE doc_id % 3 < 2
+    """,
+    doc="REAL codec round-trip: Spark encodes valid PNG/WAV payloads then "
+    "decodes them back (pure-stdlib codecs, mapInPandas); the oracle "
+    "predicts the decoded dimensions/rates/counts independently from the "
+    "generation formulas — matching values prove the actual bytes "
+    "round-trip. Video excluded (no stdlib codec).",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(Star(spark, sf_dir).documents, real_payloads=True)
+    return decode_features_real(media).select(
+        "media_id", "kind", "width", "height", "sample_rate", "n_samples"
+    )
+
+
+@register(
+    "multimodal_resize_real",
+    """
+    SELECT
+        doc_id AS media_id,
+        CAST((16 + (doc_id % 24) * 16) / 2 AS INT) AS width,
+        CAST((16 + (doc_id % 18) * 16) / 2 AS INT) AS height
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+    doc="REAL image resize: decode PNG, nearest-neighbor downscale 2x, "
+    "re-encode; output dims come from re-decoding the resized payload.",
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(Star(spark, sf_dir).documents, real_payloads=True)
+    return resize_image_real(media, factor=2).select(
+        "media_id", "width", "height"
     )
 
 

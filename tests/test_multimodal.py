@@ -83,3 +83,99 @@ def test_frame_sample_strides_and_tail(media):
         sizes = [r.frame_bytes for r in sorted(rows, key=lambda r: r.frame_no)]
         assert all(s == 100 for s in sizes[:-1])
         assert sizes[-1] == min(100, n - 200 * (expect_frames - 1))
+
+
+# --- real stdlib codecs ----------------------------------------------------
+
+
+def test_png_roundtrip_pixel_exact():
+    import numpy as np
+
+    from cruncher_spark.functions.codecs import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(33, 47), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(arr)), arr)
+
+
+def test_png_decode_handles_sub_and_up_filters():
+    """Decoder accepts filters 1 (Sub) and 2 (Up), a superset of what our
+    encoder emits — re-filter a known image by hand and decode it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cruncher_spark.functions.codecs import _chunk, _PNG_SIG, png_decode
+
+    arr = (np.arange(12).reshape(3, 4) * 17 % 256).astype(np.uint8)
+    # row 0: None, row 1: Sub, row 2: Up
+    r0 = b"\x00" + arr[0].tobytes()
+    sub = [int(arr[1][0])] + [
+        (int(arr[1][x]) - int(arr[1][x - 1])) & 0xFF for x in range(1, 4)
+    ]
+    r1 = b"\x01" + bytes(sub)
+    up = [(int(arr[2][x]) - int(arr[1][x])) & 0xFF for x in range(4)]
+    r2 = b"\x02" + bytes(up)
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(r0 + r1 + r2))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(png), arr)
+
+
+def test_wav_roundtrip_sample_exact():
+    import numpy as np
+
+    from cruncher_spark.functions.codecs import wav_decode, wav_encode
+
+    samples = (np.arange(1000, dtype=np.int64) * 37 % 65536 - 32768).astype(
+        np.int16
+    )
+    rate, back = wav_decode(wav_encode(samples, 16000))
+    assert rate == 16000
+    assert np.array_equal(back, samples)
+
+
+def test_resize_nearest_dims_and_content():
+    import numpy as np
+
+    from cruncher_spark.functions.codecs import resize_nearest
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = resize_nearest(arr, 4, 4)
+    assert out.shape == (4, 4)
+    assert np.array_equal(out, arr[::2, ::2])
+
+
+def test_real_payload_decode_roundtrip(spark):
+    """attach_media(real_payloads=True) emits valid PNG/WAV that
+    decode_features_real parses back to the generation metadata."""
+    from cruncher_spark.operators.multimodal import (
+        attach_media,
+        decode_features_real,
+    )
+    from cruncher_spark.sources.tables import Star
+
+    docs = Star(spark, "/root/testdata/sf0.001").documents.limit(60)
+    media = attach_media(docs, real_payloads=True)
+    meta = {
+        r.media_id: r
+        for r in media.select(
+            "media_id", "kind", "width", "height", "sample_rate", "n_samples"
+        ).collect()
+    }
+    decoded = decode_features_real(media).collect()
+    assert decoded
+    for r in decoded:
+        m = meta[r.media_id]
+        if r.kind == "image":
+            assert (r.width, r.height) == (m.width, m.height)
+            assert 0.0 <= r.mean_value <= 255.0
+        else:
+            assert r.kind == "audio"
+            assert r.sample_rate == m.sample_rate
+            assert r.n_samples == m.n_samples
