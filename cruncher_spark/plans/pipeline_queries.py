@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from cruncher_spark.functions.text import (
     LANG_DICT,
@@ -533,7 +532,9 @@ _DICT_VALUES = ", ".join(f"('{w}', '{lang}', {wt})" for w, lang, wt in LANG_DICT
     """,
     doc="n-gram-dictionary language ID: explode words, join a broadcast "
     "(word,lang,weight) dim, argmax score per doc with deterministic "
-    "tie-break, confusion counts vs the labeled lang.",
+    "tie-break, confusion counts vs the labeled lang. The per-doc argmax "
+    "is min_by over (-score, lang) — an aggregate with map-side partials "
+    "instead of a window (no repartition-by-doc + sort stage).",
 )
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
@@ -549,14 +550,15 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "label_lang", "cand_lang")
         .agg(F.sum("weight").alias("score"))
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("cand_lang").asc()
+    # argmax with the oracle's exact tie-break (score DESC, lang ASC):
+    # min of the struct (-score, cand_lang) under lexicographic order
+    best = scores.groupBy("doc_id", "label_lang").agg(
+        F.min_by(
+            "cand_lang", F.struct((-F.col("score")).alias("ns"), "cand_lang")
+        ).alias("predicted_lang")
     )
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("label_lang", F.col("cand_lang").alias("predicted_lang"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    return best.groupBy("label_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
 
 
