@@ -91,6 +91,42 @@ def stopword_ratio(col: str | Column, stopwords: tuple[str, ...]) -> Column:
     return (n_stop.cast("double") / F.size(w)).alias("stopword_ratio")
 
 
+#: PII detection patterns — one regex dialect for both engines (Java regex
+#: and DuckDB's RE2 both support \b, \d, bounded repetition; POSIX classes
+#: deliberately avoided, cf. the build-regex dialect trap in
+#: functions/scalars.posix_to_java_regex).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+PII_REPLACEMENT = "<PII>"
+
+
+def pii_counts(col: str | Column) -> list[Column]:
+    """Per-row match counts for each PII pattern (JVM ``regexp_count``,
+    whole-stage codegen). DuckDB mirror: ``len(regexp_extract_all(c, pat))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def pii_redact(col: str | Column) -> Column:
+    """Replace every PII match with a fixed placeholder token.
+
+    Spark ``regexp_replace`` is replace-all; the DuckDB mirror needs the
+    explicit ``'g'`` flag (``regexp_replace(c, pat, rep, 'g')``) or it
+    replaces only the first match per row.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, PII_REPLACEMENT)
+    return c
+
+
 def doc_fingerprint(col: str | Column) -> Column:
     """Canonical content fingerprint: md5 of the sorted distinct word set.
 

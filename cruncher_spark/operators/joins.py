@@ -106,6 +106,56 @@ def cooccurrence_pairs(
     return left.join(right, cond, "inner")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    hot_keys: "list | None" = None,
+    salt_cols: "list[str] | None" = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: shard hot join keys across ``n_salts`` reducers.
+
+    A shuffle join hash-partitions both sides on ``key``; one pathological
+    key (a null-ish default id, a celebrity user, an 'unknown' bucket) lands
+    its entire fact volume on ONE reducer, and the stage runs at the speed
+    of that straggler. The classic fix, implemented here: append a salt —
+    fact rows of a hot key scatter over ``n_salts`` sub-keys (deterministic
+    row-content hash, so replays shard identically), and the build side
+    replicates each hot key's rows once per salt so every sub-key still
+    finds its match. Join on ``(key, salt)``, drop the salt; the logical
+    result is provably identical to the unsalted join.
+
+    With ``hot_keys`` given, only those keys are salted/replicated and cold
+    keys pay nothing — the shape AQE's runtime skew-join produces
+    (``spark.sql.adaptive.skewJoin``), exposed here as an authoring-time
+    operator for the cases AQE cannot see: skew that only materializes
+    after a filter, or a build side too large for AQE's split heuristics.
+    With ``hot_keys=None`` every key is salted — right side replicated
+    ``n_salts``x, appropriate only for broadcast-small build sides.
+
+    Scale note: replication cost is ``n_salts × |right rows in hot_keys|``
+    — O(salts × hot set), independent of the fact side, so it stays bounded
+    at 100 TB as long as the hot list is (by construction: a key list you
+    can enumerate is small).
+    """
+    sc = [F.col(c) for c in (salt_cols or left.columns)]
+    row_salt = F.pmod(F.xxhash64(*sc), F.lit(n_salts)).cast("int")
+    all_salts = F.sequence(F.lit(0), F.lit(n_salts - 1))
+    if hot_keys is not None:
+        hot_l = F.col(key).isin(list(hot_keys))
+        l_salt = F.when(hot_l, row_salt).otherwise(F.lit(0))
+        r_salts = F.when(F.col(key).isin(list(hot_keys)), all_salts).otherwise(
+            F.array(F.lit(0))
+        )
+    else:
+        l_salt, r_salts = row_salt, all_salts
+    l = left.withColumn("_salt", l_salt)
+    r = right.withColumn("_salt", F.explode(r_salts))
+    return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

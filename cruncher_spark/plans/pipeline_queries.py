@@ -587,6 +587,214 @@ def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (detection counts + redaction)
+# ---------------------------------------------------------------------------
+
+# The driver's synthetic documents are word-soup with no natural PII, so the
+# query derives a deterministic contact footer from doc_id INSIDE the query —
+# the identical expression on both engines — so the detection/redaction
+# regexes are exercised on varied, non-trivial matches.
+_AUG_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@site.org' ELSE '' END"
+    " || ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+def _aug_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"),
+        F.lit("@ex"), (d % 7).cast("string"), F.lit(".com"),
+        F.when(d % 3 == 0, F.lit(" cc admin@site.org")).otherwise(F.lit("")),
+        F.lit(" or 555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (d % 256).cast("string"),
+        F.lit(".0."), (d % 100).cast("string"),
+    )
+
+
+def _pii_oracle() -> str:
+    from cruncher_spark.functions.text import PII_PATTERNS, PII_REPLACEMENT
+
+    counts = ",\n        ".join(
+        f"len(regexp_extract_all(aug, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "aug"
+    for pat in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{PII_REPLACEMENT}', 'g')"
+    return f"""
+    WITH augmented AS (SELECT source, {_AUG_SQL} AS aug FROM documents),
+    per_doc AS (
+      SELECT source, length(aug) AS n_aug,
+        {counts},
+        length({red}) AS n_red
+      FROM augmented
+    )
+    SELECT source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_email) AS BIGINT) AS sum_emails,
+      CAST(SUM(n_phone) AS BIGINT) AS sum_phones,
+      CAST(SUM(n_ipv4) AS BIGINT) AS sum_ipv4,
+      CAST(SUM(n_aug) AS BIGINT) AS sum_chars,
+      CAST(SUM(n_red) AS BIGINT) AS sum_redacted_chars,
+      CAST(SUM(n_red) AS DOUBLE) / SUM(n_aug) AS redacted_ratio
+    FROM per_doc GROUP BY source
+    """
+
+
+@register(
+    "pii_scrub",
+    oracle=_pii_oracle(),
+    doc="PII detection + redaction: email/phone/IPv4 regex match counts and "
+    "replace-all redaction (functions.text.PII_PATTERNS — one RE2/Java-"
+    "compatible dialect for both engines). Pure per-row codegen "
+    "projections; the only shuffle is the final per-source rollup.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.functions.text import pii_counts, pii_redact
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    per_doc = docs.select(
+        "source",
+        F.length(_aug_col()).alias("n_aug"),
+        *[c for c in pii_counts(_aug_col())],
+        F.length(pii_redact(_aug_col())).alias("n_red"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("sum_emails"),
+        F.sum("n_phone").alias("sum_phones"),
+        F.sum("n_ipv4").alias("sum_ipv4"),
+        F.sum("n_aug").alias("sum_chars"),
+        F.sum("n_red").alias("sum_redacted_chars"),
+        (F.sum("n_red").cast("double") / F.sum("n_aug")).alias("redacted_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate ratio
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT doc_id, lang, w, COUNT(*) AS cnt
+           FROM words GROUP BY doc_id, lang, w),
+    per_doc AS (
+      SELECT doc_id, lang,
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        COUNT(*) AS n_distinct,
+        MAX(cnt) AS top_cnt
+      FROM wc GROUP BY doc_id, lang
+    )
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_words) AS BIGINT) AS sum_words,
+      CAST(SUM(n_distinct) AS BIGINT) AS sum_distinct,
+      CAST(SUM(top_cnt) AS BIGINT) AS sum_top,
+      CAST(SUM(n_words) - SUM(n_distinct) AS DOUBLE) / SUM(n_words) AS dup_word_ratio,
+      CAST(SUM(top_cnt) AS DOUBLE) / SUM(n_words) AS top_word_share
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Within-document repetition/boilerplate scoring: duplicate-word "
+    "ratio and most-frequent-word share — the standard low-quality/"
+    "machine-generated text signals. Two partial-aggregatable groupBys "
+    "(word counts combine map-side); ratios derived from exact integer "
+    "sums so both engines render bit-identical doubles.",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    wc = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = wc.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_distinct").alias("sum_distinct"),
+        F.sum("top_cnt").alias("sum_top"),
+        ((F.sum("n_words") - F.sum("n_distinct")).cast("double") / F.sum("n_words"))
+        .alias("dup_word_ratio"),
+        (F.sum("top_cnt").cast("double") / F.sum("n_words")).alias("top_word_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-safe salted join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT p.p_brand,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Skew-safe salted join (operators.joins.salted_join): the two "
+    "hottest part keys are sharded across 8 salts and only their build "
+    "rows replicated; cold keys pay nothing. The oracle is the plain "
+    "unsalted join — salting is a physical strategy, provably "
+    "result-identical. At 100 TB this is the authoring-time fallback for "
+    "skew AQE cannot see (post-filter skew, oversized build sides).",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.joins import salted_join
+
+    tune(spark)
+    star = Star(spark, sf_dir)
+    li, part = star.lineitem, star.part
+    # hot-key detection: top-2 keys by row count (deterministic tie-break).
+    # Driver-side collect of exactly 2 rows — bounded like a dim lookup.
+    hot = [
+        r["l_partkey"]
+        for r in li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("l_partkey"))
+        .limit(2)
+        .collect()
+    ]
+    joined = salted_join(
+        li.select("l_partkey", "l_quantity", "l_extendedprice"),
+        part.withColumnRenamed("p_partkey", "l_partkey").select(
+            "l_partkey", "p_brand"
+        ),
+        key="l_partkey",
+        n_salts=8,
+        hot_keys=hot,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # as-of join (events: each click matched to the user's latest prior view)
 # ---------------------------------------------------------------------------
 

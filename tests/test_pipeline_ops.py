@@ -144,3 +144,73 @@ def test_ivf_output_contract(emb):
         # ranks ordered by descending cos (ties broken by neighbor id)
         srt = sorted(rows, key=lambda r: (-r.cos, r.neighbor_id))
         assert [r.rank for r in srt] == sorted(r.rank for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# salted skew-safe join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """A fact table where one key holds ~90% of the rows (the straggler
+    shape salting exists for) plus a small build side."""
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") < 4500, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") * 3 % 101).alias("v"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    return fact, dim
+
+
+def _agg(df):
+    rows = df.groupBy("k", "name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    ).collect()
+    return {(r.k, r.name): (r.n, r.sv) for r in rows}
+
+
+def test_salted_join_matches_plain(skewed):
+    from cruncher_spark.operators.joins import salted_join
+
+    fact, dim = skewed
+    plain = _agg(fact.join(dim, "k"))
+    assert _agg(salted_join(fact, dim, "k", n_salts=8)) == plain
+    assert _agg(salted_join(fact, dim, "k", n_salts=8, hot_keys=[7])) == plain
+
+
+def test_salted_join_spreads_hot_key(skewed):
+    from cruncher_spark.operators.joins import salted_join
+
+    fact, dim = skewed
+    joined = salted_join(fact, dim, "k", n_salts=8, hot_keys=[7])
+    # before dropping the salt, the hot key's rows occupy every shard and
+    # the build side replicated only the hot key
+    l = fact.withColumn(
+        "_salt",
+        F.when(
+            F.col("k").isin([7]),
+            F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    n_shards = l.where(F.col("k") == 7).select("_salt").distinct().count()
+    assert n_shards == 8
+    # cold keys keep exactly one build row each: output row count must match
+    assert joined.count() == fact.join(dim, "k").count()
+
+
+def test_salted_join_left_outer(skewed):
+    from cruncher_spark.operators.joins import salted_join
+
+    fact, dim = skewed
+    # drop the hot key from the build side: left join must keep fact rows
+    dim_missing = dim.where(F.col("k") != 7)
+    out = salted_join(fact, dim_missing, "k", n_salts=4, hot_keys=[7], how="left")
+    plain = fact.join(dim_missing, "k", "left")
+    assert out.count() == plain.count() == fact.count()
+    assert (
+        out.where(F.col("name").isNull()).count()
+        == fact.where(F.col("k") == 7).count()
+    )
