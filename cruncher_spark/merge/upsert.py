@@ -247,12 +247,7 @@ class PointTable:
         updated batch ledger. The single ``os.replace`` of the pointer
         file is the lone commit point for data + ledger together.
         """
-        self.path.mkdir(parents=True, exist_ok=True)
-        cur_n = int(cur.name.split("_")[1]) if cur is not None else 0
-        new = self.path / f"v_{cur_n + 1:06d}"
-        if new.exists():  # leftover from a crashed earlier attempt
-            shutil.rmtree(new)
-        (new / "data").mkdir(parents=True)
+        new = self._fresh_version_dir(cur)
 
         if merged is not None:
             (
@@ -284,7 +279,18 @@ class PointTable:
         (new / "meta.json").write_text(
             json.dumps({"num_buckets": self.num_buckets, "key": self.key})
         )
+        self._flip(new)
 
+    def _fresh_version_dir(self, cur: Path | None) -> Path:
+        self.path.mkdir(parents=True, exist_ok=True)
+        cur_n = int(cur.name.split("_")[1]) if cur is not None else 0
+        new = self.path / f"v_{cur_n + 1:06d}"
+        if new.exists():  # leftover from a crashed earlier attempt
+            shutil.rmtree(new)
+        (new / "data").mkdir(parents=True)
+        return new
+
+    def _flip(self, new: Path) -> None:
         tmp_ptr = self.path / f"CURRENT.tmp.{new.name}"
         tmp_ptr.write_text(new.name)
         os.replace(tmp_ptr, self._pointer)  # ← the commit point
@@ -294,3 +300,49 @@ class PointTable:
         for v in self.path.glob("v_*"):
             if v.name != new.name:
                 shutil.rmtree(v, ignore_errors=True)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def rebucket(self, num_buckets: int) -> None:
+        """Rewrite the table into a new hash-bucket layout, atomically.
+
+        The bucket count is the knob that keeps merges O(delta): a merge
+        rewrites ``state/num_buckets`` bytes per affected bucket, and a
+        delta of K distinct keys touches ``min(K, num_buckets)`` buckets.
+        A table created small (32 buckets) therefore degrades as state
+        grows — at 100 TB every merge would rewrite 3 TB buckets. The
+        operational recipe is the same as HBase region splitting or
+        Delta/Iceberg ``OPTIMIZE``-with-repartition: periodically scale
+        the layout to keep buckets in the hundreds-of-MB range
+        (``num_buckets ≈ state_bytes / 256 MB``).
+
+        Cost: one full read + partitioned rewrite of the state (run it
+        off the merge path). The ledger is carried forward unchanged, so
+        replay idempotence is preserved, and readers see the old layout
+        until the single pointer flip.
+        """
+        cur = self._current_version()
+        if cur is None:
+            raise FileNotFoundError(f"point table not initialized: {self.path}")
+        state = self.read().persist()
+        try:
+            self.num_buckets = num_buckets
+            new = self._fresh_version_dir(cur)
+            (
+                state.withColumn(_BUCKET_COL, self._bucket_expr())
+                .repartition(num_buckets, F.col(_BUCKET_COL))
+                .write.mode("append")
+                .partitionBy(_BUCKET_COL)
+                .parquet(str(new / "data"))
+            )
+            if (cur / "ledger").exists():
+                (new / "ledger").mkdir()
+                for f_ in (cur / "ledger").iterdir():
+                    if f_.is_file():
+                        os.link(f_, new / "ledger" / f_.name)
+            (new / "meta.json").write_text(
+                json.dumps({"num_buckets": num_buckets, "key": self.key})
+            )
+            self._flip(new)
+        finally:
+            state.unpersist()

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -207,6 +209,45 @@ def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
     assert rows[3] == 11 and rows[5] == 1 and len(rows) == 64
     # ledger committed atomically with the data
     assert point.applied_batches() == {"seed", "one-key"}
+
+
+def test_rebucket_rescales_layout_preserving_state(spark, tmp_path):
+    """rebucket() changes the hash layout behind one atomic pointer flip:
+    state and ledger survive byte-for-value, merges keep working at the
+    new bucket count, and replay idempotence is preserved."""
+    point = PointTable(spark, str(tmp_path / "pt"), key=["k"], num_buckets=4)
+    point.merge(
+        spark.createDataFrame([(i, i * 10) for i in range(40)], "k int, n int"),
+        batch_id="seed",
+    )
+    before = {r.k: r.n for r in point.read().collect()}
+
+    point.rebucket(16)
+    cur = point._current_version()
+    assert json.loads((cur / "meta.json").read_text())["num_buckets"] == 16
+    n_dirs = len([d for d in (cur / "data").iterdir() if d.is_dir()])
+    assert n_dirs > 4  # actually spread over the wider layout
+    assert {r.k: r.n for r in point.read().collect()} == before
+    # ledger carried forward: replaying the seed batch is still a no-op
+    assert point.applied_batches() == {"seed"}
+    assert point.merge(
+        spark.createDataFrame([(0, 999)], "k int, n int"), batch_id="seed"
+    ) is False
+
+    # a fresh handle (new process) picks the persisted bucket count up
+    reopened = PointTable(spark, str(tmp_path / "pt"), key=["k"])
+    reopened.merge(
+        spark.createDataFrame([(2, 1), (99, 5)], "k int, n int"), batch_id="b2"
+    )
+    assert reopened.num_buckets == 16
+    rows = {r.k: r.n for r in reopened.read().collect()}
+    assert rows[2] == 21 and rows[99] == 5 and len(rows) == 41
+
+    # downscale works too (compaction direction)
+    reopened.rebucket(2)
+    rows2 = {r.k: r.n for r in reopened.read().collect()}
+    assert rows2 == rows
+    assert reopened.applied_batches() == {"seed", "b2"}
 
 
 # --- streaming ------------------------------------------------------------
