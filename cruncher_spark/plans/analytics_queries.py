@@ -1,0 +1,192 @@
+"""Event-analytics operators: sessionization and sketch aggregates.
+
+The reference's schema has no event-log queries (SURVEY §2.5: no windows /
+sorts / limits in the worker SQL), but any production deployment of a
+stats cruncher grows them; these gates cover the two shapes that matter at
+100 TB:
+
+- **sessionization** via Spark's native ``session_window`` — gap-merged
+  sessions are a single hash shuffle on the group key plus an in-partition
+  sort (no self-join, no windowed subquery); the oracle is the classic
+  gaps-and-islands ``lag``/running-``sum`` SQL, proving the native operator
+  against the portable formulation.
+- **HyperLogLog distinct sketch** built from first principles as a plain
+  aggregate: md5-bucketed trailing-zero ranks, ``max`` per bucket, one
+  closed-form estimate. ``max`` is map-side combinable, so the sketch
+  state shuffled per group is exactly m integers — the mergeable-sketch
+  property that makes approx-distinct feasible where exact
+  ``count(distinct)`` would shuffle every value. Every step is integer
+  arithmetic (the one double division is of exactly-represented integers),
+  so DuckDB reproduces the estimate bit-for-bit — the gate hash-checks an
+  *approximate* algorithm exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cruncher_spark.functions.text import portable_hash64
+from cruncher_spark.plans.registry import register
+from cruncher_spark.session import tune
+from cruncher_spark.sources import Star
+
+# ---------------------------------------------------------------------------
+# sessionization (gap = 30 min)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "session_windows",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+        CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w >= {_GAP_US}
+             THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_seq
+      FROM flagged
+    )
+    SELECT user_id,
+      MIN(ts_us) AS start_us,
+      MAX(ts_us) AS end_us,
+      MAX(ts_us) - MIN(ts_us) AS duration_us,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(event_type = 'click' AS INT)) AS BIGINT) AS n_clicks,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sess_seq
+    """,
+    doc="Gap-based sessionization (30 min) via Spark's native session_window "
+    "aggregate — one hash shuffle on user_id + in-partition sort, sessions "
+    "merged streamingly per group (the same operator powers the streaming "
+    "path with watermarks). Oracle is the portable gaps-and-islands "
+    "lag/running-sum SQL; a session starts when the gap >= 30 min, "
+    "matching session_window's [ts, ts+gap) extension semantics.",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy("user_id", sw)
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+                "duration_us"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("long")
+            .alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .drop("session_window")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (m = 16 buckets, deterministic)
+# ---------------------------------------------------------------------------
+
+_HLL_B = 4                      # bucket bits
+_HLL_M = 1 << _HLL_B            # 16 buckets
+_HLL_RBITS = 60 - _HLL_B        # rank source bits (portable_hash64 is 60-bit)
+_HLL_MAXRHO = _HLL_RBITS + 1    # rho when the rank field is all zeros
+#: 2^(40-rho) term per rho in 1.._HLL_MAXRHO — the harmonic sum scaled by
+#: 2^40 so it stays exact integer arithmetic (rho > 40 truncates to 0; at
+#: rho 40 the term is already 1e-12 of the leading term)
+_HLL_TERMS = [1 << (40 - r) if r <= 40 else 0 for r in range(1, _HLL_MAXRHO + 1)]
+#: alpha_16 * m^2 * 2^40 as one pre-evaluated double literal, so both
+#: engines divide the same two exactly-known numbers
+_HLL_C = repr(0.673 * _HLL_M * _HLL_M * float(1 << 40))
+
+_HLL_H = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'), 1, 15) AS BIGINT)"
+_HLL_TERM_SQL = "[" + ", ".join(str(t) for t in _HLL_TERMS) + "]"
+
+
+@register(
+    "hll_user_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, {_HLL_H} AS hv FROM events
+    ),
+    br AS (
+      SELECT event_type, hv % {_HLL_M} AS bucket,
+        CASE WHEN (hv >> {_HLL_B}) = 0 THEN {_HLL_MAXRHO}
+             ELSE CAST(log2((hv >> {_HLL_B}) & -(hv >> {_HLL_B})) AS INT) + 1
+        END AS rho
+      FROM h
+    ),
+    sketch AS (
+      SELECT event_type, bucket, MAX(rho) AS m_rho
+      FROM br GROUP BY event_type, bucket
+    ),
+    est AS (
+      SELECT event_type,
+        COUNT(*) AS n_buckets,
+        MAX(m_rho) AS max_rho,
+        SUM({_HLL_TERM_SQL}[m_rho])
+          + ({_HLL_M} - COUNT(*)) * {1 << 40} AS s
+      FROM sketch GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_type, x.n_exact, e.n_buckets, e.max_rho,
+           {_HLL_C} / s AS hll_estimate
+    FROM est e JOIN exact x USING (event_type)
+    """,
+    doc="HyperLogLog approx-distinct as a first-principles aggregate: "
+    "60-bit md5 hash -> 4-bit bucket + trailing-zero rank, max-rank per "
+    "bucket (map-side combinable: per-group shuffle state is exactly 16 "
+    "ints regardless of input rows), closed-form estimate from an "
+    "integer-exact harmonic sum. At 100 TB this replaces count(distinct)'s "
+    "full-value shuffle with a constant-size mergeable sketch; exact "
+    "count(distinct) included for error inspection.",
+)
+def hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    hv = portable_hash64(F.col("user_id").cast("string"), salt="hll")
+    r = F.shiftright(hv, _HLL_B)
+    rho = F.when(r == 0, F.lit(_HLL_MAXRHO)).otherwise(
+        F.log2(r.bitwiseAND(-r)).cast("int") + F.lit(1)
+    )
+    sketch = (
+        events.select("event_type", (hv % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    terms = F.array(*[F.lit(t).cast("long") for t in _HLL_TERMS])
+    est = sketch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("m_rho").alias("max_rho"),
+        (
+            F.sum(F.element_at(terms, F.col("m_rho")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 40)
+        ).alias("s"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_buckets",
+        "max_rho",
+        (F.lit(float(_HLL_C)) / F.col("s")).alias("hll_estimate"),
+    )

@@ -185,6 +185,72 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: connected components over verified MinHash pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL},
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    labels AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+    SELECT l.doc_id, l.cluster_id, s.n_members
+    FROM labels l
+    JOIN (SELECT cluster_id, COUNT(*) AS n_members
+          FROM labels GROUP BY cluster_id) s USING (cluster_id)
+    """,
+    doc="Dedup endpoint: connected components over the verified MinHash+LSH "
+    "pair graph — every near-dup doc labeled with its cluster (min doc_id), "
+    "so keep-one-per-cluster is a trivial filter. Spark side is iterative "
+    "min-label propagation + pointer jumping (O(log n) rounds, "
+    "localCheckpoint-truncated lineage, O(V+E) shuffle per round — the "
+    "MapReduce-CC recipe); oracle is a DuckDB recursive CTE.",
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.graph import connected_components
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        min_jaccard=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    ).persist()
+    labels = connected_components(pairs, "id_a", "id_b")
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    out = labels.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "n_members",
+    )
+    pairs.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SimHash banded near-dup (generated oracle)
 # ---------------------------------------------------------------------------
 

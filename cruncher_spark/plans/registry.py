@@ -75,3 +75,7 @@ def _load_all() -> None:
         from cruncher_spark.plans import multimodal_queries  # noqa: F401
     except ImportError:  # pragma: no cover
         pass
+    try:
+        from cruncher_spark.plans import analytics_queries  # noqa: F401
+    except ImportError:  # pragma: no cover
+        pass
