@@ -190,6 +190,15 @@ def prefix_jaccard_pairs(
     ordered = keyed.groupBy(id_col).agg(
         F.array_sort(F.collect_list("key")).alias("ks")
     )
+    # The rows leaving this aggregate are few and SMALL in bytes but feed the
+    # prefix explode + array_intersect probe — the most CPU-expensive stage of
+    # the pipeline. AQE coalesces exchanges by byte size, so left alone it can
+    # (and intermittently does) collapse the probe stage to ONE task, 30x the
+    # wall time. An explicit repartition(n) (REPARTITION_BY_NUM) is exempt
+    # from AQE coalescing and pins the stage at full parallelism.
+    ordered = ordered.repartition(
+        ordered.sparkSession.sparkContext.defaultParallelism
+    )
     prefix_n = (
         F.size("ks") - F.ceil(F.size("ks") * F.lit(min_jaccard)) + 1
     ).cast("int")
