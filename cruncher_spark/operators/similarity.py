@@ -327,16 +327,15 @@ def centroid_sample(
     """Deterministic training sample for the coarse quantizer: every
     ``every``-th id, sorted. At 100 TB this is the standard IVF recipe —
     a bounded driver-side sample trains the quantizer (FAISS trains on
-    ~10^5-10^6 of 10^9+ vectors); assignment stays fully distributed."""
-    return [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in (
-            vectors.where((F.col(id_col) % every) == 0)
-            .orderBy(id_col)
-            .select(id_col, vec_col)
-            .collect()
-        )
-    ]
+    ~10^5-10^6 of 10^9+ vectors); assignment stays fully distributed.
+
+    The id sort happens driver-side: a Spark ``orderBy`` before a
+    driver collect would add a range-partitioner sampling job + a full
+    exchange just to order rows we are about to hold in one list anyway.
+    """
+    rows = vectors.where((F.col(id_col) % every) == 0).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
 def fit_ivf_centroids(
@@ -368,30 +367,47 @@ def fit_ivf_centroids(
     return [[float(x) for x in row] for row in C]
 
 
-def _cell_scores(
-    vec_col: Column, centroids: list[list[float]], round_digits: int
-) -> Column:
-    """Per-row array of ``struct(ccos, ncid)`` sorted best-first.
+def _dbl(x: float) -> str:
+    """Exact double literal for Spark SQL text: ``repr`` round-trips the
+    value and the string-cast parse is bit-exact (same trick the DuckDB
+    oracle uses), avoiding the DECIMAL default of bare SQL literals."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _cell_scores_sql(
+    vec_sql: str, norm_sql: str, centroids: list[list[float]], round_digits: int
+) -> str:
+    """SQL text for the per-row array of ``struct(ccos, ncid)`` sorted
+    best-first.
 
     Centroids are embedded as literal arrays (K is tiny — this is the
     broadcast-in-the-plan form of a broadcast join), so assignment is a
     pure map-side projection: no shuffle, no join, fully codegen'd.
     ``ncid = -cid`` makes the natural struct ordering break cosine ties
     toward the smaller centroid id under descending sort.
+
+    Emitted as ONE SQL string parsed in a single pass: the round-1 form
+    built the same tree through ~4000 individual ``F.lit`` py4j calls,
+    which cost ~3 s of driver time per plan build. The dot is written
+    once inside a ``transform`` lambda instead of unrolled per centroid,
+    and the row norm arrives precomputed via ``norm_sql``.
     """
     import math
 
-    entries = []
-    for cid, cv in enumerate(centroids):
-        c_norm = math.sqrt(sum(x * x for x in cv))
-        cv_arr = F.array(*[F.lit(x) for x in cv])
-        ccos = F.round(
-            dot(vec_col, cv_arr) / (norm(vec_col) * F.lit(c_norm)), round_digits
+    cents = ", ".join(
+        "struct(array({cv}) AS cv, {cn} AS cn, {cid} AS cid)".format(
+            cv=", ".join(_dbl(x) for x in c),
+            cn=_dbl(math.sqrt(sum(x * x for x in c))),
+            cid=cid,
         )
-        entries.append(
-            F.struct(ccos.alias("ccos"), F.lit(-cid).alias("ncid"))
-        )
-    return F.sort_array(F.array(*entries), asc=False)
+        for cid, c in enumerate(centroids)
+    )
+    return (
+        "sort_array(transform(array({cents}), c -> struct("
+        "round(aggregate(zip_with({vec}, c.cv, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x) / ({nrm} * c.cn), {digits}) AS ccos, "
+        "-c.cid AS ncid)), false)"
+    ).format(cents=cents, vec=vec_sql, nrm=norm_sql, digits=round_digits)
 
 
 def ann_ivf_topk(
@@ -426,19 +442,21 @@ def ann_ivf_topk(
             centroid_sample(vectors, id_col, vec_col), n_centroids
         )
     dim = len(centroids[0])
-    cells = _cell_scores(F.col(vec_col), centroids, round_digits)
-    c = vectors.select(
+    cells_sql = _cell_scores_sql(
+        f"`{vec_col}`", "`_vnorm`", centroids, round_digits
+    )
+    c = vectors.withColumn("_vnorm", norm(F.col(vec_col), dim)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col), dim).alias("c_norm"),
-        (-F.element_at(cells, 1)["ncid"]).alias("cell"),
+        F.col("_vnorm").alias("c_norm"),
+        F.expr(f"-element_at({cells_sql}, 1).ncid").alias("cell"),
     )
-    q = queries.select(
+    q = queries.withColumn("_vnorm", norm(F.col(vec_col), dim)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col), dim).alias("q_norm"),
-        F.explode(
-            F.transform(F.slice(cells, 1, n_probe), lambda s: -s["ncid"])
+        F.col("_vnorm").alias("q_norm"),
+        F.expr(
+            f"explode(transform(slice({cells_sql}, 1, {n_probe}), s -> -s.ncid))"
         ).alias("cell"),
     )
     scored = (
