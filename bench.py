@@ -37,26 +37,44 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qmap = query_map()
-    # warmup: touch each table + JIT the common plan shapes
-    qmap["batch_delta"](spark, sf_dir).count()
-    # warm the Python workers + Arrow path (one-time ~8s fork/import cost
-    # that would otherwise be billed to the first Pandas-UDF query)
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+    # warmup: touch each table + JIT the common plan shapes (best-effort:
+    # a broken warmup query must not abort the bench)
+    try:
+        qmap["batch_delta"](spark, sf_dir).count()
+        # warm the Python workers + Arrow path (one-time ~8s fork/import cost
+        # that would otherwise be billed to the first Pandas-UDF query)
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception:
+        pass
 
+    # Per-query error isolation (round-3 lesson: one AnalysisException aborted
+    # the whole script and erased the round's bench record). A failing query
+    # is recorded under "errors" and the JSON line is ALWAYS emitted; the
+    # script exits 0 as long as at least one query timed.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in qmap.items():
         best = float("inf")
         for _ in range(max(reps, 1)):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()  # forces full execution of the aggregate/join plan
-            best = min(best, time.perf_counter() - t0)
-            # operators persist() reused subtrees; drop them so no query is
-            # billed for a predecessor's cache memory / GC pressure
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.count()  # forces full execution of the aggregate/join plan
+                best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 - bench must degrade, not die
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+            finally:
+                # operators persist() reused subtrees; drop them so no query
+                # is billed for a predecessor's cache memory / GC pressure
+                try:
+                    spark.catalog.clearCache()
+                except Exception:
+                    pass
+        if best < float("inf"):
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -66,6 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
                 "reps": reps,
                 "load_1m_start": load_start,
@@ -73,7 +92,11 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.exit(0 if timings else 1)
 
 
 if __name__ == "__main__":

@@ -30,15 +30,38 @@ STAR_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one parquet table. Column pruning + predicate pushdown are left
-    to Catalyst — callers express plain DataFrame plans and the scan narrows
-    itself (verify with ``.explain``: ``PushedFilters``/``ReadSchema``)."""
+    """Scan one parquet table, normalized to a single timestamp flavor.
+
+    Column pruning + predicate pushdown are left to Catalyst — callers
+    express plain DataFrame plans and the scan narrows itself (verify with
+    ``.explain``: ``PushedFilters``/``ReadSchema``).
+
+    Parquet writers disagree on the physical timestamp encoding; the three
+    flavors the driver's generators have produced so far are
+    TIMESTAMP(NANOS) (read as raw-nanos long under ``nanosAsLong``),
+    timestamp[us] UTC-adjusted (plain TIMESTAMP), and timestamp[us] with
+    ``isAdjustedToUTC=false`` (TIMESTAMP_NTZ). Downstream operators use
+    ``unix_micros``/``window``/``session_window``, which require TIMESTAMP —
+    so normalize every flavor here, in ONE place, rather than per query.
+    The session time zone is pinned to UTC (session.RUNTIME_CONFS), so the
+    NTZ→TIMESTAMP cast is a pure relabel: wall-clock micros are unchanged
+    and the DuckDB oracle's ``epoch_us(ts)`` agrees. The reference is
+    equally flavor-indifferent: MySQL DATETIME is naive and the crunch SQL
+    (crunch_global.sql:40) compares it directly.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanosAsLong read the TIMESTAMP(NANOS) column as raw nanos; convert
         # with integer division (doubles lose precision above 2^53)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
