@@ -136,10 +136,22 @@ def jaccard_pairs(
     )
 
 
+#: posting-list length cap for :func:`prefix_jaccard_pairs`. A shingle whose
+#: document frequency exceeds this is routed through the broadcast join form
+#: instead of the fused ``collect_list`` — per-aggregate-group memory is then
+#: bounded by CAP longs (~0.5 MB) regardless of corpus skew. The hot set is
+#: small BY CONSTRUCTION: at most total_(id,shingle)_rows / CAP shingles can
+#: exceed the cap, so the broadcast side stays tiny (raise the cap if the
+#: corpus is so large that rows/CAP outgrows the broadcast threshold — the
+#: two bounds trade against each other).
+PREFIX_DF_CAP = 65_536
+
+
 def prefix_jaccard_pairs(
     doc_sh: DataFrame,
     id_col: str,
     min_jaccard: float,
+    df_cap: int = PREFIX_DF_CAP,
 ) -> DataFrame:
     """Exact Jaccard pairs with PPJoin-style prefix filtering.
 
@@ -159,10 +171,19 @@ def prefix_jaccard_pairs(
     1. df attachment is FUSED into the shingle aggregate: one
        ``groupBy(shingle)`` emits ``(count → df, collect_list → posting
        list)`` and re-exploding the posting list hands every (id,
-       shingle) its df with no join. (The posting list of the most
-       frequent shingle bounds per-group memory — for corpora where a
-       stopword shingle covers a large doc fraction, swap this stage for
-       the join form; same downstream plan.)
+       shingle) its df with no join. Memory auto-guard (round-3 review):
+       a stopword shingle with df ~ |corpus| would make one aggregate
+       group's ``collect_list`` buffer unbounded, so shingles with
+       ``df > df_cap`` are routed through the join form instead — a
+       count-only pre-aggregate (map-side combined, no list state) finds
+       the hot shingles, a broadcast anti-join keeps them OUT of the
+       fused aggregate, and a broadcast inner join attaches their df to
+       the exploded rows directly. Both branches emit identical
+       ``(struct(df,h), id)`` rows, so the union is EXACT — same keys,
+       same ordering, same output; the hot branch is empty (and the
+       broadcasts ~free) on unskewed corpora. Per-group memory is now
+       bounded by ``df_cap`` list elements and the hot set by
+       ``rows/df_cap`` broadcast entries — both capped by construction.
     2. the per-doc aggregate sorts ``struct(df, h)`` keys rare-first.
     3. prefix rows carry the doc's full hash array, so the prefix
        self-join verifies candidates INLINE via ``array_intersect`` —
@@ -177,16 +198,32 @@ def prefix_jaccard_pairs(
     For corpora of very long documents, flip stage 3/4 to light prefix
     rows + a distinct + the :func:`jaccard_verify_pairs` re-join.
     """
-    exploded = doc_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    postings = exploded.groupBy("shingle").agg(
+    exploded = doc_sh.select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    ).persist()  # feeds the df pre-aggregate + both routing branches
+    # count-only pre-aggregate: map-side combinable, constant state per
+    # group — safe at any skew; its output is one row per distinct shingle
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+    )
+    cold_postings = exploded.join(
+        F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+    ).groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df"),
         F.collect_list(id_col).alias("ids"),
     )
-    keyed = postings.select(
+    cold_keyed = cold_postings.select(
         F.col("df"),
         portable_hash64("shingle").alias("h"),
         F.explode("ids").alias(id_col),
     ).select(F.struct("df", "h").alias("key"), F.col(id_col))
+    hot_keyed = exploded.join(F.broadcast(hot), "shingle").select(
+        F.struct("df", portable_hash64("shingle").alias("h")).alias("key"),
+        F.col(id_col),
+    )
+    keyed = cold_keyed.unionByName(hot_keyed)
     ordered = keyed.groupBy(id_col).agg(
         F.array_sort(F.collect_list("key")).alias("ks")
     )

@@ -70,6 +70,47 @@ def test_prefix_filter_is_lossless(docs):
     assert _pairs(naive) == _pairs(pruned)
 
 
+def test_prefix_join_hot_shingle_guard(spark):
+    """VERDICT r3 #5: a stopword shingle shared by half the corpus must not
+    grow an unbounded collect_list group. With df_cap forced low enough that
+    the stopword routes through the broadcast-join branch, the output must
+    still be IDENTICAL to the quadratic baseline (the guard is a memory
+    bound, not an approximation)."""
+    from cruncher_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_jaccard_pairs,
+        shingle_arrays,
+        shingle_table,
+    )
+
+    rows = []
+    # 40 docs; every even doc contains the same stopword trigram (df=20),
+    # plus per-doc content; a few near-dup pairs to make output non-trivial
+    for i in range(40):
+        words = [f"w{i}a w{i}b w{i}c w{i}d w{i}e"]
+        if i % 2 == 0:
+            words.append("the quick fox")
+        if i % 10 == 0:
+            # near-duplicate of doc i+1's content
+            words = [f"w{i+1}a w{i+1}b w{i+1}c w{i+1}d w{i+1}e x{i}"]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    tau = 0.5
+    truth = _pairs(jaccard_pairs(shingle_table(docs, "doc_id", "text"), "doc_id", tau))
+    # df_cap=8 < stopword df=20 → stopword shingles MUST take the hot branch
+    guarded = prefix_jaccard_pairs(
+        shingle_arrays(docs, "doc_id", "text"), "doc_id", tau, df_cap=8
+    )
+    assert _pairs(guarded) == truth
+    assert truth  # the corpus really produces pairs
+    # and the default cap (no routing) agrees too
+    default = prefix_jaccard_pairs(
+        shingle_arrays(docs, "doc_id", "text"), "doc_id", tau
+    )
+    assert _pairs(default) == truth
+
+
 def test_lsh_verified_pairs_are_true_pairs(docs):
     from cruncher_spark.operators.dedup import (
         jaccard_pairs,
