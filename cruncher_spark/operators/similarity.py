@@ -370,7 +370,17 @@ def fit_ivf_centroids(
 def _dbl(x: float) -> str:
     """Exact double literal for Spark SQL text: ``repr`` round-trips the
     value and the string-cast parse is bit-exact (same trick the DuckDB
-    oracle uses), avoiding the DECIMAL default of bare SQL literals."""
+    oracle uses), avoiding the DECIMAL default of bare SQL literals.
+
+    Finite-only by contract: Python renders non-finite floats as
+    'inf'/'nan', which Spark's non-ANSI string→double cast (accepting
+    'Infinity'/'NaN' only) would silently turn into NULL — a degenerate
+    centroid would then null every cell score instead of failing. Raise
+    here so a bad fit is loud (ADVICE r3)."""
+    import math
+
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite value cannot be inlined as SQL double: {x!r}")
     return f"CAST('{x!r}' AS DOUBLE)"
 
 
@@ -441,20 +451,31 @@ def ann_ivf_topk(
         centroids = fit_ivf_centroids(
             centroid_sample(vectors, id_col, vec_col), n_centroids
         )
+    # vec_col is interpolated into SQL text backtick-quoted; a backtick in
+    # the name would escape the quoting (ADVICE r3). Reject rather than
+    # attempt escaping — no real schema needs one.
+    if "`" in vec_col:
+        raise ValueError(f"vec_col must not contain backticks: {vec_col!r}")
+    # collision-safe internal norm column (ADVICE r3: a caller-owned
+    # `_vnorm` was silently overwritten by withColumn)
+    vn = "__ivf_vnorm__"
+    for side, df_in in (("vectors", vectors), ("queries", queries)):
+        if vn in df_in.columns:
+            raise ValueError(f"{side} already has internal column {vn!r}")
     dim = len(centroids[0])
     cells_sql = _cell_scores_sql(
-        f"`{vec_col}`", "`_vnorm`", centroids, round_digits
+        f"`{vec_col}`", f"`{vn}`", centroids, round_digits
     )
-    c = vectors.withColumn("_vnorm", norm(F.col(vec_col), dim)).select(
+    c = vectors.withColumn(vn, norm(F.col(vec_col), dim)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.col("_vnorm").alias("c_norm"),
+        F.col(vn).alias("c_norm"),
         F.expr(f"-element_at({cells_sql}, 1).ncid").alias("cell"),
     )
-    q = queries.withColumn("_vnorm", norm(F.col(vec_col), dim)).select(
+    q = queries.withColumn(vn, norm(F.col(vec_col), dim)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.col("_vnorm").alias("q_norm"),
+        F.col(vn).alias("q_norm"),
         F.expr(
             f"explode(transform(slice({cells_sql}, 1, {n_probe}), s -> -s.ncid))"
         ).alias("cell"),
