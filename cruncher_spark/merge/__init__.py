@@ -1,3 +1,4 @@
+from cruncher_spark.merge.merge_into import merge_as_select_sql, merge_into_sql
 from cruncher_spark.merge.upsert import MergePolicy, PointTable
 
-__all__ = ["MergePolicy", "PointTable"]
+__all__ = ["MergePolicy", "PointTable", "merge_as_select_sql", "merge_into_sql"]

@@ -1,0 +1,155 @@
+"""MERGE INTO emitter (VERDICT r3 #6).
+
+Two layers of checking:
+
+- string-level: the ``MERGE INTO`` rendering contains exactly the
+  reference's ON-DUPLICATE-KEY-UPDATE semantics per policy
+  (crunch_global.sql:68-87 add, crunch_player.sql:49 max,
+  crunch_team.sql:41-42 overwrite, keep = column absent).
+- execution-level: the portable SELECT rendering (same expression builder)
+  runs on DuckDB over the same data ``PointTable.merge`` folds, and the
+  post-merge states must be value-identical — the policy expressions are
+  proven by execution, with the MERGE statement sharing the same builder.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cruncher_spark.merge import (
+    MergePolicy,
+    PointTable,
+    merge_as_select_sql,
+    merge_into_sql,
+)
+
+KEY = ["series", "hero"]
+POLICIES = {
+    "played": MergePolicy.ADD,
+    "kda_max": MergePolicy.MAX,
+    "title": MergePolicy.OVERWRITE,
+    "created_at": MergePolicy.KEEP,
+    "dmg": MergePolicy.ADD,  # double → DECIMAL-exact add
+}
+DTYPES = {
+    "played": "bigint",
+    "kda_max": "bigint",
+    "title": "string",
+    "created_at": "bigint",
+    "dmg": "double",
+}
+COLUMNS = ["played", "kda_max", "title", "created_at", "dmg"]
+
+
+def test_merge_into_statement_renders_each_policy():
+    sql = merge_into_sql("stats", "delta", KEY, COLUMNS, POLICIES, DTYPES)
+    assert sql.startswith("MERGE INTO stats AS t")
+    assert "USING delta AS s" in sql
+    # null-safe key equality, both key columns
+    assert "t.series IS NOT DISTINCT FROM s.series" in sql
+    assert "t.hero IS NOT DISTINCT FROM s.hero" in sql
+    # add (NULL-propagating, like MySQL c + VALUES(c))
+    assert "t.played = t.played + s.played" in sql
+    # double add goes through exact DECIMAL accumulation
+    assert (
+        "t.dmg = CAST(CAST(t.dmg AS DECIMAL(28,6)) + "
+        "CAST(s.dmg AS DECIMAL(28,6)) AS DOUBLE)" in sql
+    )
+    # max keeps old on NULL source, like the reference CASE
+    assert "t.kda_max = CASE WHEN s.kda_max > t.kda_max THEN s.kda_max ELSE t.kda_max END" in sql
+    # overwrite
+    assert "t.title = s.title" in sql
+    # keep: column must NOT appear in the UPDATE SET list
+    update_clause = sql.split("WHEN MATCHED")[1].split("WHEN NOT MATCHED")[0]
+    assert "created_at" not in update_clause
+    # but inserts include every column
+    assert (
+        "INSERT (series, hero, played, kda_max, title, created_at, dmg)" in sql
+    )
+    assert "VALUES (s.series, s.hero, s.played, s.kda_max, s.title, s.created_at, s.dmg)" in sql
+
+
+def test_all_keep_policies_drop_matched_clause():
+    sql = merge_into_sql(
+        "t1", "s1", ["k"], ["a"], {"a": MergePolicy.KEEP}, {"a": "bigint"}
+    )
+    assert "WHEN MATCHED" not in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+
+
+def test_identifiers_with_quotes_rejected():
+    with pytest.raises(ValueError):
+        merge_into_sql("t`x", "s", ["k"], ["a"])
+    with pytest.raises(ValueError):
+        merge_into_sql("t", "s", ['k"'], ["a"])
+
+
+def test_select_form_matches_point_table_merge(spark, tmp_path):
+    """Execution-level: DuckDB runs the SELECT rendering; PointTable folds
+    the same delta. Post-merge states must agree value-for-value,
+    including NULL-propagating adds and NULL-keeps-old max."""
+    schema = (
+        "series string, hero string, played long, kda_max long, "
+        "title string, created_at long, dmg double"
+    )
+    state_rows = [
+        ("s1", "h1", 3, 7, "old", 100, 1.5),
+        ("s1", "h2", None, None, "old2", 200, None),  # NULL state survives adds as NULL
+        ("s2", "h1", 10, 2, "old3", 300, 0.25),
+    ]
+    delta_rows = [
+        ("s1", "h1", 2, 5, "new", 999, 0.5),    # matched: add/max-keeps-old/overwrite/keep
+        ("s1", "h2", 4, 9, "new2", 999, 2.0),   # matched vs NULL state
+        ("s3", "h9", 1, 1, "ins", 400, 3.0),    # not matched: plain insert
+    ]
+
+    pt = PointTable(
+        spark, str(tmp_path / "pt"), KEY, POLICIES, num_buckets=4
+    )
+    pt.merge(spark.createDataFrame(state_rows, schema), batch_id="b0")
+    pt.merge(spark.createDataFrame(delta_rows, schema), batch_id="b1")
+    got = {
+        (r["series"], r["hero"]): (
+            r["played"], r["kda_max"], r["title"], r["created_at"], r["dmg"]
+        )
+        for r in pt.read().collect()
+    }
+
+    con = duckdb.connect()
+    ddl = (
+        "series VARCHAR, hero VARCHAR, played BIGINT, kda_max BIGINT, "
+        "title VARCHAR, created_at BIGINT, dmg DOUBLE"
+    )
+    con.execute(f"CREATE TABLE state ({ddl}); CREATE TABLE delta ({ddl})")
+    con.executemany("INSERT INTO state VALUES (?,?,?,?,?,?,?)", state_rows)
+    con.executemany("INSERT INTO delta VALUES (?,?,?,?,?,?,?)", delta_rows)
+    sel = merge_as_select_sql("state", "delta", KEY, COLUMNS, POLICIES, DTYPES)
+    want = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in con.execute(sel).fetchall()
+    }
+    assert got == want
+    # the interesting rows really exercised the policies
+    assert got[("s1", "h1")] == (5, 7, "new", 100, 2.0)
+    assert got[("s1", "h2")] == (None, None, "new2", 200, None)
+    assert got[("s3", "h9")] == (1, 1, "ins", 400, 3.0)
+
+
+def test_point_table_emits_its_own_merge_sql(spark, tmp_path):
+    schema = "series string, hero string, played long, dmg double"
+    pt = PointTable(
+        spark,
+        str(tmp_path / "pt2"),
+        KEY,
+        {"played": MergePolicy.ADD, "dmg": MergePolicy.ADD},
+        num_buckets=2,
+    )
+    pt.merge(
+        spark.createDataFrame([("s1", "h1", 1, 0.5)], schema), batch_id="b0"
+    )
+    sql = pt.to_merge_into_sql("lake.stats", "delta_view")
+    # dotted target names are common in lakehouses — must be accepted
+    assert sql.startswith("MERGE INTO lake.stats AS t")
+    assert "t.played = t.played + s.played" in sql
+    assert "DECIMAL(28,6)" in sql  # dmg is double → exact add
