@@ -1,16 +1,21 @@
-"""Pure-stdlib media codecs: real PNG and WAV encode/decode.
+"""Pure-stdlib media codecs: real PNG, WAV and AVI encode/decode.
 
 The container has no PIL/soundfile/libav, but uncompressed formats do not
 need them: PNG is zlib + per-scanline filters + CRC-chunked framing
-(RFC 2083), WAV is RIFF framing the stdlib ``wave`` module speaks. These
-codecs make the multimodal decode path REAL for images and audio —
-``cruncher_spark.operators.multimodal`` plugs them into its
-``mapInPandas`` batch loop, so a user can round-trip actual media bytes.
-Video stays honestly stubbed (inter-frame codecs genuinely require
-libav).
+(RFC 2083), WAV is RIFF framing the stdlib ``wave`` module speaks, and
+VIDEO is RIFF AVI holding uncompressed 8-bit grayscale DIB frames
+(``00db`` chunks + the ``idx1`` frame index — the classic pre-codec AVI
+form, fully specified by the public RIFF/AVI and BITMAPINFOHEADER
+layouts). These codecs make the multimodal decode path REAL for all
+three kinds — ``cruncher_spark.operators.multimodal`` plugs them into
+its ``mapInPandas`` batch loop, so a user can round-trip actual media
+bytes, and frame sampling can read the real container index instead of
+slicing synthetic byte ranges. Inter-frame *compressed* video (H.264
+etc.) genuinely requires libav and stays out of scope; the container
+parsing, frame indexing and uncompressed-frame decode are real.
 
-Encoders are deterministic (fixed zlib level, filter 0) so payload bytes
-are reproducible across runs and engines.
+Encoders are deterministic (fixed zlib level, filter 0, fixed header
+fields) so payload bytes are reproducible across runs and engines.
 """
 
 from __future__ import annotations
@@ -112,6 +117,160 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
         rate = w.getframerate()
         frames = w.readframes(w.getnframes())
     return rate, np.frombuffer(frames, dtype=np.int16)
+
+
+# ---------------------------------------------------------------------------
+# AVI: RIFF container, uncompressed 8-bit grayscale DIB frames + idx1 index
+# ---------------------------------------------------------------------------
+
+_AVIIF_KEYFRAME = 0x10
+
+
+def _dib_row_stride(w: int) -> int:
+    return (w + 3) & ~3  # DIB scanlines pad to 4-byte boundaries
+
+
+def _frame_to_dib(frame: np.ndarray) -> bytes:
+    """(H, W) uint8 → bottom-up, 4-byte-row-padded DIB pixel data."""
+    h, w = frame.shape
+    stride = _dib_row_stride(w)
+    pad = b"\x00" * (stride - w)
+    return b"".join(frame[y].tobytes() + pad for y in range(h - 1, -1, -1))
+
+
+def _dib_to_frame(data: bytes, w: int, h: int) -> np.ndarray:
+    stride = _dib_row_stride(w)
+    out = np.empty((h, w), dtype=np.uint8)
+    for i in range(h):  # bottom-up storage → top-down array
+        row = data[i * stride : i * stride + w]
+        out[h - 1 - i] = np.frombuffer(row, dtype=np.uint8)
+    return out
+
+
+def avi_encode(frames: np.ndarray, fps: int) -> bytes:
+    """Encode an (N, H, W) uint8 stack as an AVI with uncompressed 8-bit
+    grayscale DIB frames ('DIB ' fourcc, BI_RGB, 256-entry gray palette)
+    and an ``idx1`` index chunk."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("avi_encode expects an (N, H, W) uint8 array")
+    n, h, w = frames.shape
+    frame_bytes = _dib_row_stride(w) * h
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n, 0, 1,  # dwTotalFrames, dwInitialFrames, dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<10I4h",
+            0, 0, 0,  # dwFlags, wPriority+wLanguage, dwInitialFrames
+            1, fps,  # dwScale, dwRate → fps frames/sec
+            0, n,  # dwStart, dwLength
+            frame_bytes, 0xFFFFFFFF, 0,  # buf size, quality, sample size
+            0, 0, w, h,  # rcFrame
+        )
+    )
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    strf = (
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_bytes, 0, 0, 256, 0)
+        + palette
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl_body = b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+
+    movi_chunks, index, off = [], [], 4  # offsets relative to 'movi' fourcc
+    for i in range(n):
+        data = _frame_to_dib(frames[i])
+        movi_chunks.append(b"00db" + struct.pack("<I", len(data)) + data)
+        index.append(struct.pack("<4sIII", b"00db", _AVIIF_KEYFRAME, off, len(data)))
+        off += 8 + len(data)
+        if len(data) % 2:  # RIFF chunks pad to even length
+            movi_chunks.append(b"\x00")
+            off += 1
+    movi_body = b"".join(movi_chunks)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    idx1 = b"idx1" + struct.pack("<I", 16 * n) + b"".join(index)
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_index(data: bytes) -> dict:
+    """Parse an AVI's headers + ``idx1`` WITHOUT touching frame data.
+
+    Returns ``{width, height, fps, n_frames, frames: [(abs_offset,
+    size), ...]}`` where ``abs_offset`` addresses the first frame-data
+    byte in ``data`` — so a caller can slice individual frames out of the
+    payload (the container analog of seeking by index instead of
+    scanning)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF signature)")
+    w = h = fps = n = None
+    movi_pos = None
+    entries: list[tuple[int, int]] = []
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body_at = pos + 8
+        if tag == b"LIST":
+            kind = data[body_at : body_at + 4]
+            if kind == b"movi":
+                movi_pos = body_at  # position of the 'movi' fourcc
+            else:  # descend into hdrl/strl
+                inner, end = body_at + 4, body_at + length
+                while inner + 8 <= end:
+                    itag = data[inner : inner + 4]
+                    (ilen,) = struct.unpack("<I", data[inner + 4 : inner + 8])
+                    ib = inner + 8
+                    if itag == b"avih":
+                        vals = struct.unpack("<14I", data[ib : ib + 56])
+                        n = vals[4]
+                        w, h = vals[8], vals[9]
+                    elif itag == b"strh" and data[ib : ib + 4] == b"vids":
+                        scale, rate = struct.unpack("<2I", data[ib + 20 : ib + 28])
+                        fps = rate // max(scale, 1)
+                    elif itag == b"LIST":
+                        # nested strl: step INTO it rather than over
+                        inner = ib + 4
+                        continue
+                    inner = ib + ilen + (ilen % 2)
+        elif tag == b"idx1":
+            for e in range(length // 16):
+                ckid, _flags, off, size = struct.unpack(
+                    "<4sIII", data[body_at + 16 * e : body_at + 16 * e + 16]
+                )
+                if ckid == b"00db":
+                    entries.append((off, size))
+        pos = body_at + length + (length % 2)
+    if w is None or movi_pos is None:
+        raise ValueError("AVI missing avih header or movi list")
+    frames = [(movi_pos + off + 8, size) for off, size in entries]
+    return {
+        "width": w, "height": h,
+        "fps": fps if fps is not None else 0,
+        "n_frames": n if n is not None else len(frames),
+        "frames": frames,
+    }
+
+
+def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode an uncompressed grayscale AVI → (fps, (N, H, W) uint8)."""
+    idx = avi_index(data)
+    w, h = idx["width"], idx["height"]
+    out = np.empty((len(idx["frames"]), h, w), dtype=np.uint8)
+    for i, (off, size) in enumerate(idx["frames"]):
+        out[i] = _dib_to_frame(data[off : off + size], w, h)
+    return idx["fps"], out
 
 
 def resize_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:

@@ -16,6 +16,7 @@ from cruncher_spark.operators.multimodal import (
     decode_features,
     decode_features_real,
     frame_sample,
+    frame_sample_real,
     resize_image_real,
     resize_media,
 )
@@ -81,30 +82,89 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diag_px_sum(c: str, w: str, h: str) -> str:
+    """DuckDB SQL for the exact pixel sum of a ``(c + x + y) % 256``
+    gradient over a w×h raster, via the diagonal closed form: x+y=d has
+    ``min(d, w-1, h-1, w+h-2-d)+1`` cells, so the double sum collapses
+    to O(w+h) list elements instead of O(w·h)."""
+    return (
+        f"list_sum(list_transform(range(0, ({w}) + ({h}) - 1), "
+        f"d -> (LEAST(d, ({w}) - 1, ({h}) - 1, ({w}) + ({h}) - 2 - d) + 1)"
+        f" * ((({c}) + d) % 256)))"
+    )
+
+
+#: real-video metadata formulas, shared by the decode + frame gates
+_VW = "2 + (doc_id % 24) * 2"
+_VH = "2 + (doc_id % 18) * 2"
+_NFRAMES = "FLOOR(octet_length(encode(text)) / 256) + 1"
+
+
 @register(
     "multimodal_decode_real",
     f"""
     SELECT
         doc_id AS media_id,
         {KIND_CASE} AS kind,
-        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 24) * 16 END AS INT) AS width,
-        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 18) * 16 END AS INT) AS height,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 24) * 16
+                  WHEN doc_id % 3 = 2 THEN {_VW} END AS INT) AS width,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id % 18) * 16
+                  WHEN doc_id % 3 = 2 THEN {_VH} END AS INT) AS height,
         CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 4000 END AS INT) AS sample_rate,
-        CAST(CASE WHEN doc_id % 3 = 1 THEN n_chars END AS BIGINT) AS n_samples
+        CAST(CASE WHEN doc_id % 3 = 1 THEN n_chars END AS BIGINT) AS n_samples,
+        CAST(CASE WHEN doc_id % 3 = 2 THEN {_NFRAMES} END AS INT) AS n_frames,
+        CAST(CASE WHEN doc_id % 3 = 2 THEN 10 + doc_id % 20 END AS INT) AS fps,
+        CAST(CASE
+            WHEN doc_id % 3 = 0
+            THEN {_diag_px_sum("doc_id", "16 + (doc_id % 24) * 16", "16 + (doc_id % 18) * 16")}
+            WHEN doc_id % 3 = 2
+            THEN list_sum(list_transform(range(0, CAST({_NFRAMES} AS BIGINT)),
+                 f -> {_diag_px_sum("doc_id + 7 * f", _VW, _VH)}))
+        END AS BIGINT) AS px_sum
     FROM documents
-    WHERE doc_id % 3 < 2
     """,
-    doc="REAL codec round-trip: Spark encodes valid PNG/WAV payloads then "
-    "decodes them back (pure-stdlib codecs, mapInPandas); the oracle "
-    "predicts the decoded dimensions/rates/counts independently from the "
-    "generation formulas — matching values prove the actual bytes "
-    "round-trip. Video excluded (no stdlib codec).",
+    doc="REAL codec round-trip for ALL THREE kinds: Spark encodes valid "
+    "PNG/WAV/AVI payloads then decodes them back (pure-stdlib codecs, "
+    "mapInPandas); the oracle predicts the decoded dimensions/rates/"
+    "frame counts/fps AND the exact integer pixel sums analytically from "
+    "the generation formulas — matching values prove the actual bytes "
+    "round-trip through the real containers.",
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(Star(spark, sf_dir).documents, real_payloads=True)
     return decode_features_real(media).select(
-        "media_id", "kind", "width", "height", "sample_rate", "n_samples"
+        "media_id", "kind", "width", "height", "sample_rate", "n_samples",
+        "n_frames", "fps", "px_sum",
     )
+
+
+@register(
+    "multimodal_frames_real",
+    f"""
+    WITH v AS (
+        SELECT doc_id,
+            CAST({_VW} AS INT) AS vw,
+            CAST({_VH} AS INT) AS vh,
+            unnest(range(0, CAST({_NFRAMES} AS BIGINT), 2)) AS fno
+        FROM documents
+        WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id AS media_id,
+        CAST(fno AS INT) AS frame_no,
+        vw AS frame_w,
+        vh AS frame_h,
+        CAST({_diag_px_sum("doc_id + 7 * fno", "vw", "vh")} AS BIGINT) AS px_sum
+    FROM v
+    """,
+    doc="REAL container-index frame sampling: read the AVI idx1 index, "
+    "slice every-2nd frame's bytes by (offset, size), decode only those "
+    "frames. The oracle reproduces each sampled frame's exact pixel sum "
+    "analytically — proving the index points at the right bytes and the "
+    "DIB decode is correct, per frame.",
+)
+def multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(Star(spark, sf_dir).documents, real_payloads=True)
+    return frame_sample_real(media, every_n=2)
 
 
 @register(

@@ -152,9 +152,10 @@ def test_resize_nearest_dims_and_content():
 
 
 def test_real_payload_decode_roundtrip(spark):
-    """attach_media(real_payloads=True) emits valid PNG/WAV that
+    """attach_media(real_payloads=True) emits valid PNG/WAV/AVI that
     decode_features_real parses back to the generation metadata."""
     from cruncher_spark.operators.multimodal import (
+        VIDEO_DIM_DIV,
         attach_media,
         decode_features_real,
     )
@@ -165,17 +166,82 @@ def test_real_payload_decode_roundtrip(spark):
     meta = {
         r.media_id: r
         for r in media.select(
-            "media_id", "kind", "width", "height", "sample_rate", "n_samples"
+            "media_id", "kind", "width", "height", "sample_rate",
+            "n_samples", "n_frames",
         ).collect()
     }
     decoded = decode_features_real(media).collect()
     assert decoded
+    kinds = {r.kind for r in decoded}
+    assert kinds == {"image", "audio", "video"}
     for r in decoded:
         m = meta[r.media_id]
         if r.kind == "image":
             assert (r.width, r.height) == (m.width, m.height)
-            assert 0.0 <= r.mean_value <= 255.0
-        else:
-            assert r.kind == "audio"
+            assert 0 <= r.px_sum <= 255 * m.width * m.height
+        elif r.kind == "audio":
             assert r.sample_rate == m.sample_rate
             assert r.n_samples == m.n_samples
+        else:
+            assert (r.width, r.height) == (
+                m.width // VIDEO_DIM_DIV, m.height // VIDEO_DIM_DIV
+            )
+            assert r.n_frames == m.n_frames
+            assert r.fps == 10 + r.media_id % 20
+
+
+def test_avi_codec_roundtrip():
+    import numpy as np
+
+    from cruncher_spark.functions.codecs import (
+        avi_decode,
+        avi_encode,
+        avi_index,
+    )
+
+    rng = np.random.RandomState(11)
+    # odd width exercises the 4-byte DIB row padding
+    frames = rng.randint(0, 256, (4, 10, 7), dtype=np.uint8)
+    data = avi_encode(frames, fps=24)
+    fps, back = avi_decode(data)
+    assert fps == 24
+    assert np.array_equal(back, frames)
+    idx = avi_index(data)
+    assert (idx["n_frames"], idx["height"], idx["width"]) == (4, 10, 7)
+    assert len(idx["frames"]) == 4
+    # the index addresses real frame bytes: sizes match the padded raster
+    assert all(size == 8 * 10 for _off, size in idx["frames"])  # stride(7)=8
+
+
+def test_frame_sample_real_reads_container_index(spark):
+    from cruncher_spark.operators.multimodal import (
+        attach_media,
+        frame_sample_real,
+    )
+    from cruncher_spark.sources.tables import Star
+
+    docs = Star(spark, "/root/testdata/sf0.001").documents.limit(60)
+    media = attach_media(docs, real_payloads=True)
+    n_frames = {
+        r.media_id: r.n_frames
+        for r in media.where("kind = 'video'").select(
+            "media_id", "n_frames"
+        ).collect()
+    }
+    sampled = frame_sample_real(media, every_n=2).collect()
+    assert sampled
+    by_media: dict[int, list] = {}
+    for r in sampled:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        # every-2nd-frame positions, exactly
+        assert sorted(r.frame_no for r in rows) == list(
+            range(0, n_frames[mid], 2)
+        )
+        # decoded gradient frame: exact analytic pixel sum
+        for r in rows:
+            w, h, c = r.frame_w, r.frame_h, mid + 7 * r.frame_no
+            want = sum(
+                (c + x + y) % 256 for y in range(h) for x in range(w)
+            )
+            assert r.px_sum == want
