@@ -30,6 +30,22 @@ message body. The sandbox has no broker or kafka connector jar, so the
 Kafka branch is integration-tested by driving the identical decode +
 pipeline over a Kafka-SHAPED stream (same columns/types as the kafka
 source) fed from files — see tests/test_merge_streaming.py.
+
+RabbitMQ/AMQP deployments (the reference's literal broker): Spark has no
+first-party AMQP structured-streaming source, and that is deliberate —
+AMQP's per-message ack model has no replayable offsets, so a crashed
+micro-batch cannot be re-read from the broker and exactly-once degrades
+to at-most/at-least-once at the source. The standard production recipe
+is a *bridge*: a thin consumer (or an off-the-shelf
+shovel/connector) republishes queue messages into a replayable log —
+Kafka topic, or simply files in a landing directory, both of which this
+worker already consumes — and the ack happens on publish. That keeps
+the broker contract (the reference ACKs after commit, worker.js:167-182)
+while giving Spark the replayable source its checkpointing needs; the
+``batch_id`` merge ledger then upgrades the end-to-end guarantee to
+exactly-once regardless of bridge redelivery. Both bridge targets run
+through the SAME ``_start_stream`` pipeline, so no query or sink code
+changes between file, Kafka, or bridged-AMQP deployments.
 """
 
 from __future__ import annotations
