@@ -1,0 +1,105 @@
+"""Corpus-curation operators: decontamination and deterministic sampling.
+
+Two operations every LLM training-data pipeline runs at full-corpus scale,
+beyond the reference's own surface (the reference has no document
+pipeline; these extend the engine the way SURVEY §7's beyond-reference
+plan prescribes):
+
+- **benchmark decontamination** (:func:`contamination_check`): flag
+  corpus documents sharing word n-grams with an evaluation/benchmark
+  set, the standard defense against test-set leakage into training data
+  (GPT-3 App. C / The Pile use 13-grams; the n is a parameter — the
+  fixtures' ~50-word documents use 3). Scale shape: the eval side is
+  SMALL by construction (benchmarks are thousands of documents, not
+  billions), so its distinct grams BROADCAST; the corpus side is one
+  explode + broadcast-hash semi-join + one aggregate — no corpus-side
+  shuffle except the final per-doc count, and no all-pairs anything.
+
+- **stratified hash sampling** (:func:`stratified_sample`): keep each
+  row iff ``portable_hash64(id, salt) % DENOM < rate(stratum) * DENOM``.
+  Per-stratum rates let a pipeline rebalance (e.g. downsample the
+  dominant language); the hash is deterministic and engine-portable, so
+  the SAME rows are selected on every run and every engine — which is
+  what makes train/val/test splits reproducible (disjoint hash ranges
+  from the same salt give leak-proof splits: a row's assignment never
+  depends on partitioning, ordering, or cluster size). Scale shape:
+  pure map-side filter — rates inline into the plan, no join, no
+  shuffle, nothing to skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cruncher_spark.functions.text import portable_hash64
+
+#: hash-space denominator for sampling rates: rates quantize to 1/10000
+SAMPLE_DENOM = 10_000
+
+
+def contamination_check(
+    corpus_sh: DataFrame,
+    eval_sh: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Per-document n-gram overlap with a benchmark set.
+
+    Inputs are ``(id, sh: array<string>)`` shingle tables (see
+    :func:`cruncher_spark.operators.dedup.shingle_arrays`) for the corpus
+    and the (small) eval set. Output: ``(id, n_matched, n_grams,
+    contamination_ratio)`` for every corpus document with ≥1 matched
+    gram — the pipeline then drops or audits those ids.
+
+    Plan: eval grams → ``array_distinct``/``explode``/``distinct`` →
+    broadcast; corpus explode joins it map-side; one hash aggregate
+    counts distinct matches per doc (shingle arrays are distinct per
+    doc already, so ``count(*)`` == distinct matched grams).
+    """
+    eval_grams = (
+        eval_sh.select(F.explode("sh").alias("gram")).distinct()
+    )
+    corpus = corpus_sh.select(
+        F.col(id_col), F.size("sh").alias("n_grams"), F.explode("sh").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            id_col,
+            "n_matched",
+            "n_grams",
+            (F.col("n_matched").cast("double") / F.col("n_grams")).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum downsample.
+
+    Keeps a row iff ``hash(id, salt) % 10000 < rate(stratum) * 10000``
+    (rates quantize to 1/10000). Unlike ``df.sample``/``sampleBy`` —
+    whose selection depends on partition-level RNG streams and therefore
+    on the physical plan — the hash rule is a pure function of the row,
+    so results are identical across runs, partitionings, and engines,
+    and complementary salts/ranges give reproducible disjoint splits.
+    """
+    thresh = F.lit(int(default_rate * SAMPLE_DENOM))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_DENOM))
+        ).otherwise(thresh)
+    bucket = portable_hash64(F.col(id_col).cast("string"), salt=salt) % SAMPLE_DENOM
+    return df.where(bucket < thresh)

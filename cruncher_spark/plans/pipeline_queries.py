@@ -550,6 +550,85 @@ def _ivf_cache_key(sf_dir: str) -> tuple:
 
 
 # ---------------------------------------------------------------------------
+# curation: benchmark decontamination + deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: every 50th doc plays the "benchmark set" role for the decontamination
+#: gate — small relative to the corpus, as real eval sets are
+_EVAL_MOD = 50
+
+#: per-language sampling rates for the stratified-sample gate: downsample
+#: the dominant language hard, keep the tails
+_STRAT_RATES = {"en": 0.5, "fr": 0.25}
+_STRAT_DEFAULT = 0.1
+_STRAT_SALT = "strat"
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH {_SH_CTE},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh
+           WHERE doc_id % {_EVAL_MOD} <> 0 GROUP BY doc_id),
+    hits AS (
+      SELECT s.doc_id, COUNT(*) AS n_matched
+      FROM sh s JOIN ev USING (shingle)
+      WHERE s.doc_id % {_EVAL_MOD} <> 0 GROUP BY s.doc_id
+    )
+    SELECT h.doc_id, h.n_matched, CAST(z.n_grams AS BIGINT) AS n_grams,
+           CAST(h.n_matched AS DOUBLE) / z.n_grams AS contamination_ratio
+    FROM hits h JOIN sz z USING (doc_id)
+    """,
+    doc="Benchmark decontamination: corpus documents sharing word n-grams "
+    "with the (small) eval set — the standard test-set-leakage defense "
+    "for LLM training data. Eval grams broadcast; corpus side is one "
+    "explode + broadcast join + per-doc count, no corpus-side all-pairs.",
+)
+def contamination_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import contamination_check
+    from cruncher_spark.operators.dedup import shingle_arrays
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    sh = shingle_arrays(docs, "doc_id", "text", 3)
+    ev = sh.where(F.col("doc_id") % _EVAL_MOD == 0)
+    corpus = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+    out = contamination_check(corpus, ev, "doc_id")
+    return out.select(
+        "doc_id",
+        "n_matched",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "contamination_ratio",
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{_STRAT_SALT}'), 1, 15) AS BIGINT)
+          % 10000
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
+    """,
+    doc="Deterministic stratified downsample: keep iff "
+    "hash(id, salt) % 10000 < rate(lang) * 10000 — a pure map-side "
+    "filter (rates inlined, no join/shuffle) whose selection is a "
+    "function of the row alone, so samples and train/val/test splits "
+    "reproduce across runs, partitionings, and engines.",
+)
+def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import stratified_sample
+
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    return stratified_sample(
+        docs, "lang", _STRAT_RATES, "doc_id",
+        default_rate=_STRAT_DEFAULT, salt=_STRAT_SALT,
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # text analysis: quality metrics, language-ID, fingerprinting
 # ---------------------------------------------------------------------------
 

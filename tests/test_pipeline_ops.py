@@ -133,6 +133,76 @@ def test_lsh_verified_pairs_are_true_pairs(docs):
         assert len(verified) >= len(truth) * 0.5
 
 
+def test_contamination_check_soundness(spark, docs):
+    """Every flagged doc really shares >=1 shingle with the eval set, and
+    every unflagged doc shares none (exactness, not approximation)."""
+    from cruncher_spark.operators.curation import contamination_check
+    from cruncher_spark.operators.dedup import shingle_arrays
+
+    sh = shingle_arrays(docs, "doc_id", "text", 3)
+    ev = sh.where(F.col("doc_id") % 10 == 0)
+    corpus = sh.where(F.col("doc_id") % 10 != 0)
+    flagged = {
+        r.doc_id: r.n_matched
+        for r in contamination_check(corpus, ev, "doc_id").collect()
+    }
+    eval_grams = {
+        g for r in ev.collect() for g in r.sh
+    }
+    for r in corpus.collect():
+        shared = len(set(r.sh) & eval_grams)
+        assert flagged.get(r.doc_id, 0) == shared
+
+
+def test_stratified_sample_deterministic_and_disjoint(spark, docs):
+    from cruncher_spark.operators.curation import stratified_sample
+
+    base = docs.select("doc_id", "lang")
+    a = {r.doc_id for r in stratified_sample(
+        base, "lang", {"en": 0.5}, "doc_id", default_rate=0.2
+    ).collect()}
+    b = {r.doc_id for r in stratified_sample(
+        base, "lang", {"en": 0.5}, "doc_id", default_rate=0.2
+    ).collect()}
+    assert a == b and a  # identical across runs
+    # repartitioning must not change the selection (unlike df.sample)
+    c = {r.doc_id for r in stratified_sample(
+        base.repartition(13), "lang", {"en": 0.5}, "doc_id", default_rate=0.2
+    ).collect()}
+    assert c == a
+    # complementary hash ranges from the same salt → leak-proof splits:
+    # approximate by sampling the complement rates and checking disjointness
+    from cruncher_spark.functions.text import portable_hash64
+    from cruncher_spark.operators.curation import SAMPLE_DENOM
+
+    bucket = portable_hash64(F.col("doc_id").cast("string"), salt="strat")
+    lo = base.where(bucket % SAMPLE_DENOM < 3000)
+    hi = base.where(
+        (bucket % SAMPLE_DENOM >= 3000) & (bucket % SAMPLE_DENOM < 10000)
+    )
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert not (lo_ids & hi_ids)
+    assert lo_ids | hi_ids == {r.doc_id for r in base.collect()}
+
+
+def test_stratified_sample_is_map_side_only(spark):
+    """The sampler must inline rates into a pure filter: no Exchange, no
+    join in the physical plan — the property that makes it free at 100 TB."""
+    from cruncher_spark.operators.curation import stratified_sample
+
+    base = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    plan = (
+        stratified_sample(base, "lang", {"en": 0.5}, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
 def test_ivf_fitted_centroids_beat_lowest_id_stub(emb):
     """VERDICT r1 "What's wrong" #2: fitted k-means centroids must give
     recall-vs-brute-force at equal probe budget at least as good as the
