@@ -628,6 +628,70 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+#: minimum token count for the curation pipeline's quality screen
+_CURATE_MIN_TOKENS = 30
+
+
+@register(
+    "corpus_curate",
+    oracle=f"""
+    WITH {_SH_CTE},
+    q AS (
+      SELECT doc_id, lang, text,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens
+      FROM documents
+      WHERE doc_id % {_EVAL_MOD} <> 0
+        AND len(regexp_extract_all(text, '{TOKEN_REGEX}')) >= {_CURATE_MIN_TOKENS}
+    ),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+    )
+    SELECT q.doc_id, q.lang, CAST(q.n_tokens AS BIGINT) AS n_tokens
+    FROM q JOIN surv USING (doc_id)
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || '#{_STRAT_SALT}'), 1, 15) AS BIGINT)
+          % 10000
+          < CASE q.lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 ELSE 1000 END
+    """,
+    doc="Flagship composed curation pipeline: quality screen (token count) "
+    "→ exact dedup (min-id per content digest) → benchmark "
+    "decontamination (drop any doc sharing a gram with the eval set) → "
+    "deterministic stratified downsample. Every stage is an existing "
+    "oracle-gated operator; the composition is itself gated end-to-end. "
+    "All-JVM: digests + hash sampling map-side, dedup one shuffle, "
+    "contamination a broadcast semi-join.",
+)
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import (
+        contamination_check,
+        stratified_sample,
+    )
+    from cruncher_spark.operators.dedup import shingle_arrays
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    corpus = docs.where(F.col("doc_id") % _EVAL_MOD != 0).withColumn(
+        "n_tokens", token_count("text").cast("long")
+    ).where(F.col("n_tokens") >= _CURATE_MIN_TOKENS)
+    survivors = exact_dedup_survivors(corpus, "doc_id", "text")
+    sh = shingle_arrays(docs, "doc_id", "text", 3)
+    ev_sh = sh.where(F.col("doc_id") % _EVAL_MOD == 0)
+    corpus_sh = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+    contaminated = contamination_check(corpus_sh, ev_sh, "doc_id").select("doc_id")
+    clean = (
+        corpus.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return stratified_sample(
+        clean, "lang", _STRAT_RATES, "doc_id",
+        default_rate=_STRAT_DEFAULT, salt=_STRAT_SALT,
+    ).select("doc_id", "lang", "n_tokens")
+
+
 # ---------------------------------------------------------------------------
 # text analysis: quality metrics, language-ID, fingerprinting
 # ---------------------------------------------------------------------------
