@@ -79,6 +79,28 @@ def contamination_check(
     )
 
 
+def contaminated_ids(
+    corpus_sh: DataFrame,
+    eval_sh: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Just the ids of contaminated documents — the drop-list form.
+
+    Same broadcast shape as :func:`contamination_check` but with a
+    left-semi join instead of the per-doc match counting: when the
+    pipeline only anti-joins the ids away (the common curation case),
+    the count aggregate is wasted work. ``distinct`` on the surviving
+    ids is the lone shuffle, and only over matched rows.
+    """
+    eval_grams = eval_sh.select(F.explode("sh").alias("gram")).distinct()
+    return (
+        corpus_sh.select(F.col(id_col), F.explode("sh").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -667,7 +667,7 @@ _CURATE_MIN_TOKENS = 30
 )
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.curation import (
-        contamination_check,
+        contaminated_ids,
         stratified_sample,
     )
     from cruncher_spark.operators.dedup import shingle_arrays
@@ -678,13 +678,18 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", token_count("text").cast("long")
     ).where(F.col("n_tokens") >= _CURATE_MIN_TOKENS)
     survivors = exact_dedup_survivors(corpus, "doc_id", "text")
-    sh = shingle_arrays(docs, "doc_id", "text", 3)
-    ev_sh = sh.where(F.col("doc_id") % _EVAL_MOD == 0)
-    corpus_sh = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
-    contaminated = contamination_check(corpus_sh, ev_sh, "doc_id").select("doc_id")
+    # decontaminate the quality-filtered corpus with the drop-list form
+    # (no per-doc match counting). Checking the pre-dedup superset keeps
+    # the anti-join result identical while letting the dedup aggregate
+    # run exactly once — shingling a post-dedup side would re-evaluate
+    # the digest aggregate in every branch that consumes it.
+    ev_sh = shingle_arrays(
+        docs.where(F.col("doc_id") % _EVAL_MOD == 0), "doc_id", "text", 3
+    )
+    corpus_sh = shingle_arrays(corpus, "doc_id", "text", 3)
     clean = (
         corpus.join(survivors.select("doc_id"), "doc_id", "left_semi")
-        .join(contaminated, "doc_id", "left_anti")
+        .join(contaminated_ids(corpus_sh, ev_sh, "doc_id"), "doc_id", "left_anti")
     )
     return stratified_sample(
         clean, "lang", _STRAT_RATES, "doc_id",
