@@ -474,12 +474,14 @@ def simhash_dup_pairs(
     b = exploded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band_idx", "chunk"
     )
+    # hamming filter BEFORE the multi-band dedup: far pairs (most of the
+    # candidate volume) never reach the distinct shuffle — the same
+    # dedupe-after-threshold ordering prefix_jaccard_pairs uses
     return (
         a.join(b, ["band_idx", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
