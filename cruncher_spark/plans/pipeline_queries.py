@@ -240,11 +240,17 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_jaccard=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
     ).persist()
     labels = connected_components(pairs, "id_a", "id_b")
-    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
-    out = labels.join(sizes, "comp").select(
+    # component size via a window count: ONE shuffle of labels by comp and
+    # no join — the aggregate+join form re-scanned labels twice and (with
+    # post-iteration stats unknown to Catalyst) planned a SortMergeJoin
+    from pyspark.sql import Window
+
+    out = labels.select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
-        "n_members",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .alias("n_members"),
     )
     pairs.unpersist()
     return out
