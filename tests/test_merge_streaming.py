@@ -366,9 +366,14 @@ def test_stream_poison_and_dlq(spark, crunch_tables, tmp_path, id_stream_dir):
     boom = {"n": 0}
 
     def plan(tables, batch):
-        boom["n"] += 1
-        if boom["n"] == 2:  # fail exactly one micro-batch
-            raise RuntimeError("injected crunch failure")
+        # inject on the 2nd NON-EMPTY batch: the file source breaks
+        # equal-mtime ties nondeterministically, so a positional "2nd
+        # batch" can land on the poison-only batch — whose post-filter id
+        # set is empty, quarantining 0 crunch_failed rows (observed flake)
+        if batch.count() > 0:
+            boom["n"] += 1
+            if boom["n"] == 2:  # fail exactly one micro-batch
+                raise RuntimeError("injected crunch failure")
         return crunch_global_delta(tables, batch, now=_now())
 
     worker = CrunchWorker(
