@@ -8,10 +8,17 @@ transfer). A warmup query is run first so JVM/codegen startup is not billed
 to the first query.
 
 Measurement hygiene (round-1 lesson: per-query swings of 2-6x under
-machine load): every query runs $SPARK_GRAFT_BENCH_REPS times (default 2)
+machine load): every query runs $SPARK_GRAFT_BENCH_REPS times (default 3)
 and reports the FASTEST rep, and the JSON carries the 1-minute load
 average at start/end so a polluted run is visible in the record. Compare
 rounds only on an idle box.
+
+Reps default to 3 rather than 2 because heavy codegen-bound queries
+measurably pay cross-query JVM-state decay (GC debt + fresh generated
+classes re-warming C2 profiles): in bench order the same query measured
+12.3 / 8.6 / 5.6 s over three reps while its standalone steady state is
+5.5 s — best-of-2 would record ~9 s of JIT noise as query cost. A
+System.gc() between queries trims the first-rep spike further.
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ from cruncher_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("cruncher-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,6 +63,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qmap.items():
+        # settle JVM state between queries so one query's GC debt is not
+        # billed to the next (see module docstring)
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         best = float("inf")
         for _ in range(max(reps, 1)):
             try:
