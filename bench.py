@@ -86,7 +86,10 @@ def main() -> None:
                     spark.catalog.clearCache()
                 except Exception:
                     pass
-        if best < float("inf"):
+        # error wins: a query that timed a rep then failed a later one is
+        # an error record, not a timing — the surviving rep is exactly the
+        # cold-JIT measurement the multi-rep design exists to exclude
+        if best < float("inf") and name not in errors:
             timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

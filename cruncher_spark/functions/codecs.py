@@ -153,6 +153,8 @@ def avi_encode(frames: np.ndarray, fps: int) -> bytes:
     and an ``idx1`` index chunk."""
     if frames.ndim != 3 or frames.dtype != np.uint8:
         raise ValueError("avi_encode expects an (N, H, W) uint8 array")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
     n, h, w = frames.shape
     frame_bytes = _dib_row_stride(w) * h
 
@@ -249,12 +251,27 @@ def avi_index(data: bytes) -> dict:
                 ckid, _flags, off, size = struct.unpack(
                     "<4sIII", data[body_at + 16 * e : body_at + 16 * e + 16]
                 )
-                if ckid == b"00db":
-                    entries.append((off, size))
+                # 00db = uncompressed DIB, 00dc = "compressed" stream tag
+                # that BI_RGB writers also use for raw frames
+                if ckid in (b"00db", b"00dc"):
+                    entries.append((ckid, off, size))
         pos = body_at + length + (length % 2)
     if w is None or movi_pos is None:
         raise ValueError("AVI missing avih header or movi list")
-    frames = [(movi_pos + off + 8, size) for off, size in entries]
+    # idx1 offsets come in two conventions in the wild: relative to the
+    # 'movi' fourcc (what avi_encode writes) or absolute file offsets
+    # (VirtualDub, some ffmpeg muxes). Disambiguate the way players do:
+    # probe where the first entry's chunk header actually is.
+    frames: list[tuple[int, int]] = []
+    if entries:
+        ckid0, off0, _ = entries[0]
+        if data[movi_pos + off0 : movi_pos + off0 + 4] == ckid0:
+            base = movi_pos
+        elif data[off0 : off0 + 4] == ckid0:
+            base = 0
+        else:
+            raise ValueError("idx1 offsets match neither movi-relative nor absolute convention")
+        frames = [(base + off + 8, size) for _ckid, off, size in entries]
     return {
         "width": w, "height": h,
         "fps": fps if fps is not None else 0,

@@ -32,6 +32,15 @@ Both match ``upsert._merge_frames`` exactly, including the
 NULL-propagating ``add`` (MySQL ``NULL + x = NULL``), the NULL-keeps-old
 ``max`` comparison, and the DECIMAL(28,6) exact accumulation for
 double-typed ``add`` columns.
+
+Contract: **merge-key columns must be non-NULL**, exactly as in the
+reference (the point tables' PRIMARY KEY columns are implicitly NOT
+NULL). A NULL-valued key is outside the contract and the three forms
+intentionally do not promise agreement on it: ``MERGE``'s
+``IS NOT DISTINCT FROM`` match would treat two NULL keys as the same
+row, while the SELECT form and ``_merge_frames`` detect row presence
+via ``key IS NOT NULL`` and would keep the target value. Filter or
+fail NULL keys upstream.
 """
 
 from __future__ import annotations

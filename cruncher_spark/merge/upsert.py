@@ -69,7 +69,9 @@ class PointTable:
     """A persistent upsert-merged accumulator table over parquet.
 
     ``key`` is the grouping-key tuple (merge identity — the reference's
-    PRIMARY KEY on the point table); ``policies`` maps measure column →
+    PRIMARY KEY on the point table; like a PRIMARY KEY, key columns are
+    contractually non-NULL — a NULL key row is treated as absent by the
+    merge presence checks); ``policies`` maps measure column →
     MergePolicy, defaulting to ADD (the dominant reference policy).
     ``num_buckets`` fixes the hash-bucket layout at table creation; an
     existing table's persisted bucket count always wins so the key→bucket

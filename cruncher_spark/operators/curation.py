@@ -118,10 +118,13 @@ def stratified_sample(
     so results are identical across runs, partitionings, and engines,
     and complementary salts/ranges give reproducible disjoint splits.
     """
-    thresh = F.lit(int(default_rate * SAMPLE_DENOM))
+    # round, don't truncate: 0.57 * 10000 is 5699.999… in binary floating
+    # point, and int() would quantize it to 5699 — off by one row-in-10000
+    # from the documented `rate * 10000` rule an external reproducer uses
+    thresh = F.lit(round(default_rate * SAMPLE_DENOM))
     for stratum, rate in sorted(rates.items()):
         thresh = F.when(
-            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_DENOM))
+            F.col(strata_col) == stratum, F.lit(round(rate * SAMPLE_DENOM))
         ).otherwise(thresh)
     bucket = portable_hash64(F.col(id_col).cast("string"), salt=salt) % SAMPLE_DENOM
     return df.where(bucket < thresh)

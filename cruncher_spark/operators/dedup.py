@@ -205,11 +205,15 @@ def prefix_jaccard_pairs(
     exploded = doc_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     # count-only pre-aggregate: map-side combinable, constant state per
     # group — safe at any skew; its output is one row per distinct shingle
+    # persisted: hot feeds TWO broadcasts (anti-join + df-attach) whose
+    # projections differ, so without the persist the full corpus-wide
+    # count aggregate would execute twice; the cached result is tiny by
+    # construction (≤ rows/df_cap entries)
     hot = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > df_cap)
-    )
+    ).persist()
     cold_postings = exploded.join(
         F.broadcast(hot.select("shingle")), "shingle", "left_anti"
     ).groupBy("shingle").agg(

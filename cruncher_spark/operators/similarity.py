@@ -447,10 +447,8 @@ def ann_ivf_topk(
     Output: (query_id, neighbor_id, rank, cos) — same contract as
     :func:`brute_force_topk` / :func:`ann_lsh_topk`.
     """
-    if centroids is None:
-        centroids = fit_ivf_centroids(
-            centroid_sample(vectors, id_col, vec_col), n_centroids
-        )
+    # cheap input guards FIRST — rejecting after the k-means fit would
+    # waste the expensive sample/fit pass the centroid cache amortizes.
     # vec_col is interpolated into SQL text backtick-quoted; a backtick in
     # the name would escape the quoting (ADVICE r3). Reject rather than
     # attempt escaping — no real schema needs one.
@@ -462,6 +460,10 @@ def ann_ivf_topk(
     for side, df_in in (("vectors", vectors), ("queries", queries)):
         if vn in df_in.columns:
             raise ValueError(f"{side} already has internal column {vn!r}")
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            centroid_sample(vectors, id_col, vec_col), n_centroids
+        )
     dim = len(centroids[0])
     cells_sql = _cell_scores_sql(
         f"`{vec_col}`", f"`{vn}`", centroids, round_digits

@@ -83,6 +83,36 @@ def test_avi_roundtrip_and_index(n, h, w, fps, seed):
     assert spans[-1][0] + spans[-1][1] <= len(data)
 
 
+def test_avi_index_absolute_offsets_and_00dc():
+    """Foreign AVIs write idx1 offsets as absolute file positions and may
+    tag raw DIB frames '00dc'; avi_index must handle both conventions."""
+    import struct
+
+    frames = np.arange(2 * 6 * 5, dtype=np.uint8).reshape(2, 6, 5)
+    data = bytearray(avi_encode(frames, fps=12))
+    # locate idx1 and the movi fourcc
+    idx_pos = bytes(data).rindex(b"idx1")
+    movi_pos = bytes(data).index(b"LIST", 12)
+    while bytes(data)[movi_pos + 8 : movi_pos + 12] != b"movi":
+        movi_pos = bytes(data).index(b"LIST", movi_pos + 1)
+    movi_fourcc = movi_pos + 8
+    (n_entries,) = (struct.unpack("<I", data[idx_pos + 4 : idx_pos + 8])[0] // 16,)
+    for e in range(n_entries):
+        at = idx_pos + 8 + 16 * e
+        ckid, flags, off, size = struct.unpack("<4sIII", data[at : at + 16])
+        # rewrite: movi-relative → absolute, fourcc 00db → 00dc (both in
+        # idx1 AND the movi chunk headers, as a real muxer would tag them)
+        data[at : at + 16] = struct.pack(
+            "<4sIII", b"00dc", flags, movi_fourcc + off, size
+        )
+        chunk_at = movi_fourcc + off
+        assert bytes(data[chunk_at : chunk_at + 4]) == b"00db"
+        data[chunk_at : chunk_at + 4] = b"00dc"
+    fps, back = avi_decode(bytes(data))
+    assert fps == 12
+    assert np.array_equal(back, frames)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     h=st.integers(1, 40),

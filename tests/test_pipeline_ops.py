@@ -186,6 +186,32 @@ def test_stratified_sample_deterministic_and_disjoint(spark, docs):
     assert lo_ids | hi_ids == {r.doc_id for r in base.collect()}
 
 
+def test_stratified_sample_rate_rounding(spark):
+    """rate*10000 must round, not truncate: 0.57 → 5700, though
+    0.57 * 10000 == 5699.999… in binary floating point."""
+    from cruncher_spark.functions.text import portable_hash64
+    from cruncher_spark.operators.curation import (
+        SAMPLE_DENOM,
+        stratified_sample,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "en") for i in range(4000)], "doc_id long, lang string"
+    )
+    kept = {r.doc_id for r in stratified_sample(
+        base, "lang", {"en": 0.57}, "doc_id"
+    ).collect()}
+    want = {
+        r.doc_id
+        for r in base.where(
+            portable_hash64(F.col("doc_id").cast("string"), salt="strat")
+            % SAMPLE_DENOM
+            < 5700
+        ).collect()
+    }
+    assert kept == want
+
+
 def test_stratified_sample_is_map_side_only(spark):
     """The sampler must inline rates into a pure filter: no Exchange, no
     join in the physical plan — the property that makes it free at 100 TB."""

@@ -29,13 +29,25 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     names = args[1:] or None
+    if not Path(sf_dir).is_dir():
+        print(
+            f"error: {sf_dir!r} is not a directory — the first argument "
+            "is the sf_dir; query names come after it"
+        )
+        return 2
 
-    spark = get_spark("cruncher-preflight")
-    spark.sparkContext.setLogLevel("ERROR")
     qmap = query_map()
     omap = oracle_map()
     if names:
+        unknown = [n for n in names if n not in qmap]
+        if unknown:
+            print(f"error: unknown queries: {', '.join(unknown)}")
+            print(f"registered: {', '.join(qmap)}")
+            return 2
         qmap = {n: qmap[n] for n in names}
+
+    spark = get_spark("cruncher-preflight")
+    spark.sparkContext.setLogLevel("ERROR")
 
     failures: list[str] = []
     for name, fn in qmap.items():
