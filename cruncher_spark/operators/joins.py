@@ -38,6 +38,55 @@ def interval_join(
     return facts.join(F.broadcast(intervals), cond, how)
 
 
+def binned_interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    point: str | Column,
+    start: str,
+    end: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join as a BIN-EXPLODED EQUI-JOIN — the
+    large-×-large scale path :func:`interval_join` cannot take.
+
+    The broadcast nested-loop form requires one side to fit in memory; when
+    BOTH sides are fact-scale (e.g. sessions × maintenance windows over a
+    100 TB log), the standard rewrite bins the numeric domain: each
+    interval explodes to one row per ``bin_width``-sized bin it overlaps,
+    each point maps to exactly ONE bin, and the join becomes a plain
+    shuffle equi-join on the bin id with the precise
+    ``point BETWEEN start AND end`` predicate re-checked after the match.
+    Because a point's bin is unique, every qualifying (fact, interval)
+    pair is produced exactly once — no post-join dedup.
+
+    ``point``/``start``/``end`` must be integral (cast timestamps via
+    ``unix_micros`` first). Pick ``bin_width`` near the typical interval
+    length: explosion factor is ``len(interval)/bin_width + 1`` rows per
+    interval (too small → interval-side blowup; too large → each bin pairs
+    with many non-matching intervals and the BETWEEN filter does the work).
+    Both inputs shuffle once, on the bin id, and AQE's skew-join splitting
+    applies to hot bins — the knobs a 1000-executor range join needs.
+    """
+    def floordiv(c: Column) -> Column:
+        # exact long floor-division (c - pmod is exact; the division of an
+        # exactly-divisible long stays exact for any realistic quotient)
+        c = c.cast("long")
+        return ((c - F.pmod(c, F.lit(bin_width))) / bin_width).cast("long")
+
+    point_col = F.col(point) if isinstance(point, str) else point
+    pt = point_col.cast("long")
+    ivals = intervals.withColumn(
+        "__bin__",
+        F.explode(F.sequence(floordiv(F.col(start)), floordiv(F.col(end)))),
+    )
+    pts = facts.withColumn("__bin__", floordiv(pt))
+    out = pts.join(ivals, "__bin__", how).where(
+        pt.between(F.col(start).cast("long"), F.col(end).cast("long"))
+    )
+    return out.drop("__bin__")
+
+
 def band_join(
     facts: DataFrame,
     bands: DataFrame,

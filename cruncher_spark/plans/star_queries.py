@@ -214,6 +214,46 @@ def series_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_bin_join",
+    oracle=f"""
+    SELECT s.series_name, e.event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (VALUES {_SERIES_VALUES}) s(series_name, start_ts, end_ts)
+      ON e.ts >= s.start_ts AND e.ts < s.end_ts
+    GROUP BY s.series_name, e.event_type
+    """,
+    doc="The SAME interval-join semantics as series_interval_join through "
+    "the large-x-large physical strategy: intervals explode to 7-day bins, "
+    "points map to exactly one bin, and the containment join becomes a "
+    "shuffle equi-join on bin id with the precise predicate re-checked — "
+    "no broadcast requirement on either side, AQE skew-split applies. "
+    "Identical oracle to the broadcast form: two physical paths, one truth.",
+)
+def interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.joins import binned_interval_join
+
+    star = _star(spark, sf_dir)
+    week_us = 7 * 24 * 3600 * 1_000_000
+    series = spark.createDataFrame(
+        _SERIES_ROWS, "series_name string, start_s string, end_s string"
+    ).select(
+        "series_name",
+        F.unix_micros(F.to_timestamp("start_s")).alias("start_us"),
+        F.unix_micros(F.to_timestamp("end_s")).alias("end_us"),
+    )
+    events = star.events.withColumn("ts_us", F.unix_micros("ts"))
+    joined = binned_interval_join(
+        events, series, point="ts_us", start="start_us", end="end_us",
+        bin_width=week_us,
+    ).where(F.col("ts_us") < F.col("end_us"))  # half-open, matching the oracle
+    return joined.groupBy("series_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # J6: band join — numeric value into range buckets (incl. an 'all' band)
 # ---------------------------------------------------------------------------

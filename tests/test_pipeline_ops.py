@@ -229,6 +229,41 @@ def test_stratified_sample_is_map_side_only(spark):
     assert "Exchange" not in plan
 
 
+def test_binned_interval_join_matches_broadcast_form(spark):
+    """binned_interval_join must produce exactly the pairs the broadcast
+    BNLJ form produces — including negative domains, zero-width
+    intervals, boundary points, and intervals spanning many bins."""
+    import random
+
+    from cruncher_spark.operators.joins import (
+        binned_interval_join,
+        interval_join,
+    )
+
+    rng = random.Random(42)
+    points = [(i, rng.randint(-500, 500)) for i in range(300)]
+    ivals = []
+    for j in range(40):
+        lo = rng.randint(-500, 480)
+        hi = lo + rng.choice([0, 1, 3, 17, 250])  # incl. zero-width
+        ivals.append((j, lo, hi))
+    pdf = spark.createDataFrame(points, "pid long, v long")
+    idf = spark.createDataFrame(ivals, "iid long, lo long, hi long")
+
+    def pairs(df):
+        return {(r.pid, r.iid) for r in df.select("pid", "iid").collect()}
+
+    broadcast_form = interval_join(pdf, idf, point="v", start="lo", end="hi")
+    for w in (7, 64, 1000):  # small, medium, larger-than-domain bins
+        binned = binned_interval_join(
+            pdf, idf, point="v", start="lo", end="hi", bin_width=w
+        )
+        assert pairs(binned) == pairs(broadcast_form), f"bin_width={w}"
+        # exactly-once: no duplicate (pid, iid) rows
+        assert binned.count() == len(pairs(binned)), f"bin_width={w}"
+    assert pairs(broadcast_form)  # non-trivial corpus
+
+
 def test_ivf_fitted_centroids_beat_lowest_id_stub(emb):
     """VERDICT r1 "What's wrong" #2: fitted k-means centroids must give
     recall-vs-brute-force at equal probe budget at least as good as the
