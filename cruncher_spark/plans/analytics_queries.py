@@ -98,6 +98,79 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# histogram quantile sketch (fixed bins, mergeable counters)
+# ---------------------------------------------------------------------------
+
+_QS_BIN_W = 2          # bin width: halving a double is IEEE-exact
+_QS_BINS = 256         # domain [0, 512) + clamp bin for outliers
+
+
+@register(
+    "quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / {_QS_BIN_W}) AS INT), {_QS_BINS - 1}) AS bin
+      FROM events
+    ),
+    c AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+      CAST(MAX(n) AS BIGINT) AS n,
+      CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bin END) * {_QS_BIN_W} AS BIGINT) AS p50_est,
+      CAST(MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN bin END) * {_QS_BIN_W} AS BIGINT) AS p95_est
+    FROM w GROUP BY event_type
+    """,
+    doc="Fixed-histogram quantile sketch: values bin into 256 fixed-width "
+    "buckets, per-group state is just the bin counters — map-side "
+    "combinable and MERGEABLE (sum histograms to combine partitions/"
+    "days), unlike exact percentile's full-value sort-shuffle. Quantile "
+    "estimate = lower edge of the first bin whose cumulative count "
+    "reaches ceil(q*n); every step integer-exact (bin width 2 halves "
+    "doubles exactly), so the DuckDB oracle reproduces the estimates "
+    "bit-for-bit — the same gate trick as the HLL sketch.",
+)
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    bin_col = F.least(
+        F.floor(F.col("value") / _QS_BIN_W).cast("int"), F.lit(_QS_BINS - 1)
+    )
+    counts = (
+        events.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_all = Window.partitionBy("event_type")
+    ranked = counts.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def q_est(q: float) -> F.Column:
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin")
+        )
+        return (F.min(hit) * _QS_BIN_W).cast("long")
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        q_est(0.5).alias("p50_est"),
+        q_est(0.95).alias("p95_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog distinct sketch (m = 16 buckets, deterministic)
 # ---------------------------------------------------------------------------
 

@@ -229,6 +229,32 @@ def test_stratified_sample_is_map_side_only(spark):
     assert "Exchange" not in plan
 
 
+def test_quantile_sketch_accuracy(spark):
+    """Sketch estimates must land within one bin width of the exact
+    discrete quantile (the sketch's resolution guarantee)."""
+    import duckdb
+
+    from cruncher_spark.plans import query_map
+
+    got = {
+        r.event_type: (r.n, r.p50_est, r.p95_est)
+        for r in query_map()["quantile_sketch"](spark, SF_DIR).collect()
+    }
+    exact = {
+        t: (p50, p95)
+        for t, p50, p95 in duckdb.sql(
+            f"""SELECT event_type,
+                quantile_disc(value, 0.5), quantile_disc(value, 0.95)
+                FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"""
+        ).fetchall()
+    }
+    assert set(got) == set(exact) and got
+    for t, (n, p50_est, p95_est) in got.items():
+        assert n > 0
+        assert abs(p50_est - exact[t][0]) <= 2  # one bin width
+        assert abs(p95_est - exact[t][1]) <= 2
+
+
 def test_binned_interval_join_matches_broadcast_form(spark):
     """binned_interval_join must produce exactly the pairs the broadcast
     BNLJ form produces — including negative domains, zero-width
