@@ -544,3 +544,42 @@ def additive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_qty_dec").cast("double").alias("sum_qty"),
         F.max("last_ship_year").alias("last_ship_year"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join: runtime-row-filter pruning ahead of the shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS sum_revenue
+    FROM lineitem
+    WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+    doc="P1 at lake scale: the reference's batch-key IN filter "
+    "(worker.js:151-154, crunch_global.sql:9) re-expressed as a bloom-filter "
+    "runtime row filter — ~10 bits/key bitmap built with a distributed bit_or "
+    "aggregate, probed inside the scan stage, exact semi-join only on "
+    "survivors. Result is exactly the semi-join (bloom false negatives are "
+    "impossible); the bloom decides which rows pay the shuffle.",
+)
+def bloom_semi_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.bloom import bloom_semi_join
+
+    star = _star(spark, sf_dir)
+    urgent = star.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    pruned = bloom_semi_join(star.lineitem, urgent, "l_orderkey", "o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_disc_price()).cast("double").alias("sum_revenue"),
+    )
