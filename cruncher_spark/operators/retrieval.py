@@ -1,0 +1,122 @@
+"""Keyword retrieval over a document table: TF-IDF statistics and BM25
+top-k scoring, expressed as pure DataFrame aggregates.
+
+Beyond-reference surface (the reference has no text retrieval): the
+quality-filtering/retrieval primitive of a training-data pipeline —
+"score every document against a term set and keep the best k" — at
+100 TB must be one corpus pass, not an inverted-index build. Shape:
+
+- tokenize + filter ``term IN query`` happens *before* any exchange, so
+  the per-(doc, term) frequency shuffle moves only matching postings
+  (|Q| terms x matching docs), not the corpus;
+- document-frequency and corpus stats (N, avgdl) are tiny aggregates
+  joined back by broadcast — the idf table has |Q| rows;
+- the final top-k is ``orderBy().limit(k)`` which Spark executes as
+  TakeOrdered (per-partition heap + driver merge), never a global sort
+  or a single-partition window.
+
+Every expression is engine-portable (ln/division/int counts) so the
+whole operator is DuckDB-oracle-checkable; scores are rounded to 6
+decimals *before* ranking so cross-engine float summation order cannot
+flip the top-k boundary (same discipline as the IVF/cosine gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cruncher_spark.functions.text import words
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k documents by BM25 score against ``terms``.
+
+    Returns (id_col, score, n_terms) — score rounded to 6 decimals,
+    ranking tie-broken by id so the result set is deterministic across
+    engines and partitionings.
+    """
+    toks = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    matched = toks.filter(F.col("term").isin(terms))
+
+    # per-(doc, term) frequency: the only corpus-sized shuffle, and it only
+    # carries postings that match the query terms
+    tf = matched.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    # document frequency per query term (|Q| rows) and corpus stats (1 row)
+    df_ = matched.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    dl = docs.select(F.col(id_col), F.size(words(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB rendering of the identical BM25 computation (same constants,
+    same rounding-before-ranking)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    m AS (SELECT {id_col}, term FROM t WHERE term IN ({in_list})),
+    tf AS (SELECT {id_col}, term, count(*) AS tf FROM m GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT {id_col}) AS df FROM m GROUP BY 1),
+    dl AS (SELECT {id_col}, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.{id_col},
+        round(SUM(
+          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+          * tf * ({k1} + 1)
+          / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))
+        ), 6) AS score,
+        count(*) AS n_terms
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING ({id_col})
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT {id_col}, score, n_terms FROM scored
+    ORDER BY score DESC, {id_col} LIMIT {k}
+    """

@@ -1085,3 +1085,29 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(clicks, views, on="ts", by="user_id",
                      right_cols=["ts", "value"])
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval top-k
+# ---------------------------------------------------------------------------
+
+from cruncher_spark.operators.retrieval import bm25_oracle_sql  # noqa: E402
+
+_BM25_TERMS = ["merge", "hash", "window"]
+_BM25_K = 15
+
+
+@register(
+    "bm25_topk",
+    oracle=bm25_oracle_sql(_BM25_TERMS, k=_BM25_K),
+    doc="BM25 keyword retrieval: one corpus pass — tokenize, filter to query "
+    "terms BEFORE the shuffle (postings-only exchange), broadcast |Q|-row "
+    "idf + 1-row corpus stats, TakeOrdered top-k (no global sort). Scores "
+    "rounded before ranking so FP summation order cannot flip the boundary.",
+)
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.retrieval import bm25_topk
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
