@@ -489,3 +489,92 @@ def simhash_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup with document reconstruction
+# ---------------------------------------------------------------------------
+
+#: pos packing for the first-occurrence winner key; safe while no document
+#: has more paragraphs than this (a 10-word chunking of a 1M-word document
+#: is 100k paragraphs — right at the bound, so guard at chunk time)
+_PARA_POS_LIMIT = 100_000
+
+
+def paragraph_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Explode documents into ordered fixed-width word chunks ("paragraphs").
+
+    Real corpora split on blank lines; the fixture corpus is single-line,
+    so the deterministic stand-in is a fixed ``chunk_words`` window — same
+    plan shape, SQL-mirrorable on any engine. Output:
+    (id, pos, para) with pos 0-based in document order.
+    """
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    n_chunks = F.ceil(n / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.least(n_chunks, F.lit(_PARA_POS_LIMIT))),
+        lambda g: F.concat_ws(" ", F.slice(w, (g - 1) * chunk_words + 1, chunk_words)),
+    )
+    return (
+        docs.where(n > 0)  # sequence(1, 0) would run DESCENDING, not empty
+        .select(F.col(id_col), F.posexplode(chunks).alias("pos", "para"))
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Corpus-wide paragraph dedup: each distinct paragraph survives only at
+    its first occurrence (lowest (doc, pos)); documents are reconstructed
+    from their surviving paragraphs in original order.
+
+    Returns (id, n_paras, n_kept, clean_digest) where clean_digest is the
+    md5 of the reconstructed text (compact, hash-comparable).
+
+    Scale shape — two shuffles, both skew-safe:
+
+    1. winner per paragraph digest via ``groupBy(digest).min(packed)`` —
+       partial aggregation combines map-side, so a boilerplate paragraph
+       occurring in half the corpus still reduces to one row per map task
+       (a window-function formulation would buffer that hot group in one
+       task — deliberately avoided);
+    2. occurrences re-join winners on digest (shuffle join; the winner
+       table has one row per *distinct* paragraph);
+    3. per-document regroup for reconstruction — ``collect_list`` over a
+       document's own kept paragraphs, bounded by document length.
+    """
+    paras = paragraph_table(docs, id_col, text_col, chunk_words).select(
+        F.col(id_col),
+        "pos",
+        "para",
+        F.md5(F.col("para")).alias("pdigest"),
+        (F.col(id_col) * _PARA_POS_LIMIT + F.col("pos")).alias("packed"),
+    )
+    winners = paras.groupBy("pdigest").agg(F.min("packed").alias("win_packed"))
+    flagged = paras.join(winners, "pdigest").withColumn(
+        "kept", F.col("packed") == F.col("win_packed")
+    )
+    # when() with no otherwise → NULL for dropped rows; collect_list skips
+    # NULLs, so only surviving paragraphs are gathered
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "para"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+                ),
+            )
+        ).alias("clean_digest"),
+    )

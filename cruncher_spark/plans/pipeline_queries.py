@@ -1111,3 +1111,41 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (Dolma-style) with reconstruction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "paragraph_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    p AS (
+      SELECT doc_id, CAST(g AS INT) AS pos,
+        array_to_string(wl[(CAST(g AS INT)*10+1):(CAST(g AS INT)*10+10)], ' ') AS para
+      FROM w, unnest(range(0, CAST(ceil(len(wl)/10.0) AS BIGINT))) t(g)
+      WHERE len(wl) > 0
+    ),
+    d AS (SELECT *, md5(para) AS pdigest, doc_id*100000 + pos AS packed FROM p),
+    win AS (SELECT pdigest, min(packed) AS wp FROM d GROUP BY 1),
+    f AS (SELECT d.*, packed = wp AS kept FROM d JOIN win USING (pdigest))
+    SELECT doc_id, count(*) AS n_paras,
+      CAST(sum(CAST(kept AS INT)) AS BIGINT) AS n_kept,
+      md5(coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE kept), ''))
+        AS clean_digest
+    FROM f GROUP BY doc_id
+    """,
+    doc="Paragraph-level dedup with reconstruction: each distinct paragraph "
+    "(fixed 10-word chunk on this single-line corpus) survives only at its "
+    "lowest-(doc,pos) occurrence; documents are rebuilt from surviving "
+    "paragraphs in order. Winner selection is groupBy+min (map-side "
+    "combined — skew-safe for boilerplate paragraphs), never a window.",
+)
+def paragraph_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.dedup import paragraph_dedup
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return paragraph_dedup(docs)

@@ -1,0 +1,60 @@
+"""Paragraph-level dedup: first-occurrence semantics, reconstruction order,
+within-document repeats, empty-document guard."""
+
+from __future__ import annotations
+
+import hashlib
+
+from cruncher_spark.operators.dedup import paragraph_dedup, paragraph_table
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_paragraph_table_orders_and_chunks(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    rows = paragraph_table(docs, chunk_words=10).orderBy("pos").collect()
+    assert [(r["pos"], r["para"]) for r in rows] == [
+        (0, "a b c d e f g h i j"),
+        (1, "k l"),
+    ]
+
+
+def test_first_occurrence_wins_and_reconstruction(spark):
+    # doc 1 owns both paragraphs; doc 2 repeats doc 1's first paragraph
+    # then adds its own — only the repeat is dropped
+    p1, p2, p3 = "a b", "c d", "e f"
+    docs = spark.createDataFrame(
+        [(1, f"{p1} {p2}"[:100]), (2, f"{p1} {p3}")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, chunk_words=2).collect()
+    }
+    assert got[1]["n_kept"] == 2
+    assert got[1]["clean_digest"] == _md5(f"{p1} {p2}")
+    assert got[2]["n_paras"] == 2 and got[2]["n_kept"] == 1
+    assert got[2]["clean_digest"] == _md5(p3)
+
+
+def test_within_document_repeat_kept_once(spark):
+    docs = spark.createDataFrame(
+        [(7, "x y x y z z")], "doc_id long, text string"
+    )
+    got = paragraph_dedup(docs, chunk_words=2).collect()[0]
+    # "x y" repeats inside the same doc; second copy dropped, "z z" kept
+    assert got["n_paras"] == 3 and got["n_kept"] == 2
+    assert got["clean_digest"] == _md5("x y z z")
+
+
+def test_fully_duplicated_document_hashes_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs, chunk_words=2).collect()}
+    assert got[2]["n_kept"] == 0
+    assert got[2]["clean_digest"] == _md5("")
