@@ -554,3 +554,194 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: compressed-domain ANN (ADC scoring)
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebooks(
+    sample: list[tuple[int, list[float]]],
+    n_sub: int,
+    k: int,
+    iters: int = 8,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace L2 k-means → ``n_sub`` codebooks of ``k``
+    codewords each (classic product quantization, Jégou et al. 2011 —
+    public method).
+
+    Same reproducibility contract as :func:`fit_ivf_centroids`: id-sorted
+    driver sample, lowest-id init, ``np.argmin`` tie-break toward the
+    smaller codeword index, float64 means, fixed iteration count — so the
+    fitted codebooks inline as bit-identical literals in the Spark plan
+    AND the SQL oracle.
+    """
+    import numpy as np
+
+    X = np.array([v for _, v in sample], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} vectors cannot seed {k} codewords")
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    w = dim // n_sub
+    books: list[list[list[float]]] = []
+    for m in range(n_sub):
+        S = X[:, m * w : (m + 1) * w]
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_dist2_sql(vec_fmt, codeword: list[float], offset: int) -> str:
+    """Expanded squared-L2 text between a vector's subspace slice and one
+    codeword: ``(v[i]-c)*(v[i]-c) + ...`` in fixed left-to-right order.
+
+    ``vec_fmt(i)`` renders the i-th (1-based, global) vector element for
+    the target engine — the ONLY dialect difference between the Spark plan
+    and the DuckDB oracle, so both engines evaluate bit-identical doubles
+    and therefore pick bit-identical codes (the discrete part of PQ must
+    not drift; the continuous score part is rounded instead).
+    """
+    terms = []
+    for j, c in enumerate(codeword):
+        e = f"({vec_fmt(offset + j + 1)} - {_dbl(c)})"
+        terms.append(f"{e} * {e}")
+    return " + ".join(terms)
+
+
+def pq_code_sql(vec_fmt, book: list[list[float]], offset: int, list_fn: str) -> str:
+    """argmin-over-codewords text: 1-based index of the nearest codeword,
+    first (lowest) index on exact ties in both engines
+    (Spark ``array_position``/DuckDB ``list_position`` both return the
+    first occurrence). ``list_fn`` names the engine's array constructor
+    pair: ``("array", "array_min", "array_position")`` for Spark,
+    lists for DuckDB — passed as a format key to stay one generator.
+    """
+    arr, amin, apos = {
+        "spark": ("array", "array_min", "array_position"),
+        "duckdb": ("list_value", "list_min", "list_position"),
+    }[list_fn]
+    dists = ", ".join(pq_dist2_sql(vec_fmt, cw, offset) for cw in book)
+    return f"{apos}({arr}({dists}), {amin}({arr}({dists})))"
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Compressed-domain approximate top-k by asymmetric distance
+    computation (ADC): base vectors live only as ``n_sub`` small codes,
+    queries score them through per-query lookup tables.
+
+    100 TB story: PQ8x16 stores 4 bits/subspace x 8 = 8 bytes/vector
+    (vs 256 bytes raw float32 at dim 64) — the corpus-side scan reads
+    codes, never raw vectors. Encoding is a pure map-side projection
+    (codebooks inlined as literals, zero shuffle, zero Python); the
+    scored pair join broadcasts the query side (queries carry a
+    128-double LUT each); the reconstructed-norm correction
+    ``sqrt(sum ||c||^2)`` comes from a literal lookup, so cosine-like
+    ranking needs no raw-vector access at all. Exact re-scoring of the
+    winners (IVF-style refine) would add one id-join against the raw
+    table — deliberately not done here: the gate checks the pure
+    compressed-domain ranking.
+
+    Output: (query_id, neighbor_id, rank, score).
+    """
+    if "`" in vec_col:
+        raise ValueError(f"vec_col must not contain backticks: {vec_col!r}")
+    n_sub, kw = len(codebooks), len(codebooks[0])
+    w = len(codebooks[0][0])
+
+    # All hot expressions are written as ONE lambda looping over literal
+    # codeword arrays (constant data), never unrolled per-codeword terms:
+    # the unrolled form generated ~2048 expression nodes per stage and paid
+    # seconds of Janino codegen on every execution (measured 5-10 s/stage
+    # at sf0.1) — the same lesson as the IVF single-parse cell-score SQL.
+    # The aggregate fold starts at CAST(0 AS DOUBLE) and adds element-order
+    # left-to-right, which is bit-identical to the oracle generator's
+    # expanded `t1 + t2 + ...` sum, so codes still cannot drift.
+    dist_tpl = (
+        "transform(array({cents}), c -> aggregate(zip_with({vec}, c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t))"
+    )
+    code_parts = []
+    for m, book in enumerate(codebooks):
+        cents = ", ".join(
+            "array(" + ", ".join(_dbl(x) for x in cw) + ")" for cw in book
+        )
+        d = dist_tpl.format(cents=cents, vec=f"slice(`{vec_col}`, {m * w + 1}, {w})")
+        code_parts.append(f"CAST(array_position({d}, array_min({d})) AS INT)")
+    codes_sql = f"array({', '.join(code_parts)})"
+
+    n2_arr = "array({})".format(
+        ", ".join(_dbl(sum(x * x for x in cw)) for book in codebooks for cw in book)
+    )
+    # reconstructed norm from codes alone: fold over (code, subspace) pairs,
+    # one reference to the literal norm table; element_at is 1-based, codes
+    # are 1-based argmin positions, so index = m*kw + code
+    norm2hat = (
+        f"aggregate(zip_with(codes, sequence(0, {n_sub - 1}), "
+        f"(c, m) -> element_at({n2_arr}, m * {kw} + c)), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    coded = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(codes_sql).alias("codes")
+    ).withColumn("nhat", F.expr(f"sqrt({norm2hat})"))
+
+    # per-query LUT: <q_m, codeword> for all n_sub x kw codewords, flat,
+    # index m*kw + code (1-based) — one transform over offset-tagged
+    # codeword structs
+    luts = ", ".join(
+        f"struct({m * w} AS off, array({', '.join(_dbl(x) for x in cw)}) AS cv)"
+        for m, book in enumerate(codebooks)
+        for cw in book
+    )
+    lut_sql = (
+        f"transform(array({luts}), c -> aggregate(zip_with("
+        f"slice(`{vec_col}`, c.off + 1, {w}), c.cv, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, t) -> acc + t))"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        norm(F.col(vec_col), n_sub * w).alias("qnorm"),
+        F.expr(lut_sql).alias("lut"),
+    )
+    num = (
+        f"aggregate(zip_with(codes, sequence(0, {n_sub - 1}), "
+        f"(c, m) -> element_at(lut, m * {kw} + c)), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    scored = (
+        coded.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", F.expr(f"round(({num}) / (qnorm * nhat), {round_digits})")
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

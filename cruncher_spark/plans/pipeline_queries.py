@@ -1149,3 +1149,106 @@ def paragraph_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
     return paragraph_dedup(docs)
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC compressed-domain scan)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KW, _PQ_TOPK = 8, 16, 3
+_PQ_FIT_CACHE: dict[tuple, list] = {}
+
+
+def _pq_codebooks(sf_dir: str) -> list:
+    """Fit (or reuse) the PQ codebooks for a dataset — same deterministic
+    sample/fit recipe on both engines, cached per dataset fingerprint."""
+    from cruncher_spark.operators.similarity import fit_pq_codebooks
+
+    key = _ivf_cache_key(sf_dir)
+    books = _PQ_FIT_CACHE.get(key)
+    if books is None:
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM read_parquet('"
+            + f"{sf_dir}/embeddings.parquet') WHERE vec_id % {_IVF_SAMPLE_EVERY} = 0 "
+            "ORDER BY vec_id"
+        ).fetchall()
+        books = fit_pq_codebooks(
+            [(r[0], list(r[1])) for r in rows], _PQ_M, _PQ_KW
+        )
+        _PQ_FIT_CACHE.clear()
+        _PQ_FIT_CACHE[key] = books
+    return books
+
+
+def _pq_oracle(sf_dir: str) -> str:
+    from cruncher_spark.operators.similarity import _dbl, pq_code_sql
+
+    books = _pq_codebooks(sf_dir)
+    w = EMB_DIM // _PQ_M
+
+    def vf(i: int) -> str:  # DuckDB lists are 1-based
+        return f"v[{i}]"
+
+    code_exprs = ",\n      ".join(
+        f"{pq_code_sql(vf, books[m], m * w, 'duckdb')} AS c{m}"
+        for m in range(_PQ_M)
+    )
+    n2_list = ", ".join(
+        _dbl(sum(x * x for x in cw)) for book in books for cw in book
+    )
+    norm2hat = " + ".join(
+        f"([{n2_list}])[{m * _PQ_KW} + c.c{m}]" for m in range(_PQ_M)
+    )
+    num = " + ".join(
+        "list_dot_product(q.qv[{lo}:{hi}], ([{book}])[c.c{m}])".format(
+            lo=m * w + 1,
+            hi=(m + 1) * w,
+            book=", ".join(
+                "[" + ", ".join(_dbl(x) for x in cw) + "]" for cw in books[m]
+            ),
+            m=m,
+        )
+        for m in range(_PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    codes AS (SELECT vec_id,
+      {code_exprs}
+      FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv,
+            sqrt(list_dot_product(v, v)) AS qnorm
+          FROM e WHERE vec_id % 20 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        round(({num}) / (q.qnorm * sqrt({norm2hat})), 6) AS score
+      FROM q CROSS JOIN codes c
+      WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register(
+    "pq_topk",
+    oracle=_pq_oracle,
+    doc="ANN scale path #3: product quantization (PQ8x16) — base vectors "
+    "compressed to 8 one-of-16 codes (8 B/vector vs 256 B raw), encoded "
+    "map-side from literal codebooks (zero shuffle, zero Python), queries "
+    "score the compressed corpus through broadcast 128-entry lookup tables "
+    "(ADC). The discrete encode path is generated from ONE expression text "
+    "for both engines, so codes are bit-identical; the continuous score is "
+    "rounded before ranking.",
+)
+def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import pq_topk
+
+    tune(spark)
+    emb = fan_out(Star(spark, sf_dir).embeddings)
+    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    out = pq_topk(emb, queries, _pq_codebooks(sf_dir), k=_PQ_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
