@@ -263,3 +263,208 @@ def hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_rho",
         (F.lit(float(_HLL_C)) / F.col("s")).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (view -> click -> purchase, strictly ordered)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    u AS (SELECT DISTINCT user_id FROM e),
+    s1 AS (
+      SELECT user_id, MIN(ts_us) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1
+    )
+    SELECT u.user_id, t1, t2, t3,
+      CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+        + CAST(t3 IS NOT NULL AS INT) AS furthest
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    doc="Ordered funnel (view -> click -> purchase): per user, the earliest "
+    "strictly-increasing step times and the furthest step reached. ONE "
+    "shuffle on user_id: per-user events are collected sorted and scanned "
+    "with a higher-order aggregate (JVM lambda, zero Python) carrying "
+    "(t1,t2,t3) state — vs the portable oracle's three join+min passes "
+    "(one shuffle per step). Per-user state is bounded by events-per-user, "
+    "the same bound sessionization already assumes; a pathological "
+    "celebrity user routes through the salted-join pattern.",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    e = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ).alias("ev"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("ev")).alias("seq")
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+
+    def step(acc, ev):
+        # strictly-after semantics (ts > previous step) match the oracle's
+        # `ts_us > t1` joins; same-timestamp events cannot advance the
+        # funnel, so the within-timestamp scan order is irrelevant and the
+        # result is deterministic
+        return (
+            F.when(
+                (ev.et == "view") & acc.t1.isNull(),
+                F.struct(
+                    ev.ts_us.alias("t1"), acc.t2.alias("t2"), acc.t3.alias("t3")
+                ),
+            )
+            .when(
+                (ev.et == "click")
+                & acc.t1.isNotNull()
+                & acc.t2.isNull()
+                & (ev.ts_us > acc.t1),
+                F.struct(
+                    acc.t1.alias("t1"), ev.ts_us.alias("t2"), acc.t3.alias("t3")
+                ),
+            )
+            .when(
+                (ev.et == "purchase")
+                & acc.t2.isNotNull()
+                & acc.t3.isNull()
+                & (ev.ts_us > acc.t2),
+                F.struct(
+                    acc.t1.alias("t1"), acc.t2.alias("t2"), ev.ts_us.alias("t3")
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    scanned = per_user.select(
+        "user_id", F.aggregate("seq", init, step).alias("f")
+    )
+    return scanned.select(
+        "user_id",
+        F.col("f.t1").alias("t1"),
+        F.col("f.t2").alias("t2"),
+        F.col("f.t3").alias("t3"),
+        (
+            F.col("f.t1").isNotNull().cast("int")
+            + F.col("f.t2").isNotNull().cast("int")
+            + F.col("f.t3").isNotNull().cast("int")
+        ).alias("furthest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (first-seen day x day offset)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(d) AS cohort_d FROM ud GROUP BY 1
+    )
+    SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+      CAST(date_diff('day', cohort_d, d) AS INT) AS day_offset,
+      CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM ud JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-active day, "
+    "activity counted per day offset. (user, day) pairs are deduped "
+    "FIRST, so the cohort join carries one row per user-day and the "
+    "final cell count is a plain count(*) — no count(distinct) expand "
+    "shuffle. The dedup, the min-day agg, and the join all hash on "
+    "user_id, so AQE/exchange-reuse keeps it to one logical "
+    "repartitioning of the fact.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    ud = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_d").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# trailing 1-hour per-user rolling window
+# ---------------------------------------------------------------------------
+
+_ROLL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@register(
+    "rolling_window_agg",
+    oracle=f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="Per-event trailing 1-hour window (count + sum of value) via a "
+    "RANGE frame over unix-micros event time: one hash shuffle on "
+    "user_id + in-partition sort, the frame slides without self-joining "
+    "the fact (the naive formulation is an O(rows x window) "
+    "inequality self-join). Value summed as DECIMAL(18,6) inside the "
+    "frame so both engines produce bit-identical doubles. RANGE (not "
+    "ROWS) so same-timestamp peers agree between engines.",
+)
+def rolling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_ROLL_US, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
