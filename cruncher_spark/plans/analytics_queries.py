@@ -468,3 +468,133 @@ def rolling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min-sketch heavy hitters (deterministic, one-sided error)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # hash rows
+_CMS_W = 1024    # counters per row
+_CMS_THETA = 0.008  # heavy-hitter threshold as a fraction of total rows
+
+_CMS_H = (
+    "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cms' || r), 1, 15)"
+    " AS BIGINT)"
+)
+_CMS_H_PROBE = (
+    "CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#cms' || rs.r),"
+    " 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH total AS (SELECT COUNT(*) AS n FROM events),
+    rs AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r),
+    pairs AS (
+      SELECT r, {_CMS_H} % {_CMS_W} AS c FROM events CROSS JOIN rs
+    ),
+    sketch AS (SELECT r, c, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+    users AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1),
+    probe AS (
+      SELECT u.user_id, u.n_exact, MIN(s.cnt) AS cms_est
+      FROM users u CROSS JOIN rs
+      JOIN sketch s ON s.r = rs.r AND s.c = {_CMS_H_PROBE} % {_CMS_W}
+      GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(n_exact AS BIGINT) AS n_exact,
+      CAST(cms_est AS BIGINT) AS cms_est
+    FROM probe, total
+    WHERE cms_est >= CAST(ceil({_CMS_THETA} * n) AS BIGINT)
+    """,
+    doc="Heavy hitters (users with estimated frequency >= 0.8% of all "
+    "events) via a count-min sketch built as a plain aggregate: each row "
+    "hashes into 4 x 1024 counters, per-(row,col) counts are map-side "
+    "combinable, so the shuffled sketch state is CONSTANT-SIZE (4096 "
+    "ints) regardless of input rows — the mergeable building block for "
+    "windowed/streaming frequency tracking where exact per-key counts "
+    "would shuffle every key. The probe side broadcasts the sketch and "
+    "takes min-over-rows (classic CMS one-sided overestimate); exact "
+    "counts ride along for error inspection. Same integer-exact-"
+    "determinism gate trick as the HLL sketch: md5-derived hashes make "
+    "DuckDB reproduce every counter bit-for-bit.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    uid_s = F.col("user_id").cast("string")
+
+    def rc(r: int) -> F.Column:
+        return F.struct(
+            F.lit(r).alias("r"),
+            (portable_hash64(uid_s, salt=f"cms{r}") % _CMS_W).alias("c"),
+        )
+
+    pairs = events.select(
+        F.explode(F.array(*[rc(r) for r in range(_CMS_D)])).alias("rc")
+    ).select("rc.r", "rc.c")
+    sketch = pairs.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+    users = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    probe = users.select(
+        "user_id",
+        "n_exact",
+        F.explode(F.array(*[rc(r) for r in range(_CMS_D)])).alias("rc"),
+    ).select("user_id", "n_exact", "rc.r", "rc.c")
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    total = events.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(
+            F.col("cms_est")
+            >= F.ceil(F.lit(_CMS_THETA) * F.col("n")).cast("long")
+        )
+        .select("user_id", "n_exact", "cms_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (rank window after aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY n DESC, user_id
+      ) AS rk FROM c
+    ) t WHERE rk <= 5
+    """,
+    doc="Top-5 users per event type by activity: aggregate FIRST (map-side "
+    "combined count bounds the window input to distinct (type,user) "
+    "pairs), then a row_number rank window with a deterministic "
+    "tie-break. Ranking raw events would sort the whole fact per group; "
+    "ranking the aggregate sorts only distinct keys. For top-k over a "
+    "fact-scale key space, the TakeOrdered per-partition heap pattern "
+    "(operators/retrieval.py BM25 top-k) is the fallback.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    return counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 5
+    )
