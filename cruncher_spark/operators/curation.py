@@ -128,3 +128,97 @@ def stratified_sample(
         ).otherwise(thresh)
     bucket = portable_hash64(F.col(id_col).cast("string"), salt=salt) % SAMPLE_DENOM
     return df.where(bucket < thresh)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weight_col,
+    budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    basis: int = 10_000,
+) -> DataFrame:
+    """Deterministic source-mixture sampling: draw ~``budget`` rows whose
+    SOURCE PROPORTIONS follow ``weight_col`` (a Column giving each row's
+    source weight), regardless of how skewed the raw corpus is.
+
+    The standard training-data mixing step (web/code/books ratios): each
+    source's target share is ``budget * w_s / sum(w)``, its acceptance
+    rate is ``target_s / n_s`` quantized to integer ``basis`` points
+    (floored — exact integer arithmetic, engine-portable), and a row is
+    kept iff ``hash(id) % basis < rate_bp``. Two passes: a per-source
+    count (map-side combinable, O(sources) rows), then a map-side-only
+    broadcast-join + hash filter over the fact — no shuffle of the corpus,
+    the same scale shape as :func:`stratified_sample`. Deterministic
+    across runs AND across partitionings, so train mixtures are
+    reproducible bit-for-bit.
+    """
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.max(weight_col).alias("__w")
+    )
+    total = counts.agg(F.sum("__w").alias("__sum_w"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        F.least(
+            F.lit(basis).cast("long"),
+            F.expr(
+                f"(CAST({basis} AS BIGINT) * {budget} * __w)"
+                " div (CAST(__sum_w AS BIGINT) * __n)"
+            ),
+        ).alias("rate_bp"),
+    )
+    keyed = docs.join(F.broadcast(rates), source_col)
+    accept = (
+        portable_hash64(F.col(id_col).cast("string"), salt="mix") % basis
+    ) < F.col("rate_bp")
+    return keyed.where(accept)
+
+
+def sequence_pack(
+    docs: DataFrame,
+    pack_tokens: int,
+    n_shards: int,
+    token_count_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a token
+    RANGE inside fixed-size training sequences (GPT-style packing, where
+    documents are concatenated in a deterministic order and sliced into
+    ``pack_tokens``-token windows; a document may straddle a boundary).
+
+    A single global concatenation order would funnel the running token
+    sum through ONE sorted partition — the classic window-function scale
+    cliff. Instead documents hash into ``n_shards`` independent streams
+    and the cumulative sum runs per shard: full parallelism, and the
+    output pack key is (shard, pack) so downstream loaders read shards
+    independently. Per-shard order is ``id_col`` — deterministic across
+    runs and partitionings.
+
+    Output adds: shard, start_tok / end_tok (the doc's range in its
+    shard's token stream), first_pack / last_pack (the sequence windows
+    it lands in).
+    """
+    from pyspark.sql import Window
+
+    shard = (
+        portable_hash64(F.col(id_col).cast("string"), salt="pack")
+        % n_shards
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        id_col, shard, token_count_col.cast("long").alias("n_tokens")
+    )
+    cum = toks.withColumn("end_tok", F.sum("n_tokens").over(w))
+    return cum.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+        "end_tok",
+        F.expr(f"(end_tok - n_tokens) div {pack_tokens}").alias("first_pack"),
+        F.expr(f"(end_tok - 1) div {pack_tokens}").alias("last_pack"),
+    )

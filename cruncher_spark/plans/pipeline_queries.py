@@ -1283,3 +1283,107 @@ def fuzzy_join_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = Star(spark, sf_dir).part
     out = edit_distance_self_join(part, "p_name", max_dist=1)
     return out.withColumn("dist", F.col("dist").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# training-data assembly: source mixing + sequence packing
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 200
+_MIX_BASIS = 10_000
+#: per-source mixture weight: low-numbered sources are "high-quality"
+#: (weight 3), the rest weight 1 — the web/code/books ratio knob
+_MIX_W_SQL = "CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 3 ELSE 1 END"
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n,
+        MAX({_MIX_W_SQL}) AS w
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(w) AS sum_w FROM c),
+    r AS (
+      SELECT source,
+        LEAST(CAST({_MIX_BASIS} AS BIGINT),
+              (CAST({_MIX_BASIS} AS BIGINT) * {_MIX_BUDGET} * w)
+                // (CAST(sum_w AS BIGINT) * n)) AS rate_bp
+      FROM c, t
+    )
+    SELECT d.doc_id, d.source, r.rate_bp
+    FROM documents d JOIN r USING (source)
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix'), 1, 15)
+               AS BIGINT) % {_MIX_BASIS} < r.rate_bp
+    """,
+    doc="Deterministic source-mixture sampling (operators/curation.py "
+    "mixture_sample): per-source acceptance rates derived from target "
+    "mixture weights in exact integer basis points, rows kept by a "
+    "portable hash — per-source counts are the only aggregate (O(sources) "
+    "rows), the corpus itself sees a map-side broadcast-join + filter "
+    "with NO shuffle. Reproducible bit-for-bit across runs and "
+    "partitionings, which is what makes training mixtures auditable.",
+)
+def mixture_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import mixture_sample
+
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    w = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit(3)
+    ).otherwise(F.lit(1))
+    out = mixture_sample(
+        docs, w, budget=_MIX_BUDGET, id_col="doc_id", source_col="source",
+        basis=_MIX_BASIS,
+    )
+    return out.select("doc_id", "source", "rate_bp")
+
+
+_PACK_TOKENS = 128
+_PACK_SHARDS = 8
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 15)
+             AS BIGINT) % {_PACK_SHARDS} AS shard,
+        CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT *, SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+      ) AS end_tok FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+      CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+      CAST(end_tok AS BIGINT) AS end_tok,
+      CAST((end_tok - n_tokens) // {_PACK_TOKENS} AS BIGINT) AS first_pack,
+      CAST((end_tok - 1) // {_PACK_TOKENS} AS BIGINT) AS last_pack
+    FROM cum
+    """,
+    doc="GPT-style concat-and-chunk sequence packing (operators/curation.py "
+    "sequence_pack): documents hash into 8 independent shard streams, a "
+    "per-shard running token sum assigns each doc its token range and "
+    "the fixed 128-token sequence windows it lands in. Sharding is the "
+    "scale fix for the single-global-order window cliff: one cumulative "
+    "sum per shard, full parallelism, deterministic (shard, pack) keys "
+    "downstream loaders can read independently.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import sequence_pack
+
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    return sequence_pack(
+        docs,
+        pack_tokens=_PACK_TOKENS,
+        n_shards=_PACK_SHARDS,
+        token_count_col=token_count(F.col("text")),
+        id_col="doc_id",
+    )
