@@ -34,6 +34,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # InferFiltersFromGenerate inserts `size(arr) > 0` below every explode;
+    # the predicate is then pushed into the file-scan filter, where the
+    # generator input is RE-EVALUATED per row. Every exploded array here is
+    # a computed expression (shingles, minhash bands, deletion variants),
+    # so the "optimization" re-runs the most expensive projection in the
+    # plan 1-2 extra times — measured 3.5x on contamination_check, 3.1x on
+    # dedup_simhash, 2.7x on corpus_curate at sf0.1. The rule only helps
+    # when the array is a STORED column whose emptiness prunes cheaply;
+    # that shape does not occur in this engine. Excluding an optimizer rule
+    # cannot change results, only plans.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # every cruncher dim is broadcast-sized; 64m keeps even a large build/item
     # dim on the broadcast path at 100 TB fact scale
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
