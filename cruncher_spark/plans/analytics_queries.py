@@ -598,3 +598,64 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= 5
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot (wide <-> long reshaping)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register(
+    "pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+      {", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {t}" for t in _EVENT_TYPES
+      )}
+    FROM events GROUP BY user_id
+    """,
+    doc="Long->wide pivot: per-user event counts as one column per event "
+    "type. The pivot value list is FIXED (not discovered), so there is "
+    "no extra driver-side distinct scan and the plan is a single hash "
+    "aggregate with map-side combine — pivot at 100 TB is exactly as "
+    "cheap as the groupBy it wraps when the key list is known. Empty "
+    "cells filled 0 to match the oracle's CASE-sum rendering.",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
+    "unpivot_event_counts",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Wide->long unpivot (melt): the pivoted per-user matrix stacked "
+    "back to (user_id, event_type, n) rows, zero cells dropped — the "
+    "round trip reproduces the plain groupBy exactly. unpivot is a "
+    "per-row Expand (no shuffle beyond the input's); the oracle is the "
+    "direct long-form aggregate.",
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    wide = pivot_event_counts(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=list(_EVENT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .where(F.col("n") > 0)
+    )

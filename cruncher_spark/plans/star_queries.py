@@ -583,3 +583,92 @@ def bloom_semi_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_disc_price()).cast("double").alias("sum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# table profiling: one-pass per-column statistics
+# ---------------------------------------------------------------------------
+
+#: (column, kind) of the profiled table; kind picks the engine-portable
+#: string rendering for min/max
+_PROFILE_COLS = (
+    ("o_orderkey", "long"),
+    ("o_custkey", "long"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "string"),
+)
+
+
+def _profile_render_sql(col: str, kind: str, fn: str) -> str:
+    if kind == "double":
+        return f"CAST(CAST({fn}({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({fn}({col}), '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({fn}({col}) AS VARCHAR)"
+
+
+@register(
+    "table_profile",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+      COUNT({c}) AS n_nonnull,
+      COUNT(DISTINCT {c}) AS n_distinct,
+      {_profile_render_sql(c, k, 'MIN')} AS min_s,
+      {_profile_render_sql(c, k, 'MAX')} AS max_s
+    FROM orders"""
+        for c, k in _PROFILE_COLS
+    )
+    + "\n) t",
+    doc="Data profiling: per-column row/non-null/distinct counts and "
+    "min/max in ONE pass over the table — the multi-count-distinct "
+    "expands inside a single shuffle (expand factor = #columns) instead "
+    "of rescanning the table per column, then the one aggregate row "
+    "explodes into per-column rows. Doubles render through DECIMAL(18,2) "
+    "and timestamps through a fixed format so both engines produce "
+    "identical strings.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    o = star.orders
+
+    def render(col: str, kind: str, fn) -> F.Column:
+        c = fn(col)
+        if kind == "double":
+            return c.cast("decimal(18,2)").cast("string")
+        if kind == "ts":
+            return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        return c.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, k in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            render(c, k, F.min).alias(f"mn_{c}"),
+            render(c, k, F.max).alias(f"mx_{c}"),
+        ]
+    row = o.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_s"),
+                F.col(f"mx_{c}").alias("max_s"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return row.select("n_rows", F.explode(entries).alias("e")).select(
+        F.col("e.col_name").alias("col_name"),
+        "n_rows",
+        F.col("e.n_nonnull").alias("n_nonnull"),
+        F.col("e.n_distinct").alias("n_distinct"),
+        F.col("e.min_s").alias("min_s"),
+        F.col("e.max_s").alias("max_s"),
+    )
