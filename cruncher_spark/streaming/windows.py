@@ -107,3 +107,65 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_distinct_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    m: int = 16,
+) -> DataFrame:
+    """Approx-distinct per tumbling window as a STREAMING HyperLogLog.
+
+    Streaming append mode allows one stateful aggregation, and the batch
+    HLL (plans/analytics_queries.py hll_user_distinct) uses two — bucket
+    maxes, then the harmonic estimate. The streaming form flattens the
+    sketch into COLUMNS of a single aggregate: ``max(rho) FILTER (bucket
+    = i)`` per bucket, i.e. per-(window,type) state is exactly m small
+    ints — bounded, mergeable, watermark-evictable — and the estimate is
+    a stateless projection on top. This is the property that makes
+    approx-distinct viable over infinite streams, where exact
+    count(distinct) state would grow with the key universe.
+
+    Same hash/rank/estimate arithmetic as the batch gate, so for the
+    same rows both forms produce the SAME estimate (test-asserted).
+    """
+    from cruncher_spark.functions.text import portable_hash64
+    from cruncher_spark.plans.analytics_queries import (
+        _HLL_B,
+        _HLL_C,
+        _HLL_MAXRHO,
+        _HLL_TERMS,
+    )
+
+    assert m == 1 << _HLL_B, "bucket count is pinned by the shared constants"
+    hv = portable_hash64(F.col(key_col).cast("string"), salt="hll")
+    r = F.shiftright(hv, _HLL_B)
+    rho = F.when(r == 0, F.lit(_HLL_MAXRHO)).otherwise(
+        F.log2(r.bitwiseAND(-r)).cast("int") + F.lit(1)
+    )
+    bucket = hv % m
+    sketch = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            *[
+                F.max(F.when(bucket == i, rho)).alias(f"b{i}")
+                for i in range(m)
+            ]
+        )
+    )
+    terms = F.array(*[F.lit(t).cast("long") for t in _HLL_TERMS])
+    bs = [F.col(f"b{i}") for i in range(m)]
+    n_buckets = sum(b.isNotNull().cast("int") for b in bs)
+    s = sum(
+        F.coalesce(F.element_at(terms, b), F.lit(0).cast("long")) for b in bs
+    ) + (F.lit(m) - n_buckets).cast("long") * F.lit(1 << 40)
+    return sketch.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        n_buckets.alias("n_buckets"),
+        (F.lit(float(_HLL_C)) / s).alias("hll_estimate"),
+    )

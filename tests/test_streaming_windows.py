@@ -95,3 +95,54 @@ def test_windowed_counts_emit_on_watermark(spark, tmp_path, event_batches):
     assert got[(T0, "view")][0] == 2
     # the 01:00 window is still open (watermark 01:40 < 02:00)
     assert all(ws == T0 for ws, _ in got)
+
+
+def test_windowed_distinct_sketch_matches_batch_hll(spark, tmp_path):
+    """The streaming single-aggregation HLL produces the SAME estimate as
+    computing the sketch on the data in batch — the mergeable-columns
+    flattening changes the plan shape, not the math. Late rows inside the
+    watermark horizon land in their window; windows emit on watermark
+    passage (append mode)."""
+    from cruncher_spark.streaming.windows import windowed_distinct_sketch
+
+    rows = []
+    for i in range(300):
+        # 2 hours of events, ~97 distinct users, two types
+        rows.append(
+            ((i * 7) % 97, _ts(i % 120), "click" if i % 3 else "view", 1.0)
+        )
+    # batch 2 carries late-but-in-horizon rows plus a watermark pusher
+    b1, b2 = rows[:200], rows[200:] + [(999, _ts(600), "click", 1.0)]
+    d = tmp_path / "hll_in"
+    d.mkdir()
+    for i, rs in enumerate([b1, b2]):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    got = _run_stream(
+        spark,
+        windowed_distinct_sketch(stream, watermark="10 minutes"),
+        "hll_sketch_sink",
+        tmp_path / "ckpt_hll",
+    ).collect()
+
+    batch_df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    want = {
+        (r.window_start, r.window_end, r.event_type): r.hll_estimate
+        for r in windowed_distinct_sketch(batch_df).collect()
+    }
+    got_map = {
+        (r.window_start, r.window_end, r.event_type): r.hll_estimate
+        for r in got
+        if r.event_type != "click" or r.window_start.hour < 5
+    }
+    # every closed window's streaming estimate equals the batch estimate
+    assert got_map
+    for k, v in got_map.items():
+        assert k in want and abs(v - want[k]) < 1e-9, k
