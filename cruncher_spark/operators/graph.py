@@ -90,3 +90,58 @@ def connected_components(
             return labels
         prev_sum = new_sum
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Exact triangle count over an undirected edge set (canonical
+    ``u < v`` pairs) via DEGREE-ORDERED wedge joins — the standard
+    MapReduce-era formulation (Suri & Vassilvitskii's MR triangle
+    counting; Schank-Wagner ordering), expressed as three DataFrame
+    joins.
+
+    Naive wedge enumeration pivots on every vertex and explodes with the
+    square of its degree — one celebrity vertex with degree 10^6 emits
+    10^12 wedges. Orienting every edge from its lower-(degree, id)
+    endpoint to the higher bounds every vertex's OUT-degree by
+    O(sqrt(m)), so total wedge volume is O(m^1.5) worst case and far
+    less on real graphs, with no skew hot-spot: the highest-degree
+    vertex has the FEWEST outgoing edges. Each triangle is counted
+    exactly once (its vertices have a unique orientation order).
+
+    Returns a single row (n_vertices, n_edges, n_triangles).
+    """
+    deg = (
+        edges.select(F.col(u).alias("x"))
+        .unionAll(edges.select(F.col(v).alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("x", u), u)
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.withColumnRenamed("x", v).withColumnRenamed("d", "dv"), v
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))
+    )
+    directed = e.select(
+        F.when(fwd, F.col(u)).otherwise(F.col(v)).alias("src"),
+        F.when(fwd, F.col(v)).otherwise(F.col(u)).alias("dst"),
+    )
+    d1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    d2 = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = d1.join(d2, "b").select("a", "c")
+    closing = directed.select(
+        F.col("src").alias("a"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_vertices", "n_edges", "n_triangles"
+    )
