@@ -145,3 +145,63 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_vertices", "n_edges", "n_triangles"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge set (canonical
+    ``u < v`` pairs), treated as a symmetric directed graph — the classic
+    Pregel/GraphX power-iteration expressed as DataFrame joins.
+
+    Each round is one join (ranks onto out-edges) plus one aggregation
+    (summing contributions per destination): O(V + E) shuffle per round,
+    both hashed on the vertex key so AQE/exchange reuse co-partitions
+    them. Lineage is cut per round with ``localCheckpoint`` (same
+    discipline as :func:`connected_components`) so the DAG stays
+    constant-size for any iteration count.
+
+    Cross-engine determinism (the gate hash-compares doubles): per-edge
+    contributions ``rank/degree`` are IEEE-deterministic scalar ops, but
+    their SUM is order-dependent in float — so contributions are cast to
+    DECIMAL(28,14) first, making the aggregation exact and
+    order-independent, then cast back; the per-iteration scalar update
+    ``(1-d)/n + d*s`` is again pure scalar IEEE. The DuckDB oracle unrolls
+    the same rounds and reproduces every rank bit-for-bit.
+
+    With symmetric edges every vertex has out-degree >= 1, so there is no
+    dangling-mass term to redistribute. Returns (id, pr) for every vertex.
+    """
+    sym = edges.select(F.col(u).alias("a"), F.col(v).alias("b")).unionAll(
+        edges.select(F.col(v).alias("a"), F.col(u).alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    out = sym.join(deg, "a").persist()  # (a, b, d): static across rounds
+    n = out.select("a").distinct().count()
+    ranks = deg.select(F.col("a").alias("id"), F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = out.join(
+            ranks.withColumnRenamed("id", "a"), "a"
+        ).select(
+            F.col("b").alias("id"),
+            (F.col("pr") / F.col("d")).cast("decimal(28,14)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("id")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.col("s").cast("double")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out.unpersist()
+    return ranks

@@ -504,6 +504,82 @@ def ann_ivf_topk(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    min_cos: float = 0.9,
+    round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster with a coarse k-means
+    quantizer, then pairwise-compare only WITHIN each cluster (Abbas et al.
+    2023, "SemDeDup" — the published recipe for embedding-level dedup at
+    corpus scale). A vector is dropped when a same-cluster vector with a
+    smaller id has cosine >= ``min_cos`` (keep-lowest-id is the same
+    deterministic survivor rule the exact/MinHash dedup family uses).
+
+    Scale shape: cell assignment is a map-side projection (centroids
+    inlined, no shuffle — identical machinery to :func:`ann_ivf_topk`);
+    the pair search is a self-equi-join on ``cell``, so the quadratic
+    blow-up is bounded per cluster (N/K expected rows per cell), never
+    all-pairs — with K ~ sqrt(N) cells the total pair count is ~N^1.5
+    instead of N^2, and each cell's pairs co-locate in one task. Cross-
+    cluster near-dups are invisible by design; that recall/cost trade is
+    the SemDeDup contract (raise K for cheaper cells, lower K for recall).
+
+    Output: one row per input vector — (id, cell, kept).
+    """
+    if "`" in vec_col:
+        raise ValueError(f"vec_col must not contain backticks: {vec_col!r}")
+    vn = "__sdd_vnorm__"
+    if vn in vectors.columns:
+        raise ValueError(f"vectors already has internal column {vn!r}")
+    if centroids is None:
+        centroids = fit_ivf_centroids(
+            centroid_sample(vectors, id_col, vec_col), n_centroids
+        )
+    dim = len(centroids[0])
+    cells_sql = _cell_scores_sql(f"`{vec_col}`", f"`{vn}`", centroids, round_digits)
+    assigned = vectors.withColumn(vn, norm(F.col(vec_col), dim)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col(vn).alias("nrm"),
+        F.expr(f"-element_at({cells_sql}, 1).ncid").alias("cell"),
+    )
+    lo = assigned.select(
+        F.col("id").alias("lo_id"),
+        F.col("vec").alias("lo_vec"),
+        F.col("nrm").alias("lo_nrm"),
+        "cell",
+    )
+    hi = assigned.select(
+        F.col("id").alias("hi_id"),
+        F.col("vec").alias("hi_vec"),
+        F.col("nrm").alias("hi_nrm"),
+        "cell",
+    )
+    dropped = (
+        lo.join(hi, "cell")
+        .where(F.col("lo_id") < F.col("hi_id"))
+        .where(
+            F.round(
+                dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+                / (F.col("lo_nrm") * F.col("hi_nrm")),
+                round_digits,
+            )
+            >= min_cos
+        )
+        .select(F.col("hi_id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select("id", "cell", F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"))
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -724,3 +724,82 @@ def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: fixed-iteration PageRank over the same co-order graph
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                      GREATEST(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 10 = 0
+"""
+
+#: one PageRank round as SQL text: contributions cast to DECIMAL(28,14)
+#: (exact, order-independent sum), scalar update in double — mirrors
+#: operators/graph.py pagerank exactly. (1-d)/n is written as the
+#: subtraction, not a 0.15 literal: Python's 1.0-0.85 is
+#: 0.15000000000000002, a different double than the literal 0.15.
+_PR_ROUND_SQL = """
+    c{i} AS (SELECT s.b AS id, CAST(r.pr / g.d AS DECIMAL(28,14)) AS c
+             FROM sym s JOIN deg g ON g.a = s.a JOIN r{p} r ON r.id = s.a),
+    r{i} AS (SELECT id,
+                    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                    + CAST(0.85 AS DOUBLE) * CAST(SUM(c) AS DOUBLE) AS pr
+             FROM c{i} GROUP BY id)"""
+
+_PR_ITERS = 3
+
+
+@register(
+    "pagerank_topk",
+    oracle=f"""
+    WITH e AS ({_PR_EDGES_SQL}),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT a AS id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg),
+    {",".join(_PR_ROUND_SQL.format(i=i, p=i - 1) for i in range(1, _PR_ITERS + 1))},
+    ranked AS (SELECT id, round(pr, 12) AS pr,
+                      row_number() OVER (ORDER BY round(pr, 12) DESC, id) AS rk
+               FROM r{_PR_ITERS})
+    SELECT id, CAST(rk AS INT) AS rk, pr FROM ranked WHERE rk <= 10
+    """,
+    doc="Fixed-iteration PageRank (3 rounds, d=0.85) over the "
+    "parts-co-ordered-together graph (operators/graph.py pagerank): "
+    "per round one rank-onto-edges join + one per-destination sum — "
+    "O(V+E) shuffle per round, lineage cut per round with "
+    "localCheckpoint. Cross-engine float determinism: contributions "
+    "summed as DECIMAL(28,14) (exact, order-independent), scalar "
+    "updates pure IEEE — the oracle unrolls the same 3 rounds and "
+    "matches every rank bit-for-bit. Top-10 vertices by rank.",
+)
+def pagerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cruncher_spark.operators.graph import pagerank
+
+    star = _star(spark, sf_dir)
+    li = star.lineitem.where(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    pr = pagerank(edges, iters=_PR_ITERS, damping=0.85).select(
+        "id", F.round("pr", 12).alias("pr")
+    )
+    # TakeOrdered per-partition heap first (no global sort shuffle), THEN
+    # the rank window over the 10 surviving rows — a bare global
+    # row_number window would single-partition every vertex.
+    top = pr.orderBy(F.desc("pr"), F.asc("id")).limit(10)
+    w = Window.orderBy(F.desc("pr"), F.asc("id"))
+    return top.withColumn("rk", F.row_number().over(w)).select("id", "rk", "pr")
