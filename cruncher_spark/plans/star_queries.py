@@ -803,3 +803,168 @@ def pagerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pr.orderBy(F.desc("pr"), F.asc("id")).limit(10)
     w = Window.orderBy(F.desc("pr"), F.asc("id"))
     return top.withColumn("rk", F.row_number().over(w)).select("id", "rk", "pr")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2: versioned dimension history from the order change feed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_priority_dim",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority, epoch_us(o_orderdate) AS ts_us,
+             o_orderkey
+      FROM orders
+    ),
+    runs AS (
+      SELECT * FROM (
+        SELECT o.*, lag(o_orderpriority) OVER
+          (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS prev
+        FROM o) t
+      WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+      ts_us AS valid_from_us,
+      lead(ts_us) OVER w AS valid_to_us,
+      CAST(row_number() OVER w AS INT) AS version,
+      (lead(ts_us) OVER w IS NULL) AS is_current
+    FROM runs WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey)
+    """,
+    doc="SCD Type-2 dimension versioning (merge/scd.py scd2_history): each "
+    "customer's order-priority observations collapse into attribute-run "
+    "version rows with [valid_from, valid_to) intervals and a current "
+    "flag — the Kimball history the reference's Type-1 overwrite merge "
+    "(crunch_global.sql ON DUPLICATE KEY UPDATE) cannot answer as-of "
+    "queries from. ONE hash shuffle on the key: both windows (run "
+    "detection lag, interval lead) partition on custkey so Catalyst "
+    "reuses a single exchange+sort. Deterministic under same-timestamp "
+    "ties via the orderkey tiebreak.",
+)
+def scd2_priority_dim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.merge.scd import scd2_history
+
+    star = _star(spark, sf_dir)
+    changes = star.orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.unix_micros("o_orderdate").alias("ts_us"),
+        "o_orderkey",
+    )
+    hist = scd2_history(
+        changes, key="o_custkey", attr="o_orderpriority",
+        ts="ts_us", tiebreak="o_orderkey",
+    )
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit: referential integrity + null keys in one report
+# ---------------------------------------------------------------------------
+
+#: (check name, fact, fk col, dim, pk col) — every FK edge of the star
+_FK_EDGES = [
+    ("lineitem_orphan_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_orphan_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_orphan_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_orphan_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_orphan_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation_orphan_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "fk_audit",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS check_name, COUNT(*) AS n_bad FROM {fact} f
+            WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk})"""
+        for name, fact, fk, dim, pk in _FK_EDGES
+    )
+    + """
+    UNION ALL
+    SELECT 'customer_without_orders' AS check_name, COUNT(*) AS n_bad
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'orders_null_custkey' AS check_name, COUNT(*) AS n_bad
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'injected_orphan_detector' AS check_name, COUNT(*) AS n_bad
+    FROM (SELECT o_custkey + 10000000 AS k FROM orders
+          WHERE o_orderkey % 1000 = 0) f
+    WHERE NOT EXISTS (SELECT 1 FROM customer d WHERE d.c_custkey = f.k)
+    """,
+    doc="One-shot data-quality audit: every FK edge of the star checked "
+    "for orphans (left-anti join = NOT EXISTS; dims broadcast, so the "
+    "fact side is never shuffled for dim edges), plus null-key and "
+    "coverage checks — the dbt-test / Deequ-style constraint report a "
+    "pipeline runs before publishing a snapshot. Each check is an "
+    "independent aggregate over a pruned scan (only the key columns "
+    "read); the union is of 9 single-row results, not of facts. The "
+    "star data is clean (all real checks 0), so a deterministically "
+    "corrupted feed (custkeys shifted out of range) rides along to "
+    "prove the orphan detector counts violations when they exist.",
+)
+def fk_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+
+    def count_as(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = []
+    for name, fact, fk, dim, pk in _FK_EDGES:
+        f_df, d_df = star.table(fact), star.table(dim)
+        checks.append(
+            count_as(
+                name,
+                f_df.join(
+                    F.broadcast(d_df.select(pk)),
+                    f_df[fk] == d_df[pk],
+                    "left_anti",
+                ),
+            )
+        )
+    checks.append(
+        count_as(
+            "customer_without_orders",
+            star.customer.join(
+                star.orders.select("o_custkey"),
+                star.customer["c_custkey"] == F.col("o_custkey"),
+                "left_anti",
+            ),
+        )
+    )
+    checks.append(
+        count_as(
+            "orders_null_custkey", star.orders.where(F.col("o_custkey").isNull())
+        )
+    )
+    corrupted = star.orders.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_custkey") + 10_000_000).alias("k")
+    )
+    checks.append(
+        count_as(
+            "injected_orphan_detector",
+            corrupted.join(
+                F.broadcast(star.customer.select("c_custkey")),
+                corrupted["k"] == F.col("c_custkey"),
+                "left_anti",
+            ),
+        )
+    )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

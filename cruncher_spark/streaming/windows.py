@@ -169,3 +169,45 @@ def windowed_distinct_sketch(
         n_buckets.alias("n_buckets"),
         (F.lit(float(_HLL_C)) / s).alias("hll_estimate"),
     )
+
+
+def attribution_join(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click attributed to the same
+    user's preceding impression within ``max_delay`` — the canonical
+    ad-attribution / request-response correlation shape.
+
+    Both sides carry an event-time watermark and the join predicate
+    carries the time-range bound, which is what lets Spark EVICT buffered
+    state: an impression can only match clicks in
+    ``[imp_ts, imp_ts + max_delay]``, so once the click watermark passes
+    that horizon the impression's buffered row is dropped. Without the
+    range bound the state store grows forever — the bound is the
+    streaming analog of a partition-pruned join. State is hash-
+    partitioned on user_id on both sides (co-partitioned shuffle, same
+    key both streams), so matching is local per task.
+    """
+    imp = impressions.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("imp_user"),
+        F.col("ts").alias("imp_ts"),
+        F.col("value").alias("imp_value"),
+    )
+    clk = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return imp.join(
+        clk,
+        F.expr(
+            "imp_user = click_user"
+            " AND click_ts >= imp_ts"
+            f" AND click_ts <= imp_ts + interval {max_delay}"
+        ),
+        "inner",
+    ).select(
+        F.col("imp_user").alias("user_id"), "imp_ts", "click_ts", "imp_value"
+    )

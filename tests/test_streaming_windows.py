@@ -146,3 +146,52 @@ def test_windowed_distinct_sketch_matches_batch_hll(spark, tmp_path):
     assert got_map
     for k, v in got_map.items():
         assert k in want and abs(v - want[k]) < 1e-9, k
+
+
+def test_attribution_join_matches_across_batches(spark, tmp_path):
+    """Stream-stream interval join buffers state across micro-batches: a
+    click arriving in batch 2 joins an impression from batch 1, and
+    out-of-window clicks never match."""
+    from cruncher_spark.streaming.windows import attribution_join
+
+    imp_rows = [
+        [(1, _ts(0), "view", 10.0), (2, _ts(0), "view", 20.0)],   # batch 1
+        [(3, _ts(60), "view", 30.0)],                              # batch 2
+    ]
+    clk_rows = [
+        [(2, _ts(5), "click", 0.0)],                               # batch 1
+        # user 1's click lands in batch 2 but attributes to the batch-1
+        # impression (20 min <= 30 min window); user 3's second click at
+        # +45 min exceeds the window and must NOT match
+        [(1, _ts(20), "click", 0.0), (3, _ts(70), "click", 0.0),
+         (3, _ts(105), "click", 0.0)],
+    ]
+    dirs = {}
+    for name, batches in [("imp", imp_rows), ("clk", clk_rows)]:
+        d = tmp_path / f"{name}_in"
+        d.mkdir()
+        for i, rs in enumerate(batches):
+            spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(d / f"batch_{i}.parquet"))
+        dirs[name] = d
+
+    def read(d):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*.parquet")
+        )
+
+    out = _run_stream(
+        spark,
+        attribution_join(read(dirs["imp"]), read(dirs["clk"])),
+        "attributed",
+        tmp_path / "ck_attr",
+    )
+    got = {(r.user_id, r.click_ts): (r.imp_ts, r.imp_value) for r in out.collect()}
+    assert got == {
+        (2, _ts(5)): (_ts(0), 20.0),
+        (1, _ts(20)): (_ts(0), 10.0),
+        (3, _ts(70)): (_ts(60), 30.0),
+    }
