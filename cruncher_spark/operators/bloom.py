@@ -93,8 +93,15 @@ def bloom_might_contain(
     The bitmap is one array<long> literal; each of the k probes is
     ``element_at`` + shift + mask. NULL keys test false (they cannot match
     an inner/semi join anyway).
+
+    The array is emitted as ONE SQL string parsed in a single pass — the
+    per-element ``F.lit`` form costs one py4j round trip per word (1024
+    at the default sizing), the same driver-time trap the IVF centroid
+    literals hit (measured ~1 s of plan-build per call there).
     """
-    words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    words = F.expr(
+        "array(" + ", ".join(f"{w}L" for w in bitmap) + ")"
+    )
     cond = F.lit(True)
     for pos in _positions(key, n_bits, n_hashes):
         word = F.element_at(words, (pos / 64).cast("int") + 1)

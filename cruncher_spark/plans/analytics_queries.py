@@ -701,3 +701,122 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p.k").alias("max_k"),
         F.count_distinct(F.col("p.k")).alias("n_distinct_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap filling: dense daily calendar per key, zeros for quiet days
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1
+    ),
+    cal AS (
+      SELECT event_type, CAST(g AS DATE) AS d
+      FROM bounds, LATERAL unnest(generate_series(mn, mx, INTERVAL 1 DAY)) t(g)
+    )
+    SELECT c.event_type, strftime(c.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n
+    FROM cal c LEFT JOIN daily USING (event_type, d)
+    """,
+    doc="Time-series gap filling: per-type daily counts densified over "
+    "each type's [min, max] day span, quiet days zero-filled — the "
+    "make-the-calendar-then-left-join pattern every charting/forecast "
+    "consumer needs. The calendar derives from the AGGREGATE (one row "
+    "per type, sequence() exploded JVM-side), so the dense frame costs "
+    "O(types x days), never a scan-sized generate; the fill join hashes "
+    "on (type, day) like the aggregate before it.",
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    cal = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx")).alias("d"),
+    )
+    return cal.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# global running sum WITHOUT a single-partition window (two-pass prefix sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_running_sum",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+             (ORDER BY epoch_us(ts), event_id
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+      CAST(COUNT(*) OVER (ORDER BY epoch_us(ts), event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n
+    FROM events
+    """,
+    doc="Globally-ordered cumulative sum via the distributed TWO-PASS "
+    "prefix-sum: a bare `SUM() OVER (ORDER BY ts)` window moves the "
+    "entire fact to ONE partition (Spark even warns) — the classic "
+    "scale cliff. Instead: partition by day, window WITHIN each day "
+    "(per-partition sort only), then add each day's cumulative offset "
+    "computed from the tiny per-day totals (O(days) rows, windowed "
+    "cheaply and broadcast back). Identical semantics to the oracle's "
+    "single global window; DECIMAL(18,6) running sums keep every "
+    "partial bit-identical across engines.",
+)
+def global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    e = events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w_day = (
+        Window.partitionBy("d")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = e.select(
+        "event_id",
+        "ts_us",
+        "d",
+        F.sum("v").over(w_day).alias("rv_day"),
+        F.count(F.lit(1)).over(w_day).alias("rn_day"),
+    )
+    day_totals = e.groupBy("d").agg(
+        F.sum("v").alias("dv"), F.count(F.lit(1)).alias("dn")
+    )
+    w_days = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_totals.select(
+        "d",
+        F.coalesce(F.sum("dv").over(w_days), F.lit(0).cast("decimal(18,6)")).alias("off_v"),
+        F.coalesce(F.sum("dn").over(w_days), F.lit(0)).alias("off_n"),
+    )
+    return within.join(F.broadcast(offsets), "d").select(
+        "event_id",
+        "ts_us",
+        (F.col("rv_day") + F.col("off_v")).cast("double").alias("running_value"),
+        (F.col("rn_day") + F.col("off_n")).cast("long").alias("running_n"),
+    )

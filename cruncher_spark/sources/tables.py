@@ -65,6 +65,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_evolving(
+    spark: SparkSession,
+    path: str,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Schema-evolution-tolerant scan: files written under OLD schema
+    versions coexist with new ones in the same table directory.
+
+    ``mergeSchema`` unions every parquet footer's schema (columns added
+    over time appear as NULL for pre-addition files — parquet's
+    schema-on-read contract); ``defaults`` then backfills chosen columns
+    with a constant so downstream aggregates need no per-column
+    null-handling. At 100 TB footer merging touches metadata only (one
+    footer per file, no data read), and column pruning/pushdown still
+    reach the scan — files lacking a pruned column are simply read as
+    nulls. The reference's analog is MySQL ``ALTER TABLE ADD COLUMN
+    DEFAULT``: one logical schema over rows of two generations.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for c, v in (defaults or {}).items():
+        df = df.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return df
+
+
 def jdbc_reader(
     spark: SparkSession,
     url: str,
