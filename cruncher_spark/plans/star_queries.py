@@ -1027,3 +1027,81 @@ def set_ops_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return names.join(counts, "segment", "left").select(
         "segment", F.coalesce("n", F.lit(0).cast("long")).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# correlated scalar subquery → Catalyst decorrelation
+# ---------------------------------------------------------------------------
+
+#: predicate stated in exact integer/decimal arithmetic: price > 1.5x the
+#: customer's average  ⟺  2 * price * n > 3 * sum — no float division, so
+#: both engines evaluate the correlated aggregates bit-identically
+_ABOVE_AVG_SQL = """
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2
+            * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > 3 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register(
+    "above_avg_orders",
+    oracle=_ABOVE_AVG_SQL,
+    doc="Correlated scalar subqueries (each order vs 1.5x its customer's "
+    "average spend) — the shape users write naturally and engines must "
+    "DECORRELATE: Catalyst rewrites each per-row aggregate into a "
+    "grouped aggregate joined back on the correlation key (verified in "
+    "the plan: two broadcast-joined HashAggregates, one scan each), so "
+    "cost is a few fact scans shuffled on custkey — never a subquery "
+    "per row. "
+    "The predicate is restated in integer/decimal arithmetic (2*price*n "
+    "> 3*sum) so the gate stays float-exact across engines.",
+)
+def above_avg_orders_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    star.view("orders")
+    return star.spark.sql(_ABOVE_AVG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# native ROLLUP over the time hierarchy (year → month → grand total)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_rollup",
+    oracle="""
+    SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'all') AS year_lbl,
+           COALESCE(CAST(month(o_orderdate) AS VARCHAR), 'all') AS month_lbl,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+    doc="Native ROLLUP over the time hierarchy: (year, month) -> (year) -> "
+    "grand total in ONE aggregation pass — the Expand operator emits each "
+    "row once per grouping level feeding a single hash aggregate, vs "
+    "unioning three separate aggregates (three scans, three shuffles). "
+    "Subtotal rows are labeled 'all' like the reference's hand-rolled "
+    "'all'-dimension convention; sums DECIMAL-exact cross-engine.",
+)
+def time_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    o = star.orders.select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.col("o_totalprice").cast(_DEC).alias("p"),
+    )
+    return (
+        o.rollup("y", "m")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p").cast("double").alias("sum_price"))
+        .select(
+            F.coalesce(F.col("y").cast("string"), F.lit("all")).alias("year_lbl"),
+            F.coalesce(F.col("m").cast("string"), F.lit("all")).alias("month_lbl"),
+            "n",
+            "sum_price",
+        )
+    )

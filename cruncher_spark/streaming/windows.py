@@ -211,3 +211,26 @@ def attribution_join(
     ).select(
         F.col("imp_user").alias("user_id"), "imp_ts", "click_ts", "imp_value"
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-micro-batch streaming dedup, state bounded by the watermark.
+
+    The worker's in-batch ``dropDuplicates`` (SURVEY T5) only dedups rows
+    that arrive in the SAME trigger; a replayed source (at-least-once
+    queue redelivery) re-emits rows in a LATER batch, and those pass
+    through. ``dropDuplicatesWithinWatermark`` keeps a keyed state entry
+    until the event-time watermark passes the row's timestamp + horizon,
+    so redeliveries inside the horizon are dropped exactly once while
+    state stays bounded (the unwatermarked ``dropDuplicates`` on a stream
+    would grow state with the key universe forever). Downstream, the
+    batch-id ledger (merge/upsert.py) remains the exactly-once backstop
+    for redeliveries OUTSIDE the horizon.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

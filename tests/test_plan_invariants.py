@@ -1,0 +1,70 @@
+"""Plan-shape regression net over EVERY registered query.
+
+`tools/plan_audit.py` documents the physical plans; this test FREEZES the
+two invariants that must never regress silently:
+
+- no `CartesianProduct` anywhere — an unkeyed cross join over fact-sized
+  inputs is the canonical 100 TB scale-killer; the broadcast nested-loop
+  joins some queries legitimately use (regex/interval dims) are distinct
+  node types and stay allowed;
+- Arrow/Python boundaries (`MapInPandas`, `ArrowEvalPython`, pandas state
+  operators) appear ONLY in the queries that deliberately choose
+  vectorized numpy (the Arrow-matmul top-k and the multimodal codecs) —
+  everything else must stay whole-stage-codegen JVM expressions.
+
+The plans are built (analyzed + physical-planned) at sf0.001 without
+executing, so the whole sweep costs seconds.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from cruncher_spark.plans import query_map
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries that intentionally cross the Arrow boundary (vectorized numpy
+#: matmul / pure-python codecs) — keep in sync with PLANS.md "python ops"
+PYTHON_ALLOWED = {
+    "embedding_topk",
+    "multimodal_decode",
+    "multimodal_decode_real",
+    "multimodal_frames_real",
+    "multimodal_resize_real",
+    "multimodal_resize",
+}
+
+PY_NODES = re.compile(
+    r"MapInPandas|ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
+)
+
+
+def _plans(spark):
+    for name, fn in query_map().items():
+        df = fn(spark, SF_DIR)
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_anywhere(spark):
+    bad = [n for n, plan in _plans(spark) if "CartesianProduct" in plan]
+    assert not bad, f"cartesian products crept into: {bad}"
+
+
+def test_python_boundaries_only_where_deliberate(spark):
+    bad = [
+        n
+        for n, plan in _plans(spark)
+        if PY_NODES.search(plan) and n not in PYTHON_ALLOWED
+    ]
+    assert not bad, f"unexpected Python/Arrow boundary in: {bad}"
+
+
+def test_python_allowlist_is_tight(spark):
+    """The allowlist must not rot: every allowlisted query still crosses
+    the boundary (if one went pure-JVM, shrink the list)."""
+    got = {n for n, plan in _plans(spark) if PY_NODES.search(plan)}
+    stale = PYTHON_ALLOWED - got
+    assert not stale, f"allowlisted but now pure-JVM (remove): {stale}"

@@ -195,3 +195,35 @@ def test_attribution_join_matches_across_batches(spark, tmp_path):
         (1, _ts(20)): (_ts(0), 10.0),
         (3, _ts(70)): (_ts(60), 30.0),
     }
+
+
+def test_dedup_within_watermark_drops_cross_batch_replay(spark, tmp_path):
+    """A row redelivered in a LATER micro-batch (at-least-once queue
+    semantics) is dropped by watermark-bounded streaming dedup — the case
+    per-batch dropDuplicates cannot catch."""
+    from cruncher_spark.streaming.windows import dedup_within_watermark
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    b1 = [(1, _ts(0), "click", 1.0), (2, _ts(1), "view", 2.0)]
+    # batch 2 REPLAYS event 2 and adds a fresh event 3
+    b2 = [(2, _ts(1), "view", 2.0), (3, _ts(2), "click", 3.0)]
+    d = tmp_path / "replay_in"
+    d.mkdir()
+    for i, rs in enumerate([b1, b2]):
+        spark.createDataFrame(rs, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    out = _run_stream(
+        spark,
+        dedup_within_watermark(stream, keys=["event_id"]),
+        "deduped_stream",
+        tmp_path / "ck_dedup",
+    )
+    got = sorted(r.event_id for r in out.collect())
+    assert got == [1, 2, 3]  # event 2 emitted once despite the replay
