@@ -1105,3 +1105,76 @@ def time_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority, epoch_us(o_orderdate) AS ts_us,
+             o_orderkey
+      FROM orders
+    ),
+    runs AS (
+      SELECT * FROM (
+        SELECT o.*, lag(o_orderpriority) OVER
+          (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS prev
+        FROM o) t
+      WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+        ts_us AS valid_from, lead(ts_us) OVER w AS valid_to,
+        CAST(row_number() OVER w AS INT) AS version
+      FROM runs WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey)
+    )
+    SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+           h.version, h.priority AS priority_at_order
+    FROM o JOIN hist h
+      ON h.custkey = o.o_custkey
+     AND o.ts_us >= h.valid_from
+     AND (h.valid_to IS NULL OR o.ts_us < h.valid_to)
+    """,
+    doc="Point-in-time (as-of) enrichment against the SCD2 history: each "
+    "order joined to the dimension version valid at its date — the "
+    "whole reason Type-2 history exists. Equi-join on the dimension key "
+    "carries the interval predicate as a residual filter, so the plan "
+    "is a plain hash join (one shuffle each side on custkey; history is "
+    "dim-sized and broadcastable at scale), never an inequality-only "
+    "theta join. Every order matches exactly one version — the runs "
+    "partition each customer's timeline from its first observation.",
+)
+def scd2_asof_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.merge.scd import scd2_history
+
+    star = _star(spark, sf_dir)
+    o = star.orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.unix_micros("o_orderdate").alias("ts_us"),
+        "o_orderkey",
+    )
+    hist = scd2_history(
+        o, key="o_custkey", attr="o_orderpriority",
+        ts="ts_us", tiebreak="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    return (
+        o.join(
+            hist,
+            (o["o_custkey"] == hist["custkey"])
+            & (o["ts_us"] >= hist["valid_from"])
+            & (hist["valid_to"].isNull() | (o["ts_us"] < hist["valid_to"])),
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            "version",
+            F.col("priority").alias("priority_at_order"),
+        )
+    )
