@@ -153,6 +153,7 @@ def pagerank(
     v: str = "v",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge set (canonical
     ``u < v`` pairs), treated as a symmetric directed graph — the classic
@@ -161,9 +162,14 @@ def pagerank(
     Each round is one join (ranks onto out-edges) plus one aggregation
     (summing contributions per destination): O(V + E) shuffle per round,
     both hashed on the vertex key so AQE/exchange reuse co-partitions
-    them. Lineage is cut per round with ``localCheckpoint`` (same
-    discipline as :func:`connected_components`) so the DAG stays
-    constant-size for any iteration count.
+    them. Lineage is cut with ``localCheckpoint`` every
+    ``checkpoint_interval`` rounds plus once at the end (same discipline
+    as :func:`connected_components`) so the DAG stays bounded for any
+    iteration count without paying one eager job PER round: a shallow
+    run (the common 3-5 iterations) executes as a single job through the
+    cached edge table. Measured wall-neutral at sf0.1 (the edge
+    construction dominates) — the win is job count and a lineage bound
+    that holds at any ``iters``.
 
     Cross-engine determinism (the gate hash-compares doubles): per-edge
     contributions ``rank/degree`` are IEEE-deterministic scalar ops, but
@@ -184,7 +190,7 @@ def pagerank(
     n = out.select("a").distinct().count()
     ranks = deg.select(F.col("a").alias("id"), F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for i in range(iters):
         contrib = out.join(
             ranks.withColumnRenamed("id", "a"), "a"
         ).select(
@@ -201,7 +207,13 @@ def pagerank(
                     + F.lit(damping) * F.col("s").cast("double")
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        # the final round always checkpoints: it materializes the whole
+        # unrolled chain as ONE job (through the cached `out`), after
+        # which the persisted edges can be safely released — unpersisting
+        # before any action would silently recompute the degree join
+        # every round
+        if (i + 1) % checkpoint_interval == 0 or (i + 1) == iters:
+            ranks = ranks.localCheckpoint(eager=True)
     out.unpersist()
     return ranks
