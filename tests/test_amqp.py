@@ -1,0 +1,207 @@
+"""AMQP 0-9-1 wire client + landing-dir bridge, against a loopback fake
+broker speaking the same protocol subset (no RabbitMQ in the sandbox —
+the wire format is what these tests pin)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+from cruncher_spark.streaming.amqp import (
+    FRAME_BODY,
+    FRAME_END,
+    FRAME_HEADER,
+    FRAME_METHOD,
+    AmqpClient,
+    Reader,
+    drain_to_landing_dir,
+    empty_table,
+    longstr,
+    shortstr,
+)
+
+
+class FakeBroker(threading.Thread):
+    """Single-connection AMQP 0-9-1 server: handshake, channel, declare,
+    qos, consume (delivers preloaded messages, then Basic.Cancel), ack
+    and publish recording."""
+
+    def __init__(self, messages: list[bytes]):
+        super().__init__(daemon=True)
+        self.messages = list(messages)
+        self.acked: list[int] = []
+        self.published: list[tuple[str, bytes]] = []
+        self.declared: list[str] = []
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        self.srv, self.port = srv, srv.getsockname()[1]
+        self._next_tag = 1
+        self._prefetch = 10_000
+        self._outstanding = 0
+        self._consuming = False
+        self._cancel_sent = False
+
+    # -- framing (server side) ----------------------------------------------
+
+    def _send(self, ftype, channel, payload):
+        self.conn.sendall(
+            struct.pack(">BHI", ftype, channel, len(payload))
+            + payload
+            + bytes([FRAME_END])
+        )
+
+    def _method(self, channel, cls, meth, args=b""):
+        self._send(FRAME_METHOD, channel, struct.pack(">HH", cls, meth) + args)
+
+    def _recv_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = self.conn.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("client gone")
+            buf += chunk
+        return buf
+
+    def _recv_frame(self):
+        ftype, channel, size = struct.unpack(">BHI", self._recv_exact(7))
+        payload = self._recv_exact(size)
+        assert self._recv_exact(1)[0] == FRAME_END
+        return ftype, channel, payload
+
+    # -- protocol ------------------------------------------------------------
+
+    def run(self):  # noqa: C901 - linear protocol script
+        self.conn, _ = self.srv.accept()
+        try:
+            assert self._recv_exact(8) == b"AMQP\x00\x00\x09\x01"
+            self._method(
+                0, 10, 10,
+                struct.pack(">BB", 0, 9) + empty_table()
+                + longstr(b"PLAIN") + longstr(b"en_US"),
+            )
+            self._expect(10, 11)  # Start-Ok
+            self._method(0, 10, 30, struct.pack(">HIH", 0, 131072, 0))  # Tune
+            self._expect(10, 31)
+            self._expect(10, 40)  # Connection.Open
+            self._method(0, 10, 41, shortstr(""))
+            self._expect(20, 10)  # Channel.Open
+            self._method(1, 20, 11, longstr(b""))
+            while True:
+                ftype, _ch, payload = self._recv_frame()
+                if ftype != FRAME_METHOD:
+                    continue
+                r = Reader(payload)
+                cls, meth = r.u16(), r.u16()
+                if (cls, meth) == (50, 10):  # Queue.Declare
+                    r.u16()
+                    self.declared.append(r.shortstr())
+                    self._method(
+                        1, 50, 11,
+                        shortstr(self.declared[-1]) + struct.pack(">II", len(self.messages), 0),
+                    )
+                elif (cls, meth) == (60, 10):  # Basic.Qos
+                    r.u32()
+                    self._prefetch = r.u16() or 10_000
+                    self._method(1, 60, 11)
+                elif (cls, meth) == (60, 20):  # Basic.Consume
+                    self._method(1, 60, 21, shortstr("ctag"))
+                    self._consuming, self._cancel_sent = True, False
+                    self._maybe_deliver()
+                elif (cls, meth) == (60, 80):  # Basic.Ack
+                    self.acked.append(r.u64())
+                    self._outstanding -= 1
+                    self._maybe_deliver()
+                elif (cls, meth) == (60, 40):  # Basic.Publish
+                    r.u16()
+                    r.shortstr()  # exchange
+                    rkey = r.shortstr()
+                    _t, _c, hp = self._recv_frame()
+                    hr = Reader(hp)
+                    hr.u16(), hr.u16()
+                    size = hr.u64()
+                    body = b""
+                    while len(body) < size:
+                        _bt, _bc, bp = self._recv_frame()
+                        body += bp
+                    self.published.append((rkey, body))
+                elif (cls, meth) == (10, 50):  # Connection.Close
+                    self._method(0, 10, 51)
+                    return
+        except (ConnectionError, AssertionError, OSError):
+            pass
+        finally:
+            self.conn.close()
+            self.srv.close()
+
+    def _expect(self, cls, meth):
+        while True:
+            ftype, _ch, payload = self._recv_frame()
+            if ftype != FRAME_METHOD:
+                continue
+            r = Reader(payload)
+            got = (r.u16(), r.u16())
+            assert got == (cls, meth), f"expected {(cls, meth)}, got {got}"
+            return r
+
+    def _maybe_deliver(self):
+        """Deliver while the prefetch window has room (RabbitMQ basic.qos
+        semantics); when the queue empties, end the stream with a
+        consumer-cancel notification exactly once."""
+        if not self._consuming:
+            return
+        while self.messages and self._outstanding < self._prefetch:
+            body = self.messages.pop(0)
+            tag = self._next_tag
+            self._next_tag += 1
+            self._outstanding += 1
+            self._method(
+                1, 60, 60,
+                shortstr("ctag") + struct.pack(">QB", tag, 0)
+                + shortstr("") + shortstr("crunch"),
+            )
+            self._send(FRAME_HEADER, 1, struct.pack(">HHQH", 60, 0, len(body), 0))
+            self._send(FRAME_BODY, 1, body)
+        if not self.messages and not self._cancel_sent:
+            self._method(1, 60, 30, shortstr("ctag") + b"\x01")
+            self._cancel_sent = True
+            self._consuming = False
+
+
+def test_drain_bridges_queue_to_landing_dir(spark, tmp_path):
+    ids = [str(n).encode() for n in range(7)]
+    broker = FakeBroker(ids)
+    broker.start()
+    client = AmqpClient(port=broker.port).connect()
+    landed = drain_to_landing_dir(
+        client, "crunch", str(tmp_path / "land"), batch_size=3
+    )
+    client.close()
+    broker.join(timeout=10)
+
+    assert landed == 7
+    assert broker.declared == ["crunch"]
+    assert sorted(broker.acked) == list(range(1, 8))  # every delivery acked
+    files = sorted((tmp_path / "land").glob("batch-*.txt"))
+    assert len(files) == 3  # 3 + 3 + 1
+    assert not list((tmp_path / "land").glob(".*tmp"))
+    # the engine's file stream reads exactly the drained ids
+    got = sorted(
+        r.value for r in spark.read.text(str(tmp_path / "land")).collect()
+    )
+    assert got == sorted(i.decode() for i in ids)
+
+
+def test_publish_reaches_broker(tmp_path):
+    broker = FakeBroker([])
+    broker.start()
+    client = AmqpClient(port=broker.port).connect()
+    client.publish("crunch_failed", b'{"id": "bad"}')
+    client.publish("notify.global", b"crunch_update")
+    client.close()
+    broker.join(timeout=10)
+    assert broker.published == [
+        ("crunch_failed", b'{"id": "bad"}'),
+        ("notify.global", b"crunch_update"),
+    ]
