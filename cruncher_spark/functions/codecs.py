@@ -10,9 +10,12 @@ layouts). These codecs make the multimodal decode path REAL for all
 three kinds — ``cruncher_spark.operators.multimodal`` plugs them into
 its ``mapInPandas`` batch loop, so a user can round-trip actual media
 bytes, and frame sampling can read the real container index instead of
-slicing synthetic byte ranges. Inter-frame *compressed* video (H.264
-etc.) genuinely requires libav and stays out of scope; the container
-parsing, frame indexing and uncompressed-frame decode are real.
+slicing synthetic byte ranges. Compressed INTRA-frame video is real too:
+:func:`avi_encode_mjpeg` wraps per-frame baseline JPEGs
+(:mod:`cruncher_spark.functions.jpeg` — real DCT/quantization/Huffman)
+as a Motion-JPEG AVI, and :func:`avi_decode` dispatches on the stream
+codec. Inter-frame video (H.264 etc.) genuinely requires libav and stays
+out of scope.
 
 Encoders are deterministic (fixed zlib level, filter 0, fixed header
 fields) so payload bytes are reproducible across runs and engines.
@@ -206,6 +209,62 @@ def avi_encode(frames: np.ndarray, fps: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def avi_encode_mjpeg(frames: np.ndarray, fps: int, quality: int = 85) -> bytes:
+    """Encode an (N, H, W) uint8 stack as a REAL Motion-JPEG AVI: each
+    frame is an independently-decodable baseline JPEG
+    (:mod:`cruncher_spark.functions.jpeg` — actual DCT/quantization/
+    Huffman entropy coding, not a byte-slice fake) in a ``00dc`` chunk,
+    fourcc ``MJPG``, with the same ``idx1`` index so frame extraction
+    seeks without scanning. This is the intra-only compressed-video form;
+    inter-frame codecs (H.264 etc.) remain out of scope."""
+    from cruncher_spark.functions.jpeg import jpeg_encode
+
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("avi_encode_mjpeg expects an (N, H, W) uint8 array")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    n, h, w = frames.shape
+    payloads = [jpeg_encode(frames[i], quality) for i in range(n)]
+    max_bytes = max(len(p) for p in payloads)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10,
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack(
+            "<10I4h", 0, 0, 0, 1, fps, 0, n, max_bytes, 0xFFFFFFFF, 0,
+            0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 8,
+        int.from_bytes(b"MJPG", "little"),  # biCompression fourcc
+        max_bytes, 0, 0, 0, 0,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl_body = b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+
+    movi_chunks, index, off = [], [], 4
+    for p in payloads:
+        movi_chunks.append(b"00dc" + struct.pack("<I", len(p)) + p)
+        index.append(struct.pack("<4sIII", b"00dc", _AVIIF_KEYFRAME, off, len(p)))
+        off += 8 + len(p)
+        if len(p) % 2:
+            movi_chunks.append(b"\x00")
+            off += 1
+    movi_body = b"".join(movi_chunks)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    idx1 = b"idx1" + struct.pack("<I", 16 * n) + b"".join(index)
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def avi_index(data: bytes) -> dict:
     """Parse an AVI's headers + ``idx1`` WITHOUT touching frame data.
 
@@ -217,6 +276,7 @@ def avi_index(data: bytes) -> dict:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (bad RIFF signature)")
     w = h = fps = n = None
+    codec = b"DIB "
     movi_pos = None
     entries: list[tuple[int, int]] = []
     pos = 12
@@ -239,6 +299,7 @@ def avi_index(data: bytes) -> dict:
                         n = vals[4]
                         w, h = vals[8], vals[9]
                     elif itag == b"strh" and data[ib : ib + 4] == b"vids":
+                        codec = data[ib + 4 : ib + 8]
                         scale, rate = struct.unpack("<2I", data[ib + 20 : ib + 28])
                         fps = rate // max(scale, 1)
                     elif itag == b"LIST":
@@ -277,16 +338,26 @@ def avi_index(data: bytes) -> dict:
         "fps": fps if fps is not None else 0,
         "n_frames": n if n is not None else len(frames),
         "frames": frames,
+        "codec": codec.decode("ascii", "replace").strip("\x00 ") or "DIB",
     }
 
 
 def avi_decode(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode an uncompressed grayscale AVI → (fps, (N, H, W) uint8)."""
+    """Decode a grayscale AVI → (fps, (N, H, W) uint8), dispatching on
+    the stream codec: uncompressed DIB frames or Motion-JPEG (each
+    ``00dc`` chunk a baseline JPEG run through the real entropy
+    decoder)."""
     idx = avi_index(data)
     w, h = idx["width"], idx["height"]
     out = np.empty((len(idx["frames"]), h, w), dtype=np.uint8)
-    for i, (off, size) in enumerate(idx["frames"]):
-        out[i] = _dib_to_frame(data[off : off + size], w, h)
+    if idx["codec"] == "MJPG":
+        from cruncher_spark.functions.jpeg import jpeg_decode
+
+        for i, (off, size) in enumerate(idx["frames"]):
+            out[i] = jpeg_decode(data[off : off + size])
+    else:
+        for i, (off, size) in enumerate(idx["frames"]):
+            out[i] = _dib_to_frame(data[off : off + size], w, h)
     return idx["fps"], out
 
 

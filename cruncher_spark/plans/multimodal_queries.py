@@ -233,3 +233,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_frames_sampled"),
         F.sum("frame_bytes").alias("sampled_bytes"),
     )
+
+
+@register(
+    "multimodal_mjpeg_real",
+    f"""
+    SELECT doc_id AS media_id,
+        CAST({_NFRAMES} AS INT) AS n_frames,
+        CAST(10 + doc_id % 20 AS INT) AS fps,
+        CAST({_VW} AS INT) AS frame_w,
+        CAST({_VH} AS INT) AS frame_h,
+        TRUE AS within_tol
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+    doc="REAL compressed video: every frame of each video row is encoded "
+    "as an actual baseline JPEG (DCT + quality-scaled quantization + "
+    "canonical Huffman entropy coding, functions/jpeg.py) inside a "
+    "Motion-JPEG AVI, then decoded back via the container index and the "
+    "entropy decoder. The oracle predicts the container metadata "
+    "analytically and the decoded pixels must stay within the "
+    "quantization tolerance of the source — a broken bitstream, "
+    "transform, or index blows past it or fails to parse. This closes "
+    "the last codec stub: intra-only compressed video is real; "
+    "inter-frame codecs (H.264) remain out of scope.",
+)
+def multimodal_mjpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.multimodal import mjpeg_roundtrip
+
+    media = attach_media(Star(spark, sf_dir).documents)
+    return mjpeg_roundtrip(media)

@@ -129,3 +129,94 @@ def test_resize_nearest_properties(h, w, nh, nw, seed):
     assert set(np.unique(out)) <= set(np.unique(px))
     # identity resize is exact
     assert np.array_equal(resize_nearest(px, w, h), px)
+
+
+# -- baseline JPEG + Motion-JPEG AVI ------------------------------------------
+
+
+def test_jpeg_dct_is_orthonormal():
+    from cruncher_spark.functions.jpeg import _C
+
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_zigzag_is_the_standard_scan():
+    from cruncher_spark.functions.jpeg import _ZIGZAG
+
+    assert _ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(_ZIGZAG.tolist()) == list(range(64))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 48),
+    w=st.integers(1, 48),
+    base=st.integers(0, 55),
+)
+def test_jpeg_roundtrip_smooth_content_within_tolerance(h, w, base):
+    """Band-limited (gradient) content round-trips within quantization
+    error at high quality; arbitrary dims exercise edge-replication
+    padding."""
+    from cruncher_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    span = max(1, (h - 1) + (w - 1))
+    y, x = np.mgrid[0:h, 0:w]
+    img = (base + (x + y) * 200 // span).astype(np.uint8)
+    data = jpeg_encode(img, quality=95)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = jpeg_decode(data)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_jpeg_roundtrip_noise_bounded(seed):
+    """Worst-case (white noise) content still decodes with error bounded
+    by the quantization table, proving the entropy coding itself is
+    lossless — all loss comes from quantization."""
+    from cruncher_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    px = _pixels(32, 32, seed)
+    out = jpeg_decode(jpeg_encode(px, quality=95))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 16
+
+
+def test_jpeg_rejects_non_jpeg():
+    import pytest
+
+    from cruncher_spark.functions.jpeg import jpeg_decode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x89PNG not a jpeg")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 6),
+    h=st.integers(8, 32),
+    w=st.integers(8, 32),
+    fps=st.integers(1, 60),
+)
+def test_mjpeg_avi_roundtrip_and_seek(n, h, w, fps):
+    from cruncher_spark.functions.codecs import (
+        avi_decode,
+        avi_encode_mjpeg,
+        avi_index,
+    )
+    from cruncher_spark.functions.jpeg import jpeg_decode
+
+    span = max(1, (h - 1) + (w - 1) + (n - 1))
+    f, y, x = np.mgrid[0:n, 0:h, 0:w]
+    frames = ((x + y + f) * 200 // span).astype(np.uint8)
+    data = avi_encode_mjpeg(frames, fps, quality=95)
+    idx = avi_index(data)
+    assert idx["codec"] == "MJPG" and idx["n_frames"] == n
+    assert idx["fps"] == fps
+    got_fps, out = avi_decode(data)
+    assert got_fps == fps and out.shape == frames.shape
+    assert np.abs(out.astype(int) - frames.astype(int)).max() <= 3
+    # index-seek: one frame's byte range decodes standalone
+    off, size = idx["frames"][n - 1]
+    one = jpeg_decode(data[off : off + size])
+    assert np.abs(one.astype(int) - frames[n - 1].astype(int)).max() <= 3
