@@ -234,3 +234,68 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+VELOCITY_OUT_SCHEMA = (
+    "user_id long, period_start long, n_events long"
+)
+
+
+def velocity_alerts(
+    events: DataFrame,
+    threshold: int = 3,
+    period_minutes: int = 10,
+) -> DataFrame:
+    """Per-user event-velocity alerting: emit ONE alert the moment a
+    user's event count within a fixed period first reaches ``threshold``
+    — the fraud/abuse rate-monitor shape.
+
+    State per user is a single (period_start, count, alerted) tuple —
+    constant-size, carried across micro-batches, reset when events move
+    to a later period. Rows are processed in event-time order within
+    each batch so the crossing point is deterministic for
+    replay/availableNow runs. This is the escape hatch for semantics
+    neither windowed aggregates nor session windows express: the alert
+    fires mid-window, exactly once, with cross-batch memory.
+
+    Implemented on ``applyInPandasWithState``. Spark 4's successor API
+    (``transformWithStateInPandas`` — named ``ValueState``/timers per
+    key) expresses the identical operator, but its Python runner
+    requires protobuf, which this environment lacks; the stable API
+    carries the same state tuple with the same semantics.
+    """
+    period_us = period_minutes * 60 * 1_000_000
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            period_start, n, alerted = state.get
+        else:
+            period_start, n, alerted = None, 0, False
+        alerts: list[tuple[int, int, int]] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"]:
+                us = int(ts.value // 1000)  # pandas ns → epoch micros
+                p = us - us % period_us
+                if period_start is None or p > period_start:
+                    period_start, n, alerted = p, 0, False
+                n += 1
+                if n >= threshold and not alerted:
+                    alerted = True
+                    alerts.append((user_id, period_start, n))
+        state.update((period_start, n, alerted))
+        if alerts:
+            yield pd.DataFrame(
+                alerts, columns=["user_id", "period_start", "n_events"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        VELOCITY_OUT_SCHEMA,
+        "period_start long, n long, alerted boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -227,3 +227,40 @@ def test_dedup_within_watermark_drops_cross_batch_replay(spark, tmp_path):
     )
     got = sorted(r.event_id for r in out.collect())
     assert got == [1, 2, 3]  # event 2 emitted once despite the replay
+
+
+def test_velocity_alert_fires_once_across_batches(spark, tmp_path):
+    """transformWithStateInPandas velocity monitor: the alert fires the
+    moment the in-period count first reaches the threshold — including
+    when the crossing event arrives in a LATER micro-batch — and never
+    fires twice for one (user, period)."""
+    from cruncher_spark.streaming.windows import velocity_alerts
+
+    b1 = [(1, _ts(0), "click", 1.0), (1, _ts(1), "click", 1.0),
+          (2, _ts(0), "view", 1.0)]
+    # batch 2: user 1's 3rd event in the same 10-min period crosses the
+    # threshold (state carried); the 4th must not re-alert; user 2 stays
+    # below; user 1's event in a LATER period starts a fresh count
+    b2 = [(1, _ts(2), "click", 1.0), (1, _ts(3), "click", 1.0),
+          (1, _ts(30), "click", 1.0)]
+    d = tmp_path / "vel_in"
+    d.mkdir()
+    for i, rs in enumerate([b1, b2]):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    out = _run_stream(
+        spark,
+        velocity_alerts(stream, threshold=3, period_minutes=10),
+        "velocity",
+        tmp_path / "ck_vel",
+    )
+    rows = [(r.user_id, r.period_start, r.n_events) for r in out.collect()]
+    period0 = int(T0.timestamp()) * 1_000_000
+    assert rows == [(1, period0, 3)]
