@@ -85,12 +85,18 @@ class PointTable:
         key: Sequence[str],
         policies: Mapping[str, MergePolicy] | None = None,
         num_buckets: int = 32,
+        retain_versions: int = 1,
     ):
         self.spark = spark
         self.path = Path(path)
         self.key = list(key)
         self.policies = dict(policies or {})
         self.num_buckets = num_buckets
+        #: how many committed versions survive GC (>=1). Retention is
+        #: nearly free: untouched buckets are hard links, so N retained
+        #: versions share file storage and only rewritten buckets differ —
+        #: the same trick that makes Delta/Iceberg time travel affordable.
+        self.retain_versions = max(1, retain_versions)
 
     # -- versioned state access ---------------------------------------------
 
@@ -114,15 +120,43 @@ class PointTable:
             raise FileNotFoundError(f"point table not initialized: {self.path}")
         return cur / "data"
 
-    def read(self) -> DataFrame:
-        data = self._data_dir()
+    def versions(self) -> list[int]:
+        """Committed, readable version numbers (ascending). Only versions
+        at or before CURRENT count — a later orphan dir from a crashed
+        attempt is not committed state."""
+        cur = self._current_version()
+        if cur is None:
+            return []
+        cur_n = int(cur.name.split("_")[1])
+        return sorted(
+            int(v.name.split("_")[1])
+            for v in self.path.glob("v_*")
+            if int(v.name.split("_")[1]) <= cur_n
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current state, or a retained historical version (time travel).
+
+        ``version`` must be in :meth:`versions` — versions older than the
+        retention window are garbage-collected at commit time.
+        """
+        if version is not None:
+            vdir = self.path / f"v_{version:06d}"
+            if version not in self.versions():
+                raise FileNotFoundError(
+                    f"version {version} not retained (have {self.versions()})"
+                )
+            return self._read_data(vdir / "data", vdir)
+        return self._read_data(self._data_dir(), self._current_version())
+
+    def _read_data(self, data: Path, vdir: Path | None) -> DataFrame:
         if not any(data.glob(f"{_BUCKET_COL}=*")):
             # state emptied (e.g. CDC deletes removed every key): no parquet
             # to infer from — rebuild the empty frame from the schema the
-            # last commit recorded in meta.json
+            # version's commit recorded in meta.json
             from pyspark.sql.types import StructType
 
-            meta = self._meta(self._current_version())
+            meta = self._meta(vdir) if vdir is not None else {}
             if meta.get("schema"):
                 return self.spark.createDataFrame(
                     [], StructType.fromJson(json.loads(meta["schema"]))
@@ -390,10 +424,16 @@ class PointTable:
         tmp_ptr.write_text(new.name)
         os.replace(tmp_ptr, self._pointer)  # ← the commit point
 
-        # GC: everything not referenced by CURRENT (old versions, orphans
-        # from crashes before their pointer flip) is garbage.
+        # GC: keep the newest `retain_versions` committed versions (time
+        # travel); orphans from crashes before their pointer flip — and
+        # anything older than the retention window — are garbage.
+        new_n = int(new.name.split("_")[1])
+        keep = {
+            f"v_{n:06d}"
+            for n in range(max(1, new_n - self.retain_versions + 1), new_n + 1)
+        }
         for v in self.path.glob("v_*"):
-            if v.name != new.name:
+            if v.name not in keep:
                 shutil.rmtree(v, ignore_errors=True)
 
     # -- lakehouse interop ---------------------------------------------------

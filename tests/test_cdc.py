@@ -74,3 +74,26 @@ def test_cdc_on_empty_table_inserts(spark, tmp_path):
     )
     assert pt.apply_cdc(changes)
     assert _state(pt) == {9: (9, "q")}
+
+
+def test_time_travel_retention(spark, tmp_path):
+    """retain_versions keeps historical versions readable (hard-linked, so
+    shared bucket files cost no extra storage) and GCs past the window."""
+    pt = PointTable(
+        spark, str(tmp_path / "tt"), key=["k"],
+        policies={"n": MergePolicy.ADD, "tag": MergePolicy.OVERWRITE},
+        num_buckets=4, retain_versions=2,
+    )
+    pt.merge(spark.createDataFrame([(1, 10, "a")], "k long, n long, tag string"))
+    pt.merge(spark.createDataFrame([(1, 5, "a")], "k long, n long, tag string"))
+    pt.merge(spark.createDataFrame([(2, 7, "b")], "k long, n long, tag string"))
+
+    assert pt.versions() == [2, 3]  # v1 GC'd past the 2-version window
+    assert _state(pt) == {1: (15, "a"), 2: (7, "b")}
+    # time travel: version 2 predates key 2's arrival
+    old = {r.k: (r.n, r.tag) for r in pt.read(version=2).collect()}
+    assert old == {1: (15, "a")}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        pt.read(version=1)
