@@ -578,3 +578,92 @@ def paragraph_dedup(
             )
         ).alias("clean_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined fingerprints: exact shared-substring detection
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    mod_p: int = 4,
+) -> DataFrame:
+    """(id, gram) — content-defined char-k-gram fingerprints per document.
+
+    Manber-style "0 mod p" selection (sif, USENIX '94; the same idea CDC
+    chunkers and MOSS-style winnowing build on): hash EVERY k-char window,
+    keep positions where ``hash % mod_p == 0``. Selection depends only on
+    the window *content*, so a substring shared between two documents
+    selects the same fingerprints regardless of its offset in either —
+    the property absolute-position striding lacks. A shared span of
+    length L >= k is detected with probability 1-(1-1/p)^(L-k+1)
+    (~1 for spans a few multiples of k).
+
+    Scale shape: the position explode is O(corpus bytes) rows but the
+    ``% mod_p`` filter runs map-side in the same stage, so only ~1/p of
+    positions ever reach the distinct's exchange. Fingerprints are the
+    actual grams (not hashes): the downstream equi-join is then exact
+    string equality, and the md5 is only a selection device — collisions
+    cannot create false pairs.
+    """
+    t = F.col(text_col)
+    # sequence(1, n) with n < 1 would generate a DESCENDING range; guard
+    # short docs to an empty array (explode drops them entirely)
+    positions = F.when(
+        F.length(t) >= k, F.sequence(F.lit(1), F.length(t) - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col), F.explode(positions).alias("p"), t.alias("_t")
+    ).select(F.col(id_col), F.col("_t").substr(F.col("p"), F.lit(k)).alias("gram"))
+    return grams.where(portable_hash64("gram") % mod_p == 0).select(
+        id_col, "gram"
+    ).distinct()
+
+
+def fingerprint_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    mod_p: int = 4,
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — document pairs sharing >= min_shared
+    content-defined fingerprints, i.e. pairs with long exact common
+    substrings (the Lee et al. 2022 exact-substring-dedup signal, computed
+    without a suffix array).
+
+    Pair generation is the bounded posting-list form: group fingerprints
+    by gram, DROP grams with document frequency > max_df (boilerplate —
+    a gram in half the corpus would force O(df^2) pairs and an unbounded
+    collect; the cap is the PPJoin-style df-pruning guard, applied here
+    as an explicit, oracle-mirrored semantic), and explode the remaining
+    <= max_df-element lists into ordered pairs. Shuffle volume is one
+    (gram, id) exchange plus one (id_a, id_b) aggregation; per-group state
+    is hard-bounded by max_df.
+    """
+    fp = content_fingerprints(df, id_col, text_col, k, mod_p)
+    # two passes so the boilerplate guard binds BEFORE any list is built:
+    # pass 1 is a constant-state count aggregate (map-side combinable even
+    # for a gram in every document); only grams that survive the df window
+    # reach pass 2's collect_list, whose per-group state is then <= max_df
+    dfc = fp.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfc.where(F.col("df").between(2, max_df))
+    bounded = fp.join(keep, "gram").groupBy("gram").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    pairs = (
+        bounded.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -820,3 +820,77 @@ def global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rv_day") + F.col("off_v")).cast("double").alias("running_value"),
         (F.col("rn_day") + F.col("off_n")).cast("long").alias("running_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-sequence pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+#: (pattern_name, regex over 1-char event codes c/e/p/s/v =
+#: click/error/purchase/signup/view). Plain regex syntax only — must mean
+#: the same thing to Java's regex engine (Spark) and RE2 (DuckDB).
+_EVENT_PATTERNS = [
+    ("view_click_purchase", "v+cp"),
+    ("signup_to_purchase", "s[vce]*p"),
+    ("error_burst", "e{3,}"),
+]
+
+_PATTERN_ROWS = ", ".join(f"('{n}', '{p}')" for n, p in _EVENT_PATTERNS)
+
+
+@register(
+    "event_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT p.pattern_name, len(regexp_extract_all(seq.s, p.pat)) AS m
+      FROM seq, (VALUES {_PATTERN_ROWS}) p(pattern_name, pat)
+    )
+    SELECT pattern_name,
+           CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+           CAST(SUM(m) AS BIGINT) AS n_matches
+    FROM m GROUP BY pattern_name
+    """,
+    doc="MATCH_RECOGNIZE-lite event-sequence pattern matching (the Flink "
+    "CEP / Trino MATCH_RECOGNIZE shape): per-user ordered event codes "
+    "folded into one string with a single hash shuffle, patterns applied "
+    "as regexes via regexp_count over a broadcast pattern dim. Per-user "
+    "state is bounded by that user's activity; no self-joins, no "
+    "per-step join chains (compare funnel_steps' oracle: one join per "
+    "funnel stage). Ties broken by event_id so the fold is deterministic.",
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    # order within the collected array, not the shuffle: array_sort on
+    # (ts, event_id, code) structs gives a deterministic per-user sequence
+    # regardless of partitioning/merge order
+    seq = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(F.array_sort(F.collect_list("s")), lambda s: s["c"]),
+            ).alias("s")
+        )
+    )
+    pats = spark.createDataFrame(_EVENT_PATTERNS, "pattern_name string, pat string")
+    matched = seq.join(F.broadcast(pats)).select(
+        "pattern_name", F.regexp_count("s", F.col("pat")).alias("m")
+    )
+    return matched.groupBy("pattern_name").agg(
+        F.sum((F.col("m") > 0).cast("int")).cast("long").alias("n_users"),
+        F.sum("m").cast("long").alias("n_matches"),
+    )

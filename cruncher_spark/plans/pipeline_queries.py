@@ -125,6 +125,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# content-defined fingerprint dedup (exact shared-substring detection)
+# ---------------------------------------------------------------------------
+
+_FP_K, _FP_MOD, _FP_MIN_SHARED, _FP_MAX_DF = 24, 4, 2, 64
+
+
+@register(
+    "dedup_substring_fingerprint",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, substr(text, CAST(g AS INT), {_FP_K}) AS gram
+      FROM documents, unnest(range(1, length(text) - {_FP_K} + 2)) t(g)
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, gram FROM pos
+      WHERE {_oracle_hash('gram')} % {_FP_MOD} = 0
+    ),
+    keep AS (
+      SELECT gram FROM fp GROUP BY gram
+      HAVING count(*) BETWEEN 2 AND {_FP_MAX_DF}
+    ),
+    fpk AS (SELECT f.doc_id, f.gram FROM fp f JOIN keep USING (gram))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM fpk a JOIN fpk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {_FP_MIN_SHARED}
+    """,
+    doc="Exact shared-substring detection via Manber '0 mod p' "
+    "content-defined fingerprints (the suffix-array-free form of "
+    "exact-substring dedup): offset-invariant char-24-gram selection, "
+    "df-capped posting lists, pairs verified by exact gram equality. "
+    "Map-side 1/p selection; per-group state hard-bounded by max_df.",
+)
+def dedup_substring_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from cruncher_spark.operators.dedup import fingerprint_span_pairs
+
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return fingerprint_span_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=_FP_K,
+        mod_p=_FP_MOD,
+        min_shared=_FP_MIN_SHARED,
+        max_df=_FP_MAX_DF,
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding (generated oracle)
 # ---------------------------------------------------------------------------
 

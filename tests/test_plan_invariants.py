@@ -33,6 +33,7 @@ PYTHON_ALLOWED = {
     "multimodal_decode",
     "multimodal_decode_real",
     "multimodal_frames_real",
+    "multimodal_mjpeg_real",
     "multimodal_resize_real",
     "multimodal_resize",
 }
