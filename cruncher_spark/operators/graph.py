@@ -109,7 +109,15 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     exactly once (its vertices have a unique orientation order).
 
     Returns a single row (n_vertices, n_edges, n_triangles).
+
+    The edge set is consumed three times (degree counting, orientation,
+    final stats) and the oriented edges three more (wedge build side,
+    probe side, closing join); both are persisted so an expensive
+    upstream (here a fact self-join) is evaluated ONCE instead of six
+    times — at scale, recomputing a multi-exchange lineage per consumer
+    dwarfs the cost of materializing the narrow 2-column edge list.
     """
+    edges = edges.persist()
     deg = (
         edges.select(F.col(u).alias("x"))
         .unionAll(edges.select(F.col(v).alias("x")))
@@ -129,7 +137,7 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     directed = e.select(
         F.when(fwd, F.col(u)).otherwise(F.col(v)).alias("src"),
         F.when(fwd, F.col(v)).otherwise(F.col(u)).alias("dst"),
-    )
+    ).persist()
     d1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     d2 = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     wedges = d1.join(d2, "b").select("a", "c")

@@ -894,3 +894,175 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("m") > 0).cast("int")).cast("long").alias("n_users"),
         F.sum("m").cast("long").alias("n_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window-function suite (lag/lead/rank/ntile/running max)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           row_number() OVER w AS rn,
+           ntile(4) OVER w AS quartile,
+           max(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run_max,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+             AS price_rank
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="The analytic window-function surface in one gate: lag/lead, "
+    "row_number, ntile, frame-bounded running max, and a second ordering "
+    "(rank by price) sharing the same partition key. One hash exchange on "
+    "the partition key serves every function (Spark collapses same-key "
+    "window specs into one sort); per-customer state is bounded by that "
+    "customer's orders — no global sort, no one-partition cliff.",
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    orders = Star(spark, sf_dir).orders.where(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_price = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.max("o_totalprice").over(w_run).alias("run_max"),
+        F.rank().over(w_price).alias("price_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series resample + linear interpolation
+# ---------------------------------------------------------------------------
+
+_RS_BUCKET_US = 300 * 1_000_000  # 5-minute buckets
+
+
+@register(
+    "resample_interpolate",
+    oracle=f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / {_RS_BUCKET_US}) AS BIGINT) AS b,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type, CAST(g AS BIGINT) AS b
+      FROM (SELECT event_type, min(b) AS lo, max(b) AS hi
+            FROM agg GROUP BY event_type) s,
+           unnest(range(s.lo, s.hi + 1)) t(g)
+    ),
+    j AS (
+      SELECT g.event_type, g.b, a.v FROM grid g
+      LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b
+    ),
+    ctx AS (
+      SELECT event_type, b, v,
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+          OVER wp AS pb,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+          OVER wn AS nb,
+        first_value(v IGNORE NULLS) OVER wn AS nv
+      FROM j
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, b,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+             (pv * CAST(nb - b AS DOUBLE) + nv * CAST(b - pb AS DOUBLE))
+               / CAST(nb - pb AS DOUBLE)
+           ELSE coalesce(pv, nv) END AS value_filled,
+      CAST(v IS NULL AS BOOLEAN) AS interpolated
+    FROM ctx
+    """,
+    doc="Time-series downsample to 5-min buckets + LINEAR interpolation of "
+    "empty buckets (the resample/fill every monitoring and forecasting "
+    "pipeline needs). Bucket means use DECIMAL partial sums so both "
+    "engines agree bit-for-bit, the dense grid is derived from the "
+    "AGGREGATE's min/max (O(types x buckets) sequence explode, never a "
+    "scan-sized generate), and the neighbor lookup is two frame-bounded "
+    "ignoreNulls window passes over one per-series exchange — no "
+    "self-join on inequality, no per-gap subqueries.",
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    agg = (
+        events.select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / _RS_BUCKET_US).alias("b"),
+            F.col("value").cast("decimal(18,6)").alias("dv"),
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum("dv").cast("double") / F.count(F.lit(1))
+            ).cast("double").alias("v")
+        )
+    )
+    grid = (
+        agg.groupBy("event_type")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("b"),
+        )
+    )
+    j = grid.join(agg, ["event_type", "b"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_b = F.when(F.col("v").isNotNull(), F.col("b"))
+    ctx = j.select(
+        "event_type",
+        "b",
+        "v",
+        F.last(known_b, ignorenulls=True).over(wp).alias("pb"),
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.first(known_b, ignorenulls=True).over(wn).alias("nb"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+    )
+    interp = (
+        F.col("pv") * (F.col("nb") - F.col("b")).cast("double")
+        + F.col("nv") * (F.col("b") - F.col("pb")).cast("double")
+    ) / (F.col("nb") - F.col("pb")).cast("double")
+    return ctx.select(
+        "event_type",
+        "b",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .otherwise(F.coalesce("pv", "nv"))
+        .alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
