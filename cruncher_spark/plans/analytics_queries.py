@@ -1066,3 +1066,74 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_filled"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-series z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "series_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(n_events) AS s,
+             SUM(n_events * n_events) AS sq
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, strftime(d.d, '%Y-%m-%d') AS day, d.n_events,
+      CASE WHEN st.n * st.sq - st.s * st.s > 0 THEN
+        (CAST(d.n_events AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+          / sqrt(CAST(st.n * st.sq - st.s * st.s AS DOUBLE)
+                 / (CAST(st.n AS DOUBLE) * st.n))
+      ELSE 0.0 END AS zscore,
+      CASE WHEN st.n * st.sq - st.s * st.s > 0 THEN
+        abs(CAST(d.n_events AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+          > 2.0 * sqrt(CAST(st.n * st.sq - st.s * st.s AS DOUBLE)
+                       / (CAST(st.n AS DOUBLE) * st.n))
+      ELSE FALSE END AS is_anomaly
+    FROM daily d JOIN stats st USING (event_type)
+    """,
+    doc="Per-series z-score outlier detection over daily event counts — "
+    "the monitoring primitive. Moments are kept in INTEGER arithmetic "
+    "(count/sum/sum-of-squares; population variance as the exact integer "
+    "n*sq - s*s) until the final double division and sqrt — both "
+    "correctly-rounded IEEE ops — so two engines produce bit-identical "
+    "zscores without any tolerance. One aggregation per series plus a "
+    "broadcast join of the tiny stats side back onto the daily rows; "
+    "zero-variance series emit zscore 0, never a division by zero.",
+)
+def series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    daily = (
+        events.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sq"),
+    )
+    var_num = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    mean = F.col("s").cast("double") / F.col("n")
+    std = F.sqrt(
+        var_num.cast("double") / (F.col("n").cast("double") * F.col("n"))
+    )
+    dev = F.col("n_events").cast("double") - mean
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.when(var_num > 0, dev / std).otherwise(F.lit(0.0)).alias("zscore"),
+        F.when(var_num > 0, F.abs(dev) > 2.0 * std)
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

@@ -1,0 +1,95 @@
+"""Scaling evidence: per-query wall-clock ratio across scale factors.
+
+Runs the bench at two SF dirs (or consumes two existing bench JSON files)
+and writes SCALING.md: per-query seconds at each SF, the time ratio, and
+a flag for queries whose ratio exceeds the data-size ratio (superlinear —
+the shapes that will NOT survive a 100x scale-up).
+
+Usage:
+    python tools/scaling_report.py bench_small.json bench_big.json
+    python tools/scaling_report.py --run   # runs sf0.01 and sf0.1 itself
+
+Interpretation: local[32] numbers include fixed per-query overhead
+(job scheduling, plan build: ~0.1-0.5 s) that dominates at small SF, so
+sublinear ratios are expected for fast queries; the signal is the OTHER
+tail — any query whose time grows FASTER than the data is flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_BENCH_REPS="2")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    if "--run" in sys.argv:
+        small = run_bench("/root/testdata/sf0.01")
+        big = run_bench("/root/testdata/sf0.1")
+    else:
+        small = json.loads(Path(sys.argv[1]).read_text())
+        big = json.loads(Path(sys.argv[2]).read_text())
+
+    data_ratio = big["sf"] / small["sf"]
+    rows = []
+    for name, t_big in big["queries"].items():
+        t_small = small["queries"].get(name)
+        if t_small is None or t_small <= 0:
+            continue
+        ratio = t_big / t_small
+        rows.append((name, t_small, t_big, ratio))
+    rows.sort(key=lambda r: -r[3])
+
+    lines = [
+        "# SCALING — per-query wall-clock vs data size",
+        "",
+        f"sf{small['sf']} → sf{big['sf']} (data ×{data_ratio:.0f}); "
+        f"reps={big.get('reps')}; load at run: "
+        f"{small.get('load_1m_start')}→{small.get('load_1m_end')} / "
+        f"{big.get('load_1m_start')}→{big.get('load_1m_end')}.",
+        "",
+        "A query is flagged **superlinear** only when its time grows faster",
+        "than the data. Fixed per-query overhead (~0.1-0.5 s of scheduling /",
+        "plan build at local[32]) makes small-SF times floor-bound, so most",
+        "ratios land well under the data ratio; the flag is the scale risk.",
+        "",
+        f"| query | sf{small['sf']} s | sf{big['sf']} s | ratio | vs ×{data_ratio:.0f} |",
+        "|---|---|---|---|---|",
+    ]
+    n_flagged = 0
+    for name, t_small, t_big, ratio in rows:
+        flag = "**superlinear**" if ratio > data_ratio else "ok"
+        n_flagged += ratio > data_ratio
+        lines.append(
+            f"| {name} | {t_small:.2f} | {t_big:.2f} | ×{ratio:.1f} | {flag} |"
+        )
+    lines += [
+        "",
+        f"Totals: {small['value']:.1f} s → {big['value']:.1f} s "
+        f"(×{big['value'] / small['value']:.2f} for ×{data_ratio:.0f} data); "
+        f"{n_flagged} superlinear quer{'y' if n_flagged == 1 else 'ies'}.",
+        "",
+    ]
+    (REPO / "SCALING.md").write_text("\n".join(lines))
+    print(f"SCALING.md written: {len(rows)} queries, {n_flagged} superlinear")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
