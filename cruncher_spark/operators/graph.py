@@ -190,6 +190,10 @@ def pagerank(
     With symmetric edges every vertex has out-degree >= 1, so there is no
     dangling-mass term to redistribute. Returns (id, pr) for every vertex.
     """
+    # the caller's edge list is typically an expensive derivation (a fact
+    # self-join); it feeds BOTH the degree aggregate and the out-edge join
+    # below, so persist it or the upstream runs twice
+    edges = edges.persist()
     sym = edges.select(F.col(u).alias("a"), F.col(v).alias("b")).unionAll(
         edges.select(F.col(v).alias("a"), F.col(u).alias("b"))
     )
@@ -224,4 +228,5 @@ def pagerank(
         if (i + 1) % checkpoint_interval == 0 or (i + 1) == iters:
             ranks = ranks.localCheckpoint(eager=True)
     out.unpersist()
+    edges.unpersist()
     return ranks
