@@ -1,0 +1,486 @@
+"""MySQL-dialect SQL front-end: run the reference worker's literal crunch
+scripts on Spark, unmodified.
+
+The reference ships hand-written MySQL/MariaDB SQL files that its worker
+templates and executes per batch (worker.js:78-118: ``_stub`` expansion
+from the item dim, sequelize ``:named`` replacements, then one
+``INSERT .. ON DUPLICATE KEY UPDATE`` or ``UPDATE .. JOIN .. SET`` per
+micro-batch). ``plans/crunch.py`` re-expresses those queries natively;
+THIS module instead accepts the reference's own SQL text so a deployment
+can point its existing script files at Spark with zero rewrites:
+
+1. **stub expansion** — ``_p_i_item_uses_insert`` etc. become per-item
+   ``sum(coalesce(element_at(t.item_uses, i), 0)) as item_XXX_use``
+   columns (the worker's ``COLUMN_GET`` dynamic-column snippet,
+   worker.js:93-103, re-spelled for our ``MAP<INT,INT>`` column);
+2. **parameter substitution** — ``:name`` → SQL literals; lists inline as
+   comma-joined literals (the sequelize array form); string parameters
+   pass through POSIX→Java character-class translation because the
+   build-regex params (worker.js:199-201) use ``[[:digit:]]`` and Spark's
+   ``rlike`` is java.util.regex;
+3. **dialect strip/rewrites** — ``insert low_priority`` → ``insert``,
+   ``use index()`` removed, the dead pre-upsert top-level ``ORDER BY``
+   removed (meaningless before an upsert; Spark would sort for nothing),
+   ``DATE_SUB(x, INTERVAL n DAY)`` → ``date_sub(x, n)``, ``CURDATE()`` →
+   ``current_date()``;
+4. **permissive GROUP BY** — MySQL with ONLY_FULL_GROUP_BY off returns an
+   arbitrary in-group value for non-aggregated select items
+   (crunch_player.sql:4 ``p.created_at as updated_at``); Spark rejects
+   them, so such items are wrapped in ``any_value()`` — the exact ANSI
+   spelling of MySQL's behavior;
+5. **upsert tail → MergePolicy** — ``c = c + values(c)`` → ADD,
+   ``c = case when values(c) > c then values(c) else c end`` → MAX,
+   ``c = values(c)`` → OVERWRITE; key/untouched columns default to the
+   table's KEEP semantics (`merge/upsert.py MergePolicy`);
+6. **positional INSERT naming** — the scripts insert without a column
+   list (leading ``null`` for the auto-id, bare ``1`` placeholder dims);
+   the select list is renamed positionally from the target table's
+   declared column order, exactly how MySQL binds it.
+
+The translated SELECT runs through ``spark.sql`` against registered temp
+views; the delta merges into a ``PointTable`` with the parsed policies.
+The ``UPDATE t JOIN (subquery) x ON .. SET`` form (crunch_team.sql) maps
+to an OVERWRITE merge of the subquery result keyed by the ON columns.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cruncher_spark.functions.scalars import posix_to_java_regex
+from cruncher_spark.merge.upsert import MergePolicy
+
+# ---------------------------------------------------------------------------
+# small lexical helpers (paren-depth aware; MySQL comments tolerated)
+# ---------------------------------------------------------------------------
+
+
+def _strip_line_comments(sql: str) -> str:
+    return re.sub(r"--[^\n]*", "", sql)
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren depth 0."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _find_top(s: str, pattern: str, last: bool = False) -> int:
+    """Start index of a regex keyword match at paren depth 0, or -1."""
+    depth_at = []
+    d = 0
+    for ch in s:
+        depth_at.append(d)
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+    hits = [
+        m.start()
+        for m in re.finditer(pattern, s, re.I)
+        if depth_at[m.start()] == 0
+    ]
+    if not hits:
+        return -1
+    return hits[-1] if last else hits[0]
+
+
+# ---------------------------------------------------------------------------
+# 1. worker stub expansion (worker.js:93-118)
+# ---------------------------------------------------------------------------
+
+#: stub name (as it appears in the .sql files, leading underscore) →
+#: (table alias inside the script, insert-form?)
+_STUBS = {
+    "_p_i_item_uses_insert": ("p_i", True),
+    "_p_i_item_uses_update": ("p_i", False),
+    "_ph_item_uses_insert": ("ph", True),
+    "_ph_item_uses_update": ("ph", False),
+}
+
+
+def item_stub_sql(table_alias: str, insert: bool, item_ids: list[int]) -> str:
+    pad = [f"item_{i:03d}_use" for i in item_ids]
+    if insert:
+        return ",\n".join(
+            f"sum(coalesce(element_at({table_alias}.item_uses, {i}), 0)) as {c}"
+            for i, c in zip(item_ids, pad)
+        )
+    return ",\n".join(f"{c} = {c} + values({c})" for c in pad)
+
+
+def expand_stubs(sql: str, item_ids: list[int]) -> str:
+    for stub, (alias, insert) in _STUBS.items():
+        sql = sql.replace(stub, item_stub_sql(alias, insert, item_ids))
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# 2. :named parameter substitution (sequelize replacements)
+# ---------------------------------------------------------------------------
+
+
+def _lit(v) -> str:
+    if isinstance(v, str):
+        # Spark SQL string literals process backslash escapes (like MySQL
+        # with default sql_mode), so the Java-regex '\d' the POSIX
+        # translation introduces must be escaped or the parser eats the
+        # backslash and '[\d]' silently becomes '[d]'
+        s = posix_to_java_regex(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def substitute_params(sql: str, params: dict) -> str:
+    def repl(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"script references unbound parameter :{name}")
+        v = params[name]
+        if isinstance(v, (list, tuple, set)):
+            return ", ".join(_lit(x) for x in sorted(v, key=str))
+        return _lit(v)
+
+    return re.sub(r"(?<![:\w]):([a-zA-Z_]\w*)", repl, sql)
+
+
+# ---------------------------------------------------------------------------
+# 3. dialect strip / function rewrites
+# ---------------------------------------------------------------------------
+
+
+def coerce_bool_sums(sql: str, spark: SparkSession) -> str:
+    """MySQL silently coerces BOOLEAN to 0/1 in numeric context; Spark
+    rejects ``sum(winner)`` (crunch_phases.sql uses exactly that — the
+    SURVEY §7 "MySQL coercion edges" watch-list item). Wrap sum/avg over a
+    bare reference to a known-boolean view column in ``cast(.. as int)``.
+    """
+    bool_cols = set()
+    for t in spark.catalog.listTables():
+        if t.tableType == "TEMPORARY" or t.isTemporary:
+            for f in spark.table(t.name).schema.fields:
+                if f.dataType.typeName() == "boolean":
+                    bool_cols.add(f.name.lower())
+    if not bool_cols:
+        return sql
+    names = "|".join(sorted(re.escape(c) for c in bool_cols))
+    return re.sub(
+        rf"\b(sum|avg)\s*\(\s*((?:[A-Za-z_]\w*\.)?(?:{names}))\s*\)",
+        r"\1(cast(\2 as int))",
+        sql,
+        flags=re.I,
+    )
+
+
+def rewrite_dialect(sql: str) -> str:
+    sql = re.sub(r"\binsert\s+low_priority\s+into\b", "insert into", sql, flags=re.I)
+    sql = re.sub(r"\buse\s+index\s*\(\s*\)", "", sql, flags=re.I)
+    sql = re.sub(r"\bcurdate\s*\(\s*\)", "current_date()", sql, flags=re.I)
+    sql = re.sub(
+        r"\bdate_sub\s*\(([^,]+),\s*interval\s+(\d+)\s+day\s*\)",
+        r"date_sub(\1, \2)",
+        sql,
+        flags=re.I,
+    )
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# 3b. hoist subquery-bearing INNER-join conditions into WHERE
+# ---------------------------------------------------------------------------
+
+_JOIN_ON_RE = re.compile(r"\bjoin\s+`?(\w+)`?\s+(\w+)\s+on\s*\(", re.I)
+_OUTERISH = {"left", "right", "full", "outer", "cross", "anti", "semi"}
+
+
+def hoist_subquery_join_conditions(sql: str) -> str:
+    """For INNER joins whose ON contains a subquery, rewrite
+    ``join T a on (cond)`` → ``cross join T a`` + ``cond`` conjoined into
+    WHERE. ON ≡ WHERE for inner joins, and it matters twice over:
+
+    - Spark REJECTS a correlated subquery in a join predicate that
+      references both inputs (UNSUPPORTED_CORRELATED_EXPRESSION_IN_
+      JOIN_CONDITION) when the join stands alone — and, worse, inside the
+      reference's larger join chains the analyzer accepted the form but
+      produced WRONG rows (the filter bridge semi-join silently matched
+      only the 'all' arm). The WHERE form decorrelates correctly.
+    - The reference's filter join (crunch_global.sql:39) is exactly this
+      shape, so every script needs the hoist.
+
+    LEFT OUTER joins are never hoisted (ON/WHERE differ there); the
+    reference's only outer join (participant_items) has a plain equality
+    ON and is untouched.
+    """
+    out = sql
+    for m in list(_JOIN_ON_RE.finditer(sql))[::-1]:
+        prev = out[: m.start()].rstrip().rsplit(None, 1)
+        if prev and prev[-1].lower() in _OUTERISH:
+            continue
+        depth, i = 1, m.end()
+        while depth:
+            if out[i] == "(":
+                depth += 1
+            elif out[i] == ")":
+                depth -= 1
+            i += 1
+        cond = out[m.end(): i - 1]
+        if not re.search(r"\bselect\b", cond, re.I):
+            continue
+        tbl, alias = m.group(1), m.group(2)
+        out = (
+            out[: m.start()]
+            + f"cross join `{tbl}` {alias}"
+            + out[i:]
+        )
+        w_ix = _find_top(out, r"\bwhere\b")
+        if w_ix >= 0:
+            ins = re.sub(r"^where\b", "", out[w_ix:], flags=re.I)
+            stop = _find_top(
+                ins, r"\b(group\s+by|order\s+by|having|on\s+duplicate)\b"
+            )
+            expr, tail = (
+                (ins, "") if stop < 0 else (ins[:stop], ins[stop:])
+            )
+            out = (
+                out[:w_ix]
+                + f"where ({cond.strip()}) and ({expr.strip()})\n"
+                + tail
+            )
+        else:
+            gb_ix = _find_top(out, r"\bgroup\s+by\b")
+            at = gb_ix if gb_ix >= 0 else len(out)
+            out = out[:at] + f" where ({cond.strip()}) " + out[at:]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 4. MySQL permissive GROUP BY → any_value()
+# ---------------------------------------------------------------------------
+
+_AGG_RE = re.compile(
+    r"\b(count|sum|min|max|avg|any_value|group_concat)\s*\(", re.I
+)
+_COLREF_RE = re.compile(r"\b[A-Za-z_]\w*\.\w")
+
+
+def _norm(expr: str) -> str:
+    return re.sub(r"[\s`]+", "", expr).lower()
+
+
+def relax_group_by(select_sql: str) -> str:
+    """Wrap non-aggregated, non-grouped select items in any_value()."""
+    m = re.match(r"\s*select\b", select_sql, re.I)
+    if not m:
+        return select_sql
+    body = select_sql[m.end():]
+    from_ix = _find_top(body, r"\bfrom\b")
+    if from_ix < 0:
+        return select_sql
+    sel_list, rest = body[:from_ix], body[from_ix:]
+    gb_ix = _find_top(rest, r"\bgroup\s+by\b")
+    if gb_ix < 0:
+        return select_sql
+    gb_tail = rest[gb_ix:]
+    gb_body = re.sub(r"^group\s+by\b", "", gb_tail, flags=re.I)
+    end_ix = _find_top(gb_body, r"\b(order\s+by|having|limit)\b")
+    group_exprs = {
+        _norm(e) for e in _split_top(gb_body if end_ix < 0 else gb_body[:end_ix])
+    }
+    out_items = []
+    for item in _split_top(sel_list):
+        am = re.match(r"(?s)^(.*?)\s+as\s+([`\w]+)\s*$", item, re.I)
+        expr, alias = (am.group(1), am.group(2)) if am else (item, None)
+        # grouped either by expression text or by select ALIAS (MySQL and
+        # Spark both resolve group-by aliases; crunch_hero_vs_hero.sql:54
+        # groups by `played_with`)
+        grouped = _norm(expr) in group_exprs or (
+            alias is not None and _norm(alias) in group_exprs
+        )
+        needs_wrap = (
+            not _AGG_RE.search(expr) and _COLREF_RE.search(expr) and not grouped
+        )
+        if needs_wrap:
+            expr = f"any_value({expr})"
+        out_items.append(expr if alias is None else f"{expr} as {alias}")
+    return "select\n" + ",\n".join(out_items) + "\n" + rest
+
+
+# ---------------------------------------------------------------------------
+# 5/6. statement parsing
+# ---------------------------------------------------------------------------
+
+_ADD_RE = re.compile(r"^([`\w]+)\s*=\s*\1\s*\+\s*values\(\s*\1\s*\)$", re.I)
+_MAX_RE = re.compile(
+    r"^([`\w]+)\s*=\s*case\s+when\s+values\(\s*\1\s*\)\s*>\s*\1\s+"
+    r"then\s+values\(\s*\1\s*\)\s+else\s+\1\s+end$",
+    re.I,
+)
+_OVER_RE = re.compile(r"^([`\w]+)\s*=\s*values\(\s*\1\s*\)$", re.I)
+
+
+def parse_policies(tail: str) -> dict[str, MergePolicy]:
+    policies: dict[str, MergePolicy] = {}
+    for a in _split_top(tail):
+        a = " ".join(a.split())
+        for rx, pol in (
+            (_ADD_RE, MergePolicy.ADD),
+            (_MAX_RE, MergePolicy.MAX),
+            (_OVER_RE, MergePolicy.OVERWRITE),
+        ):
+            m = rx.match(a)
+            if m:
+                policies[m.group(1).strip("`")] = pol
+                break
+        else:
+            raise ValueError(f"unsupported ON DUPLICATE KEY UPDATE form: {a!r}")
+    return policies
+
+
+@dataclass
+class CrunchStatement:
+    """One translated reference script, ready to run."""
+
+    target: str
+    select_sql: str
+    policies: dict[str, MergePolicy]
+    #: UPDATE-join only: target key column → subquery column (ON cond)
+    key_map: dict[str, str] = field(default_factory=dict)
+    #: UPDATE-join only: target SET column → subquery column
+    set_map: dict[str, str] = field(default_factory=dict)
+
+    def delta(
+        self, spark: SparkSession, target_columns: list[str] | None = None,
+        drop: tuple = ("id",),
+    ) -> DataFrame:
+        df = spark.sql(self.select_sql)
+        if self.key_map:  # UPDATE-join: rename subquery cols to target cols
+            mapping = {v: k for k, v in {**self.key_map, **self.set_map}.items()}
+            return df.select(
+                *[
+                    df[c].alias(mapping.get(c, c))
+                    for c in df.columns
+                ]
+            )
+        if target_columns is None:
+            raise ValueError("positional INSERT needs the target column list")
+        if len(target_columns) != len(df.columns):
+            raise ValueError(
+                f"select yields {len(df.columns)} columns, target declares "
+                f"{len(target_columns)}"
+            )
+        return df.toDF(*target_columns).drop(*drop)
+
+
+def translate_script(
+    sql_text: str,
+    params: dict | None = None,
+    item_ids: list[int] | None = None,
+    spark: SparkSession | None = None,
+) -> CrunchStatement:
+    """Reference .sql text (verbatim) → runnable CrunchStatement.
+
+    Pass ``spark`` to enable schema-aware MySQL coercions (bool→int sums)
+    against the currently registered temp views.
+    """
+    sql = expand_stubs(sql_text, item_ids or [])
+    sql = substitute_params(sql, params or {})
+    sql = rewrite_dialect(sql)
+    if spark is not None:
+        sql = coerce_bool_sums(sql, spark)
+    stripped = _strip_line_comments(sql)
+
+    if re.match(r"\s*update\b", stripped, re.I):
+        return _translate_update_join(stripped)
+
+    m = re.match(r"\s*insert\s+into\s+`?(\w+)`?\s*(?=select\b)", stripped, re.I)
+    if not m:
+        raise ValueError("expected INSERT INTO <tbl> SELECT or UPDATE..JOIN")
+    target, body = m.group(1), stripped[m.end():]
+    odku_ix = _find_top(body, r"\bon\s+duplicate\s+key\s+update\b")
+    if odku_ix < 0:
+        select_sql, policies = body, {}
+    else:
+        select_sql = body[:odku_ix]
+        tail = re.sub(
+            r"^on\s+duplicate\s+key\s+update\b", "", body[odku_ix:], flags=re.I
+        )
+        policies = parse_policies(tail)
+    # the pre-upsert top-level ORDER BY is dead weight (MySQL ignores
+    # result order on INSERT); drop it so Spark doesn't pay a global sort
+    ob_ix = _find_top(select_sql, r"\border\s+by\b", last=True)
+    if ob_ix >= 0 and _find_top(select_sql[ob_ix:], r"\bfrom\b") < 0:
+        select_sql = select_sql[:ob_ix]
+    select_sql = hoist_subquery_join_conditions(select_sql)
+    return CrunchStatement(
+        target=target,
+        select_sql=relax_group_by(select_sql.strip()),
+        policies=policies,
+    )
+
+
+def _translate_update_join(sql: str) -> CrunchStatement:
+    m = re.match(r"\s*update\s+`?(\w+)`?\s+(\w+)\s+join\s*\(", sql, re.I)
+    if not m:
+        raise ValueError("unsupported UPDATE form")
+    target, talias = m.group(1), m.group(2)
+    # matching close paren of the subquery
+    depth, i = 1, m.end()
+    while depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    subquery = sql[m.end(): i - 1]
+    tail = sql[i:]
+    tm = re.match(
+        r"\s*as\s+(\w+)\s+on\s+(.*?)\s+set\s+(.*)$", tail, re.I | re.S
+    )
+    if not tm:
+        raise ValueError("unsupported UPDATE..JOIN tail")
+    salias, on_cond, set_part = tm.groups()
+
+    def _side(expr: str, alias: str) -> str | None:
+        mm = re.match(rf"^{alias}\.([`\w]+)$", expr.strip())
+        return mm.group(1).strip("`") if mm else None
+
+    key_map: dict[str, str] = {}
+    for clause in re.split(r"\band\b", on_cond, flags=re.I):
+        l, r = (x.strip() for x in clause.split("="))
+        tcol = _side(l, talias) or _side(r, talias)
+        scol = _side(l, salias) or _side(r, salias)
+        if tcol is None or scol is None:
+            raise ValueError(f"ON clause must equate {talias}.* to {salias}.*")
+        key_map[tcol] = scol
+    policies: dict[str, MergePolicy] = {}
+    set_map: dict[str, str] = {}
+    for assign in _split_top(set_part):
+        l, r = (x.strip() for x in assign.split("="))
+        tcol, scol = _side(l, talias), _side(r, salias)
+        if tcol is None or scol is None:
+            raise ValueError(f"SET must assign {salias}.* to {talias}.*")
+        policies[tcol] = MergePolicy.OVERWRITE
+        set_map[tcol] = scol
+    return CrunchStatement(
+        target=target,
+        select_sql=subquery.strip(),
+        policies=policies,
+        key_map=key_map,
+        set_map=set_map,
+    )
