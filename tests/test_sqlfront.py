@@ -322,3 +322,90 @@ def test_literal_player_merge_is_additive(spark, crunch_tables, tmp_path):
                 assert math.isclose(
                     float(tv), float(ov), rel_tol=1e-9, abs_tol=1e-9
                 ), (k, c)
+
+
+def _assert_rows_equal(lit, native, key):
+    lmap = {tuple(r[k] for k in key): r.asDict() for r in lit.collect()}
+    nmap = {tuple(r[k] for k in key): r.asDict() for r in native.collect()}
+    assert set(lmap) == set(nmap)
+    for k, lrow in lmap.items():
+        for c, lv in lrow.items():
+            nv = nmap[k][c]
+            if isinstance(lv, float) or isinstance(nv, float):
+                assert (lv is None) == (nv is None), (k, c, lv, nv)
+                if lv is not None:
+                    assert math.isclose(
+                        float(lv), float(nv), rel_tol=1e-9, abs_tol=1e-9
+                    ), (k, c, lv, nv)
+            else:
+                assert lv == nv, (k, c, lv, nv)
+
+
+@needs_reference
+def test_literal_hero_vs_hero_equals_native_plan(spark, crunch_tables):
+    """Exercises the alias-grouped `played_with` boolean dimension and the
+    self-joined hero2/role2 arms through the literal script."""
+    from cruncher_spark.plans.crunch import crunch_hero_vs_hero_delta
+
+    _views(spark, crunch_tables)
+    ids = _batch(crunch_tables, 60)
+    stmt = sqlfront.translate_script(
+        (REF / "crunch_hero_vs_hero.sql").read_text(),
+        params={**BUILD_REGEX_PARAMS, "participant_api_ids": ids},
+        item_ids=ITEM_IDS,
+        spark=spark,
+    )
+    cols = [
+        "id", "updated_at", "series_id", "filter_id", "hero_id", "role_id",
+        "hero2_id", "role2_id", "played_with", "game_mode_id",
+        "skill_tier_id", "region_id", "played", "wins", "trueskill_delta",
+        "duration", "kills", "deaths", "assists", "farm", "minion_kills",
+        "jungle_kills", "non_jungle_minion_kills", "crystal_mine_captures",
+        "gold_mine_captures", "kraken_captures", "turret_captures", "gold",
+        "impact_score", "surrender",
+        "item_014_use", "item_022_use", "item_031_use",
+    ]
+    lit = stmt.delta(spark, target_columns=cols, drop=("id", "updated_at"))
+    native = crunch_hero_vs_hero_delta(
+        crunch_tables, ids, now=F.lit("2026-08-10").cast("timestamp")
+    ).drop("updated_at")
+    assert sorted(lit.columns) == sorted(native.columns)
+    key = [
+        "series_id", "filter_id", "hero_id", "role_id", "hero2_id",
+        "role2_id", "played_with", "game_mode_id", "skill_tier_id",
+        "region_id",
+    ]
+    _assert_rows_equal(lit, native, key)
+
+
+@needs_reference
+def test_literal_phases_bans_equals_native_plan(spark, crunch_tables):
+    """The ban-table variant: `join hero h on (ph.ban = h.id or ...)` and
+    the ph.id batch key (the reference's own TODO-rename quirk)."""
+    from cruncher_spark.plans.crunch import crunch_phases_bans_delta
+
+    _views(spark, crunch_tables)
+    ph_ids = [
+        r.id
+        for r in crunch_tables["participant_phases"].select("id").limit(80).collect()
+    ]
+    stmt = sqlfront.translate_script(
+        (REF / "crunch_phases_bans.sql").read_text(),
+        params={**BUILD_REGEX_PARAMS, "participant_api_ids": ph_ids},
+        item_ids=ITEM_IDS,
+        spark=spark,
+    )
+    cols = [
+        "id", "updated_at", "series_id", "filter_id", "hero_id",
+        "game_mode_id", "skill_tier_id", "region_id", "played", "banned",
+    ]
+    lit = stmt.delta(spark, target_columns=cols, drop=("id", "updated_at"))
+    native = crunch_phases_bans_delta(
+        crunch_tables, ph_ids, now=F.lit("2026-08-10").cast("timestamp")
+    ).drop("updated_at")
+    assert sorted(lit.columns) == sorted(native.columns)
+    key = [
+        "series_id", "filter_id", "hero_id", "game_mode_id",
+        "skill_tier_id", "region_id",
+    ]
+    _assert_rows_equal(lit, native, key)
