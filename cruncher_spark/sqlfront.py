@@ -484,3 +484,65 @@ def _translate_update_join(sql: str) -> CrunchStatement:
         key_map=key_map,
         set_map=set_map,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming adapter: SCRIPT-env parity for CrunchWorker
+# ---------------------------------------------------------------------------
+
+
+def script_plan_fn(
+    script_text: str,
+    target_columns: list[str],
+    item_ids: list[int] | None = None,
+    params: dict | None = None,
+    batch_param: str = "participant_api_ids",
+    drop: tuple = ("id",),
+):
+    """Adapt a literal reference script into a ``CrunchWorker`` plan_fn —
+    the full SCRIPT env-var deployment story (worker.js:24): point the
+    worker at the unmodified .sql file and stream batches through it.
+
+    Per micro-batch the batch keys are collected to the driver and
+    inlined as the ``:participant_api_ids`` literal list — exactly the
+    reference's buffer-then-interpolate protocol (worker.js:121,145 +
+    sequelize replacements), bounded by the same BATCHSIZE backpressure,
+    so the collect is a bounded driver cost, not a fact-table collect.
+    Translation re-runs per batch (pure string work, microseconds against
+    a multi-second micro-batch); the parsed policy spec is static, so
+    construct the PointTable with ``script_policies(text)`` once.
+    """
+
+    def plan(tables: dict, keys_df: DataFrame) -> DataFrame:
+        spark = keys_df.sparkSession
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+        batch = [r[0] for r in keys_df.collect()]
+        stmt = translate_script(
+            script_text,
+            params={**(params or {}), batch_param: batch},
+            item_ids=list(item_ids or []),
+            spark=spark,
+        )
+        return stmt.delta(spark, target_columns=list(target_columns), drop=drop)
+
+    return plan
+
+
+def script_policies(
+    script_text: str, item_ids: list[int] | None = None
+) -> dict[str, MergePolicy]:
+    """The static MergePolicy spec of a script, for PointTable creation
+    (params are irrelevant to the upsert tail, so none are required)."""
+    sql = expand_stubs(script_text, item_ids or [])
+    sql = re.sub(r"(?<![:\w]):([a-zA-Z_]\w*)", "1", sql)  # neutralize params
+    stripped = _strip_line_comments(rewrite_dialect(sql))
+    if re.match(r"\s*update\b", stripped, re.I):
+        return _translate_update_join(stripped).policies
+    ix = _find_top(stripped, r"\bon\s+duplicate\s+key\s+update\b")
+    if ix < 0:
+        return {}
+    tail = re.sub(
+        r"^on\s+duplicate\s+key\s+update\b", "", stripped[ix:], flags=re.I
+    )
+    return parse_policies(tail)

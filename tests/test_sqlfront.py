@@ -409,3 +409,74 @@ def test_literal_phases_bans_equals_native_plan(spark, crunch_tables):
         "skill_tier_id", "region_id",
     ]
     _assert_rows_equal(lit, native, key)
+
+
+@needs_reference
+def test_script_worker_streams_literal_sql(spark, crunch_tables, tmp_path):
+    """SCRIPT-env parity end-to-end: a CrunchWorker pointed at the
+    UNMODIFIED crunch_phases_bans.sql streams two id batches through the
+    translated script and merges with the script's own parsed policies —
+    final state equals the two direct literal-delta merges."""
+    from cruncher_spark.streaming.worker import CrunchWorker
+
+    _views(spark, crunch_tables)
+    text = (REF / "crunch_phases_bans.sql").read_text()
+    cols = [
+        "id", "updated_at", "series_id", "filter_id", "hero_id",
+        "game_mode_id", "skill_tier_id", "region_id", "played", "banned",
+    ]
+    key = [
+        "series_id", "filter_id", "hero_id", "game_mode_id",
+        "skill_tier_id", "region_id",
+    ]
+    policies = sqlfront.script_policies(text, item_ids=ITEM_IDS)
+    assert policies == {"played": MergePolicy.ADD}
+
+    plan = sqlfront.script_plan_fn(
+        text,
+        target_columns=cols,
+        item_ids=ITEM_IDS,
+        params=BUILD_REGEX_PARAMS,
+        drop=("id", "updated_at"),
+    )
+    point = PointTable(
+        spark, str(tmp_path / "bans_point"), key=key,
+        policies=policies, num_buckets=4,
+    )
+    worker = CrunchWorker(spark, dict(crunch_tables), plan, point)
+
+    ph_ids = [
+        r.id
+        for r in crunch_tables["participant_phases"].select("id").limit(40).collect()
+    ]
+    ids_dir = tmp_path / "ids"
+    ids_dir.mkdir()
+    (ids_dir / "b0.txt").write_text("\n".join(ph_ids[:20]) + "\n")
+    (ids_dir / "b1.txt").write_text("\n".join(ph_ids[20:]) + "\n")
+    q = worker.start_file_stream(
+        str(ids_dir),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert worker.batches_processed == 2 and worker.batches_failed == 0
+
+    expected = PointTable(
+        spark, str(tmp_path / "expected"), key=key,
+        policies=policies, num_buckets=4,
+    )
+    for i, batch in enumerate((ph_ids[:20], ph_ids[20:])):
+        stmt = sqlfront.translate_script(
+            text,
+            params={**BUILD_REGEX_PARAMS, "participant_api_ids": batch},
+            item_ids=ITEM_IDS,
+            spark=spark,
+        )
+        expected.merge(
+            stmt.delta(spark, target_columns=cols, drop=("id", "updated_at")),
+            batch_id=f"e{i}",
+        )
+    got = {tuple(r[k] for k in key): r.played for r in point.read().collect()}
+    want = {tuple(r[k] for k in key): r.played for r in expected.read().collect()}
+    assert got == want and got
