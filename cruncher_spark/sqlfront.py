@@ -136,24 +136,40 @@ def expand_stubs(sql: str, item_ids: list[int]) -> str:
 
 def _lit(v) -> str:
     if isinstance(v, str):
+        # POSIX character classes only exist in the regex parameters
+        # (worker.js:199-201); DATA values (batch ids) inline verbatim —
+        # running them through the regex translation would silently
+        # rewrite any id that happened to contain '[[:'
+        s = posix_to_java_regex(v) if "[[:" in v else v
         # Spark SQL string literals process backslash escapes (like MySQL
         # with default sql_mode), so the Java-regex '\d' the POSIX
         # translation introduces must be escaped or the parser eats the
         # backslash and '[\d]' silently becomes '[d]'
-        s = posix_to_java_regex(v).replace("\\", "\\\\").replace("'", "\\'")
+        s = s.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{s}'"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     return str(v)
 
 
-def substitute_params(sql: str, params: dict) -> str:
+def substitute_params(sql: str, params: dict, allow_missing: bool = False) -> str:
+    """``:name`` → SQL literal. ``allow_missing=True`` leaves unbound
+    tokens in place (used to defer the per-batch id list while every
+    static parameter is substituted once)."""
+
     def repl(m: re.Match) -> str:
         name = m.group(1)
         if name not in params:
+            if allow_missing:
+                return m.group(0)
             raise KeyError(f"script references unbound parameter :{name}")
         v = params[name]
         if isinstance(v, (list, tuple, set)):
+            # an empty IN () is a parse error; one impossible sentinel id
+            # keeps the statement valid and matches nothing (batch keys
+            # are non-empty strings)
+            if not v:
+                return "''"
             return ", ".join(_lit(x) for x in sorted(v, key=str))
         return _lit(v)
 
@@ -392,14 +408,17 @@ def translate_script(
     params: dict | None = None,
     item_ids: list[int] | None = None,
     spark: SparkSession | None = None,
+    defer_params: bool = False,
 ) -> CrunchStatement:
     """Reference .sql text (verbatim) → runnable CrunchStatement.
 
     Pass ``spark`` to enable schema-aware MySQL coercions (bool→int sums)
-    against the currently registered temp views.
+    against the currently registered temp views. ``defer_params=True``
+    leaves unbound ``:name`` tokens in the select for a later
+    ``substitute_params`` pass (the streaming per-batch id list).
     """
     sql = expand_stubs(sql_text, item_ids or [])
-    sql = substitute_params(sql, params or {})
+    sql = substitute_params(sql, params or {}, allow_missing=defer_params)
     sql = rewrite_dialect(sql)
     if spark is not None:
         sql = coerce_bool_sums(sql, spark)
@@ -513,18 +532,35 @@ def script_plan_fn(
     construct the PointTable with ``script_policies(text)`` once.
     """
 
+    state: dict = {}
+
     def plan(tables: dict, keys_df: DataFrame) -> DataFrame:
         spark = keys_df.sparkSession
-        for name, df in tables.items():
-            df.createOrReplaceTempView(name)
+        if "stmt" not in state:
+            # one-time: register views, run the schema-aware coercions,
+            # and translate with the batch param DEFERRED — per batch only
+            # the id-list literal is substituted (pure string work; no
+            # catalog round-trips, no re-registration)
+            for name, df in tables.items():
+                df.createOrReplaceTempView(name)
+            state["stmt"] = translate_script(
+                script_text,
+                params=params or {},
+                item_ids=list(item_ids or []),
+                spark=spark,
+                defer_params=True,
+            )
+        stmt: CrunchStatement = state["stmt"]
         batch = [r[0] for r in keys_df.collect()]
-        stmt = translate_script(
-            script_text,
-            params={**(params or {}), batch_param: batch},
-            item_ids=list(item_ids or []),
-            spark=spark,
+        sql = substitute_params(stmt.select_sql, {batch_param: batch})
+        final = CrunchStatement(
+            target=stmt.target,
+            select_sql=sql,
+            policies=stmt.policies,
+            key_map=stmt.key_map,
+            set_map=stmt.set_map,
         )
-        return stmt.delta(spark, target_columns=list(target_columns), drop=drop)
+        return final.delta(spark, target_columns=list(target_columns), drop=drop)
 
     return plan
 
@@ -532,17 +568,9 @@ def script_plan_fn(
 def script_policies(
     script_text: str, item_ids: list[int] | None = None
 ) -> dict[str, MergePolicy]:
-    """The static MergePolicy spec of a script, for PointTable creation
-    (params are irrelevant to the upsert tail, so none are required)."""
-    sql = expand_stubs(script_text, item_ids or [])
-    sql = re.sub(r"(?<![:\w]):([a-zA-Z_]\w*)", "1", sql)  # neutralize params
-    stripped = _strip_line_comments(rewrite_dialect(sql))
-    if re.match(r"\s*update\b", stripped, re.I):
-        return _translate_update_join(stripped).policies
-    ix = _find_top(stripped, r"\bon\s+duplicate\s+key\s+update\b")
-    if ix < 0:
-        return {}
-    tail = re.sub(
-        r"^on\s+duplicate\s+key\s+update\b", "", stripped[ix:], flags=re.I
-    )
-    return parse_policies(tail)
+    """The static MergePolicy spec of a script, for PointTable creation —
+    one translate_script pass with every parameter deferred (the upsert
+    tail contains none)."""
+    return translate_script(
+        script_text, item_ids=item_ids, defer_params=True
+    ).policies

@@ -480,3 +480,23 @@ def test_script_worker_streams_literal_sql(spark, crunch_tables, tmp_path):
     got = {tuple(r[k] for k in key): r.played for r in point.read().collect()}
     want = {tuple(r[k] for k in key): r.played for r in expected.read().collect()}
     assert got == want and got
+
+
+@needs_reference
+def test_script_plan_fn_empty_batch_yields_empty_delta(spark, crunch_tables):
+    """A fully-sampled-away micro-batch must produce an EMPTY delta, not a
+    parse error from `in ()` (reliability sampling / poison filtering can
+    drop every row of a healthy batch)."""
+    _views(spark, crunch_tables)
+    plan = sqlfront.script_plan_fn(
+        (REF / "crunch_phases_bans.sql").read_text(),
+        target_columns=[
+            "id", "updated_at", "series_id", "filter_id", "hero_id",
+            "game_mode_id", "skill_tier_id", "region_id", "played", "banned",
+        ],
+        item_ids=ITEM_IDS,
+        params=BUILD_REGEX_PARAMS,
+        drop=("id", "updated_at"),
+    )
+    empty = spark.createDataFrame([], "value string")
+    assert plan(dict(crunch_tables), empty).count() == 0
