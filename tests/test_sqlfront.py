@@ -500,3 +500,76 @@ def test_script_plan_fn_empty_batch_yields_empty_delta(spark, crunch_tables):
     )
     empty = spark.createDataFrame([], "value string")
     assert plan(dict(crunch_tables), empty).count() == 0
+
+
+@needs_reference
+def test_literal_player_equals_native_plan(spark, crunch_tables):
+    """crunch_player.sql (permissive updated_at, constrained grouping
+    sets) equals the native plan on every deterministic column."""
+    from cruncher_spark.plans.crunch import crunch_player_delta
+
+    _views(spark, crunch_tables)
+    ids = _batch(crunch_tables, 60)
+    key = [
+        "player_api_id", "series_id", "filter_id", "hero_id",
+        "game_mode_id", "role_id",
+    ]
+    cols = [
+        "id", "updated_at", *key,
+        "played", "wins", "time_spent", "kills", "deaths", "assists",
+        "farm", "minion_kills", "jungle_kills", "non_jungle_minion_kills",
+        "crystal_mine_captures", "gold_mine_captures", "kraken_captures",
+        "turret_captures", "gold", "impact_score", "surrender",
+        "item_014_use", "item_022_use", "item_031_use",
+    ]
+    stmt = sqlfront.translate_script(
+        (REF / "crunch_player.sql").read_text(),
+        params={**BUILD_REGEX_PARAMS, "participant_api_ids": ids},
+        item_ids=ITEM_IDS,
+        spark=spark,
+    )
+    # updated_at is MySQL-permissive (any_value) — nondeterministic by
+    # definition, excluded from the equality
+    lit = stmt.delta(spark, target_columns=cols, drop=("id", "updated_at"))
+    native = crunch_player_delta(crunch_tables, ids).drop("updated_at")
+    assert sorted(lit.columns) == sorted(native.columns)
+    _assert_rows_equal(lit, native, key)
+
+
+@needs_reference
+def test_literal_phases_equals_native_plan(spark, crunch_tables):
+    """crunch_phases.sql: the 59-measure aggregate with uncast boolean
+    sum (MySQL coercion), constant time_spent, and the phase-window
+    grouping — row-for-row equal to the native plan."""
+    from cruncher_spark.plans.crunch import crunch_phases_delta
+
+    _views(spark, crunch_tables)
+    ph_ids = [
+        r.id
+        for r in crunch_tables["participant_phases"].select("id").limit(80).collect()
+    ]
+    native = crunch_phases_delta(
+        crunch_tables, ph_ids, now=F.lit("2026-08-10").cast("timestamp")
+    ).drop("updated_at")
+    nc = native.columns
+    tail = nc[nc.index("kills"): nc.index("heal_rcvd_healed_other") + 1]
+    cols = [
+        "id", "updated_at", "series_id", "filter_id", "hero_id",
+        "game_mode_id", "skill_tier_id", "build_id", "role_id", "region_id",
+        "phase_start", "phase_end", "played", "wins", "time_spent",
+        *tail, "item_014_use", "item_022_use", "item_031_use",
+    ]
+    stmt = sqlfront.translate_script(
+        (REF / "crunch_phases.sql").read_text(),
+        params={**BUILD_REGEX_PARAMS, "participant_api_ids": ph_ids},
+        item_ids=ITEM_IDS,
+        spark=spark,
+    )
+    lit = stmt.delta(spark, target_columns=cols, drop=("id", "updated_at"))
+    assert sorted(lit.columns) == sorted(native.columns)
+    key = [
+        "series_id", "filter_id", "hero_id", "game_mode_id",
+        "skill_tier_id", "build_id", "role_id", "region_id",
+        "phase_start", "phase_end",
+    ]
+    _assert_rows_equal(lit, native, key)
