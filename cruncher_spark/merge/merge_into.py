@@ -67,17 +67,30 @@ def _matched_expr(c: str, policy: MergePolicy, dtype: str | None) -> str | None:
     _check_ident(c)
     if policy == MergePolicy.KEEP:
         return None
-    if policy == MergePolicy.ADD:
+    if policy in (MergePolicy.ADD, MergePolicy.ADD_NULLSAFE):
         if dtype is not None and dtype.lower() in _FLOATING:
             cast_back = "DOUBLE" if dtype.lower() != "float" else "FLOAT"
-            return (
+            add = (
                 f"CAST(CAST(t.{c} AS DECIMAL(28,6)) + "
                 f"CAST(s.{c} AS DECIMAL(28,6)) AS {cast_back})"
             )
-        return f"t.{c} + s.{c}"
+        else:
+            add = f"t.{c} + s.{c}"
+        if policy == MergePolicy.ADD_NULLSAFE:
+            return (
+                f"CASE WHEN s.{c} IS NULL THEN t.{c} "
+                f"WHEN t.{c} IS NULL THEN s.{c} ELSE {add} END"
+            )
+        return add
     if policy == MergePolicy.MAX:
         # NULL source (or NULL target) keeps old, like the reference's CASE
         return f"CASE WHEN s.{c} > t.{c} THEN s.{c} ELSE t.{c} END"
+    if policy == MergePolicy.LEAST:
+        # ANSI LEAST/GREATEST are null-propagating in some engines; the
+        # COALESCE form is the portable null-aware spelling
+        return f"COALESCE(LEAST(s.{c}, t.{c}), s.{c}, t.{c})"
+    if policy == MergePolicy.GREATEST:
+        return f"COALESCE(GREATEST(s.{c}, t.{c}), s.{c}, t.{c})"
     return f"s.{c}"  # OVERWRITE
 
 

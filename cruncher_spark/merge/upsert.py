@@ -57,8 +57,18 @@ _BUCKET_COL = "pt_bucket"
 
 
 class MergePolicy(str, Enum):
+    #: MySQL-faithful addition (crunch_global.sql:69): NULL + x = NULL
     ADD = "add"
+    #: SQL-SUM merge semantics: a NULL side is the identity, NULL only
+    #: when both sides are NULL — what partial-aggregate folding needs
+    ADD_NULLSAFE = "add_nullsafe"
+    #: MySQL-faithful CASE form (crunch_player.sql:49): NULL on either
+    #: side keeps the OLD value — reference parity, not a true maximum
     MAX = "max"
+    #: null-aware extremes for incremental view maintenance: a NULL
+    #: partial (all-NULL batch slice) never shadows a real value
+    LEAST = "least"
+    GREATEST = "greatest"
     OVERWRITE = "overwrite"
     #: column absent from the ON DUPLICATE list — first insert wins
     #: (updated_at in crunch_global.sql:68-87; wins in crunch_phases.sql)
@@ -258,8 +268,8 @@ class PointTable:
                 out.append(F.coalesce(tc, sc).alias(c))
                 continue
             policy = policy_override or self.policies.get(c, MergePolicy.ADD)
-            if policy == MergePolicy.ADD:
-                # NULL + x = NULL, matching MySQL (crunch_global.sql:69).
+            if policy in (MergePolicy.ADD, MergePolicy.ADD_NULLSAFE):
+                # ADD: NULL + x = NULL, matching MySQL (crunch_global.sql:69).
                 # Doubles add through DECIMAL(28,6) so accumulated state is
                 # bit-exact and order-independent (the reference instead
                 # accumulates float rounding error — a deliberate upgrade).
@@ -270,8 +280,29 @@ class PointTable:
                     ).cast(dtype)
                 else:
                     merged_val = tc + sc
+                if policy == MergePolicy.ADD_NULLSAFE:
+                    # SUM-merge: a NULL partial is the identity
+                    merged_val = (
+                        F.when(sc.isNull(), tc)
+                        .when(tc.isNull(), sc)
+                        .otherwise(merged_val)
+                    )
             elif policy == MergePolicy.MAX:
                 merged_val = F.when(sc > tc, sc).otherwise(tc)
+            elif policy == MergePolicy.LEAST:
+                merged_val = (
+                    F.when(sc.isNull(), tc)
+                    .when(tc.isNull(), sc)
+                    .when(sc < tc, sc)
+                    .otherwise(tc)
+                )
+            elif policy == MergePolicy.GREATEST:
+                merged_val = (
+                    F.when(sc.isNull(), tc)
+                    .when(tc.isNull(), sc)
+                    .when(sc > tc, sc)
+                    .otherwise(tc)
+                )
             elif policy == MergePolicy.KEEP:
                 merged_val = tc
             else:  # OVERWRITE

@@ -1,0 +1,127 @@
+"""Incremental materialized views: maintained state == full recompute.
+
+The load-bearing claim is the derivation of merge rules from the
+aggregate algebra — so the core test drives random batches (with NULLs
+and all-NULL group slices) through refresh() and compares against a
+one-shot aggregate over the union of all batches, for every supported
+aggregate at once.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+import pyspark.sql.functions as F
+
+from cruncher_spark.merge.materialize import IncrementalView, Measure
+from cruncher_spark.merge.upsert import MergePolicy
+
+
+MEASURES = {
+    "n": Measure("count", "v"),
+    "total": Measure("sum", "v"),
+    "lo": Measure("min", "v"),
+    "hi": Measure("max", "v"),
+    "mean": Measure("avg", "v"),
+}
+
+
+def _batches(spark, seed=11, n_batches=4, rows_per=60):
+    rng = random.Random(seed)
+    out = []
+    for b in range(n_batches):
+        rows = []
+        for i in range(rows_per):
+            k = rng.randrange(8)
+            # group 7 is all-NULL in early batches: the LEAST/GREATEST
+            # null-awareness case (a NULL partial must not shadow a real
+            # extreme that arrives later)
+            v = (
+                None
+                if (k == 7 and b < 2) or rng.random() < 0.15
+                else rng.randrange(-50, 50)
+            )
+            rows.append((k, v))
+        out.append(spark.createDataFrame(rows, "k int, v int"))
+    return out
+
+
+def test_maintained_equals_recompute(spark, tmp_path):
+    batches = _batches(spark)
+    view = IncrementalView(
+        spark, str(tmp_path / "mv"), keys=["k"], measures=MEASURES,
+        num_buckets=4,
+    )
+    for i, b in enumerate(batches):
+        assert view.refresh(b, batch_id=f"b{i}") is True
+
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionAll(b)
+    expected = union.groupBy("k").agg(
+        F.count("v").alias("n"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.avg("v").alias("mean"),
+    )
+    got = {r.k: r.asDict() for r in view.read().collect()}
+    want = {r.k: r.asDict() for r in expected.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("n", "total", "lo", "hi"):
+            assert got[k][c] == want[k][c], (k, c, got[k][c], want[k][c])
+        gm, wm = got[k]["mean"], want[k]["mean"]
+        if wm is None:
+            assert gm is None, k
+        else:
+            assert math.isclose(gm, wm, rel_tol=1e-12), (k, gm, wm)
+
+
+def test_refresh_replay_is_idempotent(spark, tmp_path):
+    batches = _batches(spark, n_batches=2)
+    view = IncrementalView(
+        spark, str(tmp_path / "mv"), keys=["k"], measures=MEASURES,
+        num_buckets=2,
+    )
+    view.refresh(batches[0], batch_id="b0")
+    before = sorted(map(tuple, view.read().collect()))
+    assert view.refresh(batches[0], batch_id="b0") is False  # redelivery
+    assert sorted(map(tuple, view.read().collect())) == before
+
+
+def test_holistic_aggregate_rejected():
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        Measure("median", "v")
+
+
+def test_null_partial_never_shadows_extreme(spark, tmp_path):
+    view = IncrementalView(
+        spark, str(tmp_path / "mv"), keys=["k"],
+        measures={"lo": Measure("min", "v"), "hi": Measure("max", "v")},
+        num_buckets=1,
+    )
+    view.refresh(
+        spark.createDataFrame([(1, None)], "k int, v int"), batch_id="a"
+    )
+    view.refresh(
+        spark.createDataFrame([(1, 5)], "k int, v int"), batch_id="b"
+    )
+    view.refresh(
+        spark.createDataFrame([(1, None)], "k int, v int"), batch_id="c"
+    )
+    row = view.read().collect()[0]
+    assert (row.lo, row.hi) == (5, 5)
+
+
+def test_merge_into_renders_null_aware_extremes():
+    from cruncher_spark.merge.merge_into import _matched_expr
+
+    assert _matched_expr("lo", MergePolicy.LEAST, "int") == (
+        "COALESCE(LEAST(s.lo, t.lo), s.lo, t.lo)"
+    )
+    assert _matched_expr("hi", MergePolicy.GREATEST, "int") == (
+        "COALESCE(GREATEST(s.hi, t.hi), s.hi, t.hi)"
+    )
