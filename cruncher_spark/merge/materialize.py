@@ -9,12 +9,14 @@ aggregate algebra (the classic self-maintainability decomposition of the
 view-maintenance literature — distributive aggregates merge directly,
 algebraic ones decompose into distributive parts):
 
-- ``sum`` / ``count`` → ADD (distributive)
+- ``sum`` / ``count`` → ADD_NULLSAFE (distributive; a NULL partial is
+  the merge identity, matching SQL SUM)
 - ``min`` / ``max``   → LEAST / GREATEST (distributive; the null-aware
   policies, so an all-NULL batch slice never shadows a real extreme —
   append-only sources only: neither inverts under deletes)
-- ``avg``             → decomposed into a hidden (sum, count) ADD pair,
-  reconstituted as ``sum/count`` at read time (algebraic)
+- ``avg``             → decomposed into a hidden (sum, count)
+  ADD_NULLSAFE pair, reconstituted as ``sum/count`` at read time
+  (algebraic)
 
 Holistic aggregates (median, exact distinct) are rejected — they are not
 self-maintainable; the engine's mergeable-sketch columns (HLL,
@@ -132,3 +134,38 @@ class IncrementalView:
             else:
                 out.append(F.col(name))
         return df.select(out)
+
+
+def start_stream_refresh(
+    view: IncrementalView,
+    rows: DataFrame,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = False,
+    trigger_seconds: float | None = None,
+):
+    """Continuous aggregate (the hypertable-rollup shape): keep an
+    IncrementalView fresh from a streaming source.
+
+    Key the view on a time bucket (e.g. ``window(ts, '1 hour').start`` or
+    ``date_trunc``) plus dimensions and this is TimescaleDB's continuous
+    aggregate / a streaming rollup — except the state is a versioned,
+    time-travelable PointTable and the foreachBatch + batch-id ledger
+    pair makes the refresh exactly-once under redelivery. Late rows are
+    handled by construction: a late row's partial simply merges into its
+    (old) bucket — no watermark-driven state eviction is needed because
+    per-bucket state is O(1) mergeable aggregate state, not buffered rows.
+    """
+    from pathlib import Path
+
+    Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+    writer = (
+        rows.writeStream.foreachBatch(
+            lambda df, bid: view.refresh(df, batch_id=f"stream-{bid}")
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -125,3 +125,60 @@ def test_merge_into_renders_null_aware_extremes():
     assert _matched_expr("hi", MergePolicy.GREATEST, "int") == (
         "COALESCE(GREATEST(s.hi, t.hi), s.hi, t.hi)"
     )
+
+
+def test_streaming_continuous_aggregate(spark, tmp_path):
+    """Hourly-bucket continuous aggregate from a file stream — including
+    a LATE row that lands in an already-materialized bucket — equals the
+    batch recompute."""
+    import json
+
+    from cruncher_spark.merge.materialize import start_stream_refresh
+
+    rows = [
+        ("2024-01-01 10:05:00", "a", 10),
+        ("2024-01-01 10:45:00", "a", 20),
+        ("2024-01-01 11:10:00", "b", 5),
+    ]
+    late = [("2024-01-01 10:59:00", "a", 7)]  # arrives after bucket 10 built
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f0.json").write_text(
+        "\n".join(json.dumps({"ts": t, "d": d, "v": v}) for t, d, v in rows)
+    )
+
+    stream = (
+        spark.readStream.schema("ts string, d string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket"),
+            "d",
+            "v",
+        )
+    )
+    view = IncrementalView(
+        spark, str(tmp_path / "cagg"), keys=["bucket", "d"],
+        measures={"n": Measure("count", "v"), "total": Measure("sum", "v")},
+        num_buckets=2,
+    )
+    q = start_stream_refresh(
+        view, stream, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+
+    (src / "f1.json").write_text(
+        "\n".join(json.dumps({"ts": t, "d": d, "v": v}) for t, d, v in late)
+    )
+    q2 = start_stream_refresh(
+        view, stream, str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(300)
+
+    got = {
+        (str(r.bucket), r.d): (r.n, r.total) for r in view.read().collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "a"): (3, 37),  # late row folded in
+        ("2024-01-01 11:00:00", "b"): (1, 5),
+    }
