@@ -1137,3 +1137,69 @@ def series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized view (gate over the merge/materialize layer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_view",
+    oracle="""
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                / COUNT(value) AS DOUBLE) AS mean
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incremental materialized view maintained from TWO disjoint "
+    "batches (split by event_id parity) through the PointTable merge "
+    "layer, then read back — must equal the oracle's one-shot aggregate "
+    "exactly. Merge rules are derived from the aggregate algebra "
+    "(sum/count -> null-safe ADD, min/max -> LEAST/GREATEST, avg -> "
+    "(sum,count) decomposition); DECIMAL partials keep the fold "
+    "bit-exact and order-independent. This is the generalization of the "
+    "reference's hand-wired ON DUPLICATE KEY UPDATE tables, gated "
+    "end-to-end against a stateless recompute.",
+)
+def incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cruncher_spark.merge.materialize import IncrementalView, Measure
+
+    tune(spark)
+    events = Star(spark, sf_dir).events.select(
+        "event_id",
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("dv"),
+        "value",
+    )
+    view = IncrementalView(
+        spark,
+        tempfile.mkdtemp(prefix="cruncher_iv_"),
+        keys=["event_type", "day"],
+        measures={
+            "n": Measure("count", "dv"),
+            "total": Measure("sum", "dv"),
+            "lo": Measure("min", "value"),
+            "hi": Measure("max", "value"),
+            "mean": Measure("avg", "dv"),
+        },
+        num_buckets=4,
+    )
+    view.refresh(events.where(F.col("event_id") % 2 == 0), batch_id="even")
+    view.refresh(events.where(F.col("event_id") % 2 == 1), batch_id="odd")
+    return view.read().select(
+        "event_type",
+        "day",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        "lo",
+        "hi",
+        F.col("mean").cast("double").alias("mean"),
+    )
