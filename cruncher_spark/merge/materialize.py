@@ -120,6 +120,36 @@ class IncrementalView:
         ``batch_id`` (PointTable ledger) — safe under redelivery."""
         return self.point.merge(self.delta(batch), batch_id=batch_id)
 
+    def retract(self, batch: DataFrame, batch_id: str | None = None) -> bool:
+        """Remove a batch of previously-ingested rows from the view — the
+        deletion half of classic incremental view maintenance, valid only
+        for INVERTIBLE aggregates (sum/count/avg: merge the NEGATED
+        partial). min/max are not invertible (the retracted row might BE
+        the extreme) — views containing them must rebuild instead, and
+        this method refuses them up front.
+
+        A fully-retracted group remains as a zero-count row (the merge
+        layer has no delete-on-zero hook); ``read()`` already yields NULL
+        means for such groups, and downstream consumers filter ``n > 0``
+        when absence semantics matter.
+        """
+        bad = [n for n, m in self.measures.items() if m.agg in ("min", "max")]
+        if bad:
+            raise ValueError(
+                f"min/max measures are not invertible: {bad}; "
+                "rebuild the view to retract"
+            )
+        delta = self.delta(batch)
+        negated = delta.select(
+            *self.keys,
+            *[
+                (-F.col(c)).alias(c)
+                for c in delta.columns
+                if c not in self.keys
+            ],
+        )
+        return self.point.merge(negated, batch_id=batch_id)
+
     def read(self) -> DataFrame:
         """Current view contents; avg columns reconstituted as
         sum/count (NULL for all-NULL groups, matching plain AVG)."""

@@ -182,3 +182,48 @@ def test_streaming_continuous_aggregate(spark, tmp_path):
         ("2024-01-01 10:00:00", "a"): (3, 37),  # late row folded in
         ("2024-01-01 11:00:00", "b"): (1, 5),
     }
+
+
+def test_retract_equals_recompute_of_remainder(spark, tmp_path):
+    """Ingest two batches, retract the first — view equals a recompute
+    over only the second batch (invertible aggregates)."""
+    measures = {
+        "n": Measure("count", "v"),
+        "total": Measure("sum", "v"),
+        "mean": Measure("avg", "v"),
+    }
+    batches = _batches(spark, seed=23, n_batches=2)
+    view = IncrementalView(
+        spark, str(tmp_path / "mv"), keys=["k"], measures=measures,
+        num_buckets=2,
+    )
+    view.refresh(batches[0], batch_id="b0")
+    view.refresh(batches[1], batch_id="b1")
+    view.retract(batches[0], batch_id="r0")
+
+    expected = batches[1].groupBy("k").agg(
+        F.count("v").alias("n"),
+        F.sum("v").alias("total"),
+        F.avg("v").alias("mean"),
+    )
+    got = {r.k: r.asDict() for r in view.read().where("n > 0").collect()}
+    want = {r.k: r.asDict() for r in expected.where("n > 0").collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert got[k]["total"] == want[k]["total"]
+        gm, wm = got[k]["mean"], want[k]["mean"]
+        assert (gm is None) == (wm is None)
+        if wm is not None:
+            assert math.isclose(gm, wm, rel_tol=1e-12), (k, gm, wm)
+
+
+def test_retract_refuses_non_invertible_extremes(spark, tmp_path):
+    view = IncrementalView(
+        spark, str(tmp_path / "mv"), keys=["k"],
+        measures={"lo": Measure("min", "v")}, num_buckets=1,
+    )
+    df = spark.createDataFrame([(1, 2)], "k int, v int")
+    view.refresh(df, batch_id="a")
+    with pytest.raises(ValueError, match="not invertible"):
+        view.retract(df, batch_id="r")
