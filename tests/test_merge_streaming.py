@@ -396,3 +396,52 @@ def test_stream_poison_and_dlq(spark, crunch_tables, tmp_path, id_stream_dir):
     assert "poison" in reasons and "crunch_failed" in reasons
     # every poisoned message is quarantined, none crunched
     assert dlq.where(F.col("reason") == "poison").count() == 1
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, crunch_tables, tmp_path):
+    """Stop the worker, add new batches, start a FRESH worker instance on
+    the same checkpoint + table: already-committed batches are neither
+    re-read (source checkpoint) nor re-applied if redelivered (ledger),
+    and the final state equals the one-shot fold of all batches."""
+    ids = _ids(crunch_tables, 60)
+    d = tmp_path / "ids"
+    d.mkdir()
+    for i, lo in enumerate(range(0, 40, 20)):
+        (d / f"b{i}.txt").write_text("\n".join(ids[lo : lo + 20]) + "\n")
+
+    point = _global_point(spark, tmp_path, "gp_restart")
+
+    def make_worker():
+        return CrunchWorker(
+            spark,
+            crunch_tables,
+            lambda tables, batch: crunch_global_delta(tables, batch, now=_now()),
+            point,
+        )
+
+    w1 = make_worker()
+    q1 = w1.start_file_stream(
+        str(d), str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        available_now=True,
+    )
+    q1.awaitTermination(300)
+    assert w1.batches_processed == 2
+
+    # new data lands while the worker is down
+    (d / "b2.txt").write_text("\n".join(ids[40:60]) + "\n")
+
+    w2 = make_worker()
+    q2 = w2.start_file_stream(
+        str(d), str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+    # the restarted instance processed ONLY the new batch
+    assert w2.batches_processed == 1 and w2.batches_failed == 0
+
+    deltas = [
+        crunch_global_delta(crunch_tables, ids[lo : lo + 20], now=_now())
+        for lo in range(0, 60, 20)
+    ]
+    expected = _mysql_add_fold(deltas, list(GLOBAL_POINT_KEY))
+    _assert_frames_equal(point.read(), expected)
