@@ -171,6 +171,7 @@ def start_stream_refresh(
     rows: DataFrame,
     checkpoint_dir: str,
     *,
+    stream_id: str | None = None,
     available_now: bool = False,
     trigger_seconds: float | None = None,
 ):
@@ -185,13 +186,26 @@ def start_stream_refresh(
     handled by construction: a late row's partial simply merges into its
     (old) bucket — no watermark-driven state eviction is needed because
     per-bucket state is O(1) mergeable aggregate state, not buffered rows.
+
+    Ledger batch ids are ``stream-<stream_id>-<epoch>``; ``stream_id``
+    defaults to a hash of the checkpoint path so TWO streams feeding one
+    view never collide on epoch numbers. The remaining operational rule:
+    DELETING a checkpoint while keeping the view reprocesses the source
+    with epoch numbers restarted from 0 — pass a fresh ``stream_id`` for
+    the new query (or rebuild the view), otherwise the ledger will treat
+    the replayed epochs as already applied and silently drop them.
     """
+    import hashlib
+    import os
     from pathlib import Path
 
     Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+    sid = stream_id or hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
     writer = (
         rows.writeStream.foreachBatch(
-            lambda df, bid: view.refresh(df, batch_id=f"stream-{bid}")
+            lambda df, bid: view.refresh(df, batch_id=f"stream-{sid}-{bid}")
         ).option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -68,13 +68,19 @@ def _matched_expr(c: str, policy: MergePolicy, dtype: str | None) -> str | None:
     if policy == MergePolicy.KEEP:
         return None
     if policy in (MergePolicy.ADD, MergePolicy.ADD_NULLSAFE):
-        if dtype is not None and dtype.lower() in _FLOATING:
+        if (
+            policy == MergePolicy.ADD
+            and dtype is not None
+            and dtype.lower() in _FLOATING
+        ):
             cast_back = "DOUBLE" if dtype.lower() != "float" else "FLOAT"
             add = (
                 f"CAST(CAST(t.{c} AS DECIMAL(28,6)) + "
                 f"CAST(s.{c} AS DECIMAL(28,6)) AS {cast_back})"
             )
         else:
+            # ADD_NULLSAFE: plain addition — SQL SUM semantics for doubles
+            # (see upsert.py); DECIMAL-typed measures stay exact here
             add = f"t.{c} + s.{c}"
         if policy == MergePolicy.ADD_NULLSAFE:
             return (

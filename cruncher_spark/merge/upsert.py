@@ -273,8 +273,15 @@ class PointTable:
                 # Doubles add through DECIMAL(28,6) so accumulated state is
                 # bit-exact and order-independent (the reference instead
                 # accumulates float rounding error — a deliberate upgrade).
+                # ADD_NULLSAFE (the view-maintenance fold) deliberately does
+                # NOT take that detour: decimal(28,6) rounds a sub-1e-6
+                # double partial to zero and NULLs on >1e22 overflow, which
+                # would break maintained==recompute; plain double addition
+                # matches SQL SUM over DOUBLE exactly (callers wanting exact
+                # accumulation cast their measure expression to DECIMAL,
+                # which flows through the integer branch untouched).
                 dtype = dict(tgt.dtypes)[c]
-                if dtype in ("double", "float"):
+                if policy == MergePolicy.ADD and dtype in ("double", "float"):
                     merged_val = (
                         tc.cast("decimal(28,6)") + sc.cast("decimal(28,6)")
                     ).cast(dtype)

@@ -1081,24 +1081,35 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     stats AS (
+      -- moments in DECIMAL so n*sq - s*s can NEVER wrap (BIGINT s*s wraps
+      -- silently in Spark past ~3e9 total events/type); widths chosen so
+      -- every product stays within 38 digits in BOTH engines: daily
+      -- counts < 1e14, totals < 1e18, days < 1e8 — far beyond 100 TB
       SELECT event_type,
              COUNT(*) AS n,
-             SUM(n_events) AS s,
-             SUM(n_events * n_events) AS sq
+             CAST(SUM(CAST(n_events AS DECIMAL(14,0))) AS DECIMAL(18,0)) AS s,
+             CAST(SUM(CAST(n_events AS DECIMAL(14,0))
+                      * CAST(n_events AS DECIMAL(14,0))) AS DECIMAL(29,0)) AS sq
       FROM daily GROUP BY event_type
+    ),
+    stats2 AS (
+      SELECT event_type, n, s,
+             CAST(CAST(n AS DECIMAL(8,0)) * sq AS DECIMAL(38,0))
+               - CAST(s * s AS DECIMAL(38,0)) AS var_num
+      FROM stats
     )
     SELECT d.event_type, strftime(d.d, '%Y-%m-%d') AS day, d.n_events,
-      CASE WHEN st.n * st.sq - st.s * st.s > 0 THEN
+      CASE WHEN st.var_num > 0 THEN
         (CAST(d.n_events AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
-          / sqrt(CAST(st.n * st.sq - st.s * st.s AS DOUBLE)
+          / sqrt(CAST(st.var_num AS DOUBLE)
                  / (CAST(st.n AS DOUBLE) * st.n))
       ELSE 0.0 END AS zscore,
-      CASE WHEN st.n * st.sq - st.s * st.s > 0 THEN
+      CASE WHEN st.var_num > 0 THEN
         abs(CAST(d.n_events AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
-          > 2.0 * sqrt(CAST(st.n * st.sq - st.s * st.s AS DOUBLE)
+          > 2.0 * sqrt(CAST(st.var_num AS DOUBLE)
                        / (CAST(st.n AS DOUBLE) * st.n))
       ELSE FALSE END AS is_anomaly
-    FROM daily d JOIN stats st USING (event_type)
+    FROM daily d JOIN stats2 st USING (event_type)
     """,
     doc="Per-series z-score outlier detection over daily event counts — "
     "the monitoring primitive. Moments are kept in INTEGER arithmetic "
@@ -1117,12 +1128,19 @@ def series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "d")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    dn = F.col("n_events").cast("decimal(14,0)")
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("n_events").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("sq"),
+        F.sum(dn).cast("decimal(18,0)").alias("s"),
+        F.sum(dn * dn).cast("decimal(29,0)").alias("sq"),
     )
-    var_num = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    # integer-exact moments in DECIMAL: BIGINT s*s wraps silently in
+    # Spark's non-ANSI mode past ~3e9 total events per series; these
+    # widths keep every product within 38 digits in both engines
+    var_num = (
+        (F.col("n").cast("decimal(8,0)") * F.col("sq")).cast("decimal(38,0)")
+        - (F.col("s") * F.col("s")).cast("decimal(38,0)")
+    )
     mean = F.col("s").cast("double") / F.col("n")
     std = F.sqrt(
         var_num.cast("double") / (F.col("n").cast("double") * F.col("n"))
@@ -1167,11 +1185,21 @@ def series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "end-to-end against a stateless recompute.",
 )
 def incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from cruncher_spark.merge.materialize import IncrementalView, Measure
 
     tune(spark)
+    # one engine-owned state dir per dataset, recreated per run — repeated
+    # gate/bench invocations must not leak an unbounded set of /tmp trees
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"cruncher_iv_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
     events = Star(spark, sf_dir).events.select(
         "event_id",
         "event_type",
@@ -1181,7 +1209,7 @@ def incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view = IncrementalView(
         spark,
-        tempfile.mkdtemp(prefix="cruncher_iv_"),
+        state_dir,
         keys=["event_type", "day"],
         measures={
             "n": Measure("count", "dv"),

@@ -227,3 +227,19 @@ def test_retract_refuses_non_invertible_extremes(spark, tmp_path):
     view.refresh(df, batch_id="a")
     with pytest.raises(ValueError, match="not invertible"):
         view.retract(df, batch_id="r")
+
+
+def test_double_sum_survives_sub_microscale_values(spark, tmp_path):
+    """Double partials must NOT round through decimal(28,6): a view over
+    1e-9-scale doubles has to accumulate like SQL SUM over DOUBLE."""
+    view = IncrementalView(
+        spark, str(tmp_path / "mv"), keys=["k"],
+        measures={"total": Measure("sum", "v")}, num_buckets=1,
+    )
+    for i in range(3):
+        view.refresh(
+            spark.createDataFrame([(1, 1e-9), (1, 2e-9)], "k int, v double"),
+            batch_id=f"b{i}",
+        )
+    got = view.read().collect()[0].total
+    assert math.isclose(got, 9e-9, rel_tol=1e-12), got
