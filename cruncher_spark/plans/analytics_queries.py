@@ -1220,8 +1220,15 @@ def incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         num_buckets=4,
     )
-    view.refresh(events.where(F.col("event_id") % 2 == 0), batch_id="even")
-    view.refresh(events.where(F.col("event_id") % 2 == 1), batch_id="odd")
+    # both batch slices project the same scan; persist it so the second
+    # refresh (and each refresh's bucket-discovery + write passes) read
+    # the cached projection instead of rescanning the fact table
+    events = events.persist()
+    try:
+        view.refresh(events.where(F.col("event_id") % 2 == 0), batch_id="even")
+        view.refresh(events.where(F.col("event_id") % 2 == 1), batch_id="odd")
+    finally:
+        events.unpersist()
     return view.read().select(
         "event_type",
         "day",

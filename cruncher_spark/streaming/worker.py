@@ -142,11 +142,26 @@ class CrunchWorker:
         )
 
     def _append_notify(self, batch_id: int) -> None:
-        # S6: "crunch_update" to the topic exchange (worker.js:184-190)
-        self.spark.createDataFrame(
-            [(self.notify_routing_key or "global", "crunch_update", str(batch_id))],
-            "routing_key string, event string, batch_id string",
-        ).write.mode("append").parquet(self.notify_dir)
+        # S6: "crunch_update" to the topic exchange (worker.js:184-190).
+        # Driver-side pyarrow, not a Spark job: the notification is one
+        # driver-local row, and a python-list createDataFrame write pays
+        # a Python-worker spawn per cold core (~3.5 s at local[32] —
+        # see merge/upsert.py applied_batches). Unique filename per batch
+        # keeps appends atomic; format stays Spark-readable parquet.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        Path(self.notify_dir).mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "routing_key": [self.notify_routing_key or "global"],
+                    "event": ["crunch_update"],
+                    "batch_id": [str(batch_id)],
+                }
+            ),
+            Path(self.notify_dir) / f"notify-{batch_id}.parquet",
+        )
 
     # -- stream wiring ------------------------------------------------------
 
