@@ -273,6 +273,7 @@ class PointTable:
         out = []
         in_src = F.col(f"_s_{self.key[0]}").isNotNull()
         in_tgt = F.col(f"_t_{self.key[0]}").isNotNull()
+        tgt_dtypes = dict(tgt.dtypes)
         for c in tgt.columns:
             tc, sc = F.col(f"_t_{c}"), F.col(f"_s_{c}")
             if c in self.key:
@@ -291,7 +292,7 @@ class PointTable:
                 # matches SQL SUM over DOUBLE exactly (callers wanting exact
                 # accumulation cast their measure expression to DECIMAL,
                 # which flows through the integer branch untouched).
-                dtype = dict(tgt.dtypes)[c]
+                dtype = tgt_dtypes[c]
                 if policy == MergePolicy.ADD and dtype in ("double", "float"):
                     merged_val = (
                         tc.cast("decimal(28,6)") + sc.cast("decimal(28,6)")
@@ -325,10 +326,17 @@ class PointTable:
                 merged_val = tc
             else:  # OVERWRITE
                 merged_val = sc
+            # Pin the stored dtype: Spark widens DECIMAL arithmetic by one
+            # digit of precision per merge (decimal(18,6)+decimal(18,6) →
+            # decimal(19,6)); without this cast, a merge touching a subset of
+            # buckets would leave the version with mixed parquet decimal
+            # schemas (untouched buckets are hard links at the old precision)
+            # and the next read fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
             out.append(
                 F.when(in_src & in_tgt, merged_val)
                 .when(in_src, sc)
                 .otherwise(tc)
+                .cast(tgt_dtypes[c])
                 .alias(c)
             )
         return joined.select(out)

@@ -243,3 +243,35 @@ def test_double_sum_survives_sub_microscale_values(spark, tmp_path):
         )
     got = view.read().collect()[0].total
     assert math.isclose(got, 9e-9, rel_tol=1e-12), got
+
+
+def test_decimal_sum_schema_stable_across_partial_merges(spark, tmp_path):
+    """DECIMAL measures must not widen precision per merge (Spark's
+    decimal '+' adds a digit of precision each fold). Untouched buckets
+    are hard-linked at the old schema, so any drift leaves one version
+    holding mixed parquet decimal types and the next read crashes with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. Regression: refresh all keys,
+    then ONE key (subset of buckets), then read + refresh again."""
+    from decimal import Decimal
+
+    view = IncrementalView(
+        spark, str(tmp_path / "mv"), keys=["k"],
+        measures={"total": Measure("sum", "dv")}, num_buckets=4,
+    )
+    full = spark.createDataFrame(
+        [(k, Decimal(f"{k}.25")) for k in range(8)],
+        "k int, dv decimal(18,6)",
+    )
+    one = spark.createDataFrame(
+        [(3, Decimal("1.5"))], "k int, dv decimal(18,6)"
+    )
+    view.refresh(full, batch_id="b0")
+    dtype0 = dict(view.point.read().dtypes)["total"]
+    view.refresh(one, batch_id="b1")   # touches a single bucket
+    # pre-fix this read (mixed bucket schemas) or the next merge crashed
+    assert dict(view.point.read().dtypes)["total"] == dtype0
+    view.refresh(one, batch_id="b2")
+    got = {r.k: r.total for r in view.read().collect()}
+    assert got[3] == Decimal("6.25")
+    assert got[0] == Decimal("0.25")
+    assert dict(view.point.read().dtypes)["total"] == dtype0
