@@ -34,6 +34,14 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+#: total registered queries across all plan modules. _load_all() asserts
+#: this after importing, so a silently-shrunken registry (a plan module
+#: failing to import for an environmental reason a bare `import` would
+#: surface but a guarded one would swallow) can never green-light the
+#: surviving subset — round 3 was burned by exactly that drift class.
+#: Bump in the same commit that registers/removes a query.
+EXPECTED_QUERY_COUNT = 82
+
 
 def register(name: str, oracle: str | Callable[[str], str] | None, doc: str = ""):
     """Decorator: add a (spark, oracle) pair to the registry."""
@@ -60,22 +68,22 @@ def oracle_map(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
 
 
 def _load_all() -> None:
-    """Import every plan module for its registration side effects."""
-    from cruncher_spark.plans import star_queries  # noqa: F401
+    """Import every plan module for its registration side effects.
 
-    try:
-        from cruncher_spark.plans import pipeline_queries  # noqa: F401
-    except ImportError:  # pragma: no cover - module added incrementally
-        pass
-    try:
-        from cruncher_spark.plans import crunch_queries  # noqa: F401
-    except ImportError:  # pragma: no cover
-        pass
-    try:
-        from cruncher_spark.plans import multimodal_queries  # noqa: F401
-    except ImportError:  # pragma: no cover
-        pass
-    try:
-        from cruncher_spark.plans import analytics_queries  # noqa: F401
-    except ImportError:  # pragma: no cover
-        pass
+    Imports are deliberately unguarded: a failing plan module must raise,
+    not silently shrink the registry (VERDICT r4 "What's wrong" #2).
+    """
+    from cruncher_spark.plans import (  # noqa: F401
+        analytics_queries,
+        crunch_queries,
+        multimodal_queries,
+        pipeline_queries,
+        star_queries,
+    )
+
+    if len(QUERIES) != EXPECTED_QUERY_COUNT:
+        raise RuntimeError(
+            f"query registry holds {len(QUERIES)} entries, expected "
+            f"{EXPECTED_QUERY_COUNT}; a plan module lost registrations "
+            "(or EXPECTED_QUERY_COUNT was not bumped with a new query)"
+        )
