@@ -573,3 +573,39 @@ def test_literal_phases_equals_native_plan(spark, crunch_tables):
         "phase_start", "phase_end",
     ]
     _assert_rows_equal(lit, native, key)
+
+
+@needs_reference
+def test_over_cap_batch_routes_through_semi_join(spark, crunch_tables):
+    """VERDICT r4 "What's wrong" #3: batches over max_inline_keys must
+    NOT be collected into a literal list — the keys stay distributed and
+    the IN clause becomes a semi-join subquery. Both paths must agree on
+    the same batch."""
+    _views(spark, crunch_tables)
+    ids = _batch(crunch_tables, 40)
+    keys_df = spark.createDataFrame([(i,) for i in ids], "value string")
+    text = (REF / "crunch_global.sql").read_text()
+
+    def run(cap):
+        plan = sqlfront.script_plan_fn(
+            text,
+            target_columns=GLOBAL_POINT_COLUMNS,
+            item_ids=ITEM_IDS,
+            params=BUILD_REGEX_PARAMS,
+            drop=("id", "updated_at"),
+            max_inline_keys=cap,
+        )
+        df = plan(dict(crunch_tables), keys_df)
+        # the two plan shapes fold double partials in different orders;
+        # round so the comparison tests routing, not FP associativity
+        sel = [
+            F.round(F.col(c), 6).alias(c) if t == "double" else F.col(c)
+            for c, t in sorted(df.dtypes)
+            if c != "updated_at"
+        ]
+        return sorted(map(tuple, df.select(sel).collect()))
+
+    inline = run(100_000)          # 40 keys < cap: literal-list path
+    semi = run(8)                  # 40 keys > cap: temp-view semi-join path
+    assert semi == inline
+    assert len(inline) > 0
