@@ -76,6 +76,7 @@ class CrunchWorker:
         notify_routing_key: str | None = None,
         exactly_once: bool = True,
         slowmode_seconds: float = 0.0,
+        stream_id: str | None = None,
     ):
         self.spark = spark
         self.tables = tables
@@ -88,8 +89,21 @@ class CrunchWorker:
         self.notify_routing_key = notify_routing_key
         self.exactly_once = exactly_once
         self.slowmode_seconds = slowmode_seconds
+        #: ledger scope for batch ids (same contract as
+        #: materialize.start_stream_refresh): defaults to a hash of the
+        #: checkpoint path at stream start, so two streams feeding one
+        #: PointTable — or a deleted-and-recreated checkpoint whose epochs
+        #: restart at 0 — never collide with already-applied ids and get
+        #: silently dropped as duplicates. Pass explicitly to pin identity
+        #: across checkpoint moves (or to deliberately share a scope).
+        self.stream_id = stream_id
         self.batches_processed = 0
         self.batches_failed = 0
+
+    def _ledger_id(self, batch_id: int) -> str:
+        if self.stream_id is not None:
+            return f"stream-{self.stream_id}-{batch_id}"
+        return str(batch_id)
 
     # -- one micro-batch (the foreachBatch body) ----------------------------
 
@@ -117,7 +131,8 @@ class CrunchWorker:
         try:
             delta = self.plan_fn(self.tables, ids.select("value"))
             applied = self.point.merge(
-                delta, batch_id=str(batch_id) if self.exactly_once else None
+                delta,
+                batch_id=self._ledger_id(batch_id) if self.exactly_once else None,
             )
             self.batches_processed += 1
             if applied and self.notify_dir is not None:
@@ -152,15 +167,16 @@ class CrunchWorker:
         import pyarrow.parquet as pq
 
         Path(self.notify_dir).mkdir(parents=True, exist_ok=True)
+        lid = self._ledger_id(batch_id)
         pq.write_table(
             pa.table(
                 {
                     "routing_key": [self.notify_routing_key or "global"],
                     "event": ["crunch_update"],
-                    "batch_id": [str(batch_id)],
+                    "batch_id": [lid],
                 }
             ),
-            Path(self.notify_dir) / f"notify-{batch_id}.parquet",
+            Path(self.notify_dir) / f"notify-{lid}.parquet",
         )
 
     # -- stream wiring ------------------------------------------------------
@@ -176,6 +192,13 @@ class CrunchWorker:
         """Source-agnostic tail of the pipeline: any single-value-column
         stream → guarded/sampled/deduped foreachBatch merge."""
         Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        if self.stream_id is None:
+            import hashlib
+            import os
+
+            self.stream_id = hashlib.md5(
+                os.path.abspath(checkpoint_dir).encode()
+            ).hexdigest()[:12]
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -445,3 +445,48 @@ def test_restart_from_checkpoint_is_exactly_once(spark, crunch_tables, tmp_path)
     ]
     expected = _mysql_add_fold(deltas, list(GLOBAL_POINT_KEY))
     _assert_frames_equal(point.read(), expected)
+
+
+def test_two_streams_one_point_table_do_not_collide_on_epochs(
+    spark, crunch_tables, tmp_path
+):
+    """ADVICE r4: ledger batch ids must be scoped per stream. Two workers
+    feeding ONE PointTable both start at epoch 0; unscoped ids would make
+    the second stream's every batch a 'duplicate' of the first's and
+    silently drop it. Each stream here carries DISJOINT ids, so the
+    merged total proves both actually applied."""
+    ids = _ids(crunch_tables, 40)
+    point = _global_point(spark, tmp_path, "gp_shared")
+
+    def feed(sub_ids, tag):
+        d = tmp_path / f"in_{tag}"
+        d.mkdir()
+        (d / "b0.txt").write_text("\n".join(sub_ids) + "\n")
+        worker = CrunchWorker(
+            spark,
+            crunch_tables,
+            lambda tables, batch: crunch_global_delta(tables, batch, now=_now()),
+            point,
+        )
+        q = worker.start_file_stream(
+            str(d), str(tmp_path / f"ckpt_{tag}"), available_now=True
+        )
+        q.awaitTermination(300)
+        assert worker.batches_processed == 1 and worker.batches_failed == 0
+        return worker
+
+    w1 = feed(ids[:20], "a")
+    w2 = feed(ids[20:], "b")
+    assert w1.stream_id != w2.stream_id  # derived from checkpoint paths
+
+    expected = _mysql_add_fold(
+        [
+            crunch_global_delta(crunch_tables, ids[:20], now=_now()),
+            crunch_global_delta(crunch_tables, ids[20:], now=_now()),
+        ],
+        list(GLOBAL_POINT_KEY),
+    )
+    _assert_frames_equal(point.read(), expected)
+    # both scoped epochs are in the ledger
+    applied = point.applied_batches()
+    assert {f"stream-{w1.stream_id}-0", f"stream-{w2.stream_id}-0"} <= applied
