@@ -153,3 +153,130 @@ def test_point_table_emits_its_own_merge_sql(spark, tmp_path):
     assert sql.startswith("MERGE INTO lake.stats AS t")
     assert "t.played = t.played + s.played" in sql
     assert "DECIMAL(28,6)" in sql  # dmg is double → exact add
+
+
+# ---------------------------------------------------------------------------
+# EXECUTING the emitted MERGE INTO through Spark itself (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+_SPARK_MERGE_DRIVER = r'''
+import sys
+from pyspark.sql import SparkSession
+
+jar = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.jars", jar)
+    .config("spark.sql.catalog.memcat", "MemoryRowLevelCatalog")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from cruncher_spark.merge.merge_into import merge_into_sql
+from cruncher_spark.merge.upsert import MergePolicy, PointTable
+
+schema = (
+    "k bigint, n bigint, ns bigint, hi bigint, lo bigint, gr bigint, "
+    "v double, tag string, first string"
+)
+policies = {
+    "n": MergePolicy.ADD,
+    "ns": MergePolicy.ADD_NULLSAFE,
+    "hi": MergePolicy.MAX,
+    "lo": MergePolicy.LEAST,
+    "gr": MergePolicy.GREATEST,
+    "v": MergePolicy.ADD,          # double -> exact DECIMAL(28,6) add
+    "tag": MergePolicy.OVERWRITE,
+    "first": MergePolicy.KEEP,
+}
+# NULLs on each side of each policy + a carryover row + a pure insert
+seed = [
+    (1, 10, 10, 5, 5, 5, 1.5, "a", "A"),
+    (2, None, None, None, None, None, 2.5, "b", "B"),
+    (3, 7, 7, 9, 9, 9, None, None, None),
+    (4, 1, 1, 1, 1, 1, 0.25, "d", "D"),   # carryover: absent from delta
+]
+delta = [
+    (1, 3, 3, 9, 2, 2, 0.25, "a2", "A2"),
+    (2, 5, 5, 6, 6, 6, None, None, None),
+    (3, None, None, None, None, None, 0.5, "c2", "C2"),
+    (9, 8, 8, 8, 8, 8, 8.0, "i", "I"),    # pure insert
+]
+
+spark.sql(
+    "CREATE TABLE memcat.ns.pt (k BIGINT, n BIGINT, ns BIGINT, hi BIGINT, "
+    "lo BIGINT, gr BIGINT, v DOUBLE, tag STRING, first STRING)"
+)
+spark.createDataFrame(seed, schema).createOrReplaceTempView("seed")
+spark.sql("INSERT INTO memcat.ns.pt SELECT * FROM seed")
+spark.createDataFrame(delta, schema).createOrReplaceTempView("delta")
+
+stmt = merge_into_sql(
+    "memcat.ns.pt", "delta", key=["k"],
+    columns=[f.name for f in spark.table("delta").schema.fields if f.name != "k"],
+    policies=policies, dtypes={"v": "double"},
+)
+spark.sql(stmt)
+got = sorted(map(tuple, spark.sql("SELECT * FROM memcat.ns.pt").collect()))
+
+pt = PointTable(spark, sys.argv[2], key=["k"], policies=policies, num_buckets=2)
+pt.merge(spark.createDataFrame(seed, schema), batch_id="seed")
+pt.merge(spark.createDataFrame(delta, schema), batch_id="delta")
+want = sorted(map(tuple, pt.read().collect()))
+
+if got != want:
+    for g, w in zip(got, want):
+        if g != w:
+            print("MISMATCH", g, w)
+    sys.exit(1)
+print(f"MERGE_OK rows={len(got)}")
+'''
+
+
+@pytest.fixture(scope="session")
+def rowlevel_catalog_jar(tmp_path_factory):
+    """Compile tools/testcat/MemoryRowLevelCatalog.java (an in-memory DSv2
+    catalog with group-based row-level operations) against the installed
+    pyspark jars — no external connector needed."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    import pyspark
+
+    if shutil.which("javac") is None or shutil.which("jar") is None:
+        pytest.skip("JDK not available")
+    jars = sorted(Path(pyspark.__file__).parent.glob("jars/*.jar"))
+    build = tmp_path_factory.mktemp("testcat")
+    src = Path(__file__).parent.parent / "tools/testcat/MemoryRowLevelCatalog.java"
+    subprocess.run(
+        ["javac", "--release", "17", "-cp", ":".join(map(str, jars)),
+         "-d", str(build), str(src)],
+        check=True, capture_output=True,
+    )
+    jar = build / "testcat.jar"
+    subprocess.run(
+        ["jar", "cf", str(jar), "-C", str(build), "."],
+        check=True, capture_output=True,
+    )
+    return jar
+
+
+def test_emitted_merge_executes_on_spark_v2_catalog(
+    rowlevel_catalog_jar, tmp_path
+):
+    """Run the EMITTED MERGE INTO through Spark's own MERGE execution
+    (group-based row-level rewrite) and assert the resulting table equals
+    PointTable.merge on the same seed+delta — every policy, NULLs on both
+    sides. A subprocess because spark.jars only applies at JVM launch."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _SPARK_MERGE_DRIVER,
+         str(rowlevel_catalog_jar), str(tmp_path / "pt_expected")],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "MERGE_OK rows=5" in proc.stdout
