@@ -64,6 +64,16 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     emitted immediately, the open tail is carried in state across
     micro-batches. (The trailing session of a finite stream stays open —
     flush policy is the caller's, as with any session store.)
+
+    Late data: rows are event-time-sorted within each batch; an
+    out-of-order row that arrives in a LATER batch with an event time at
+    or before the open session's last event joins that session without
+    rewinding its clock (``last`` is monotone), so a straggler can never
+    reopen an already-measured gap. A straggler older than a session
+    that ALREADY closed still lands in the open session — emitted
+    sessions are immutable, the append-mode contract. State is one tuple
+    per user and is never evicted (NoTimeout): an open session survives
+    arbitrarily many micro-batches until its gap arrives.
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -86,7 +96,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     closed.append((user_id, start, last, n, total))
                     start, last, n, total = us, us, 1, float(value)
                 else:
-                    last, n, total = us, n + 1, total + float(value)
+                    # max: a cross-batch straggler joins the session but
+                    # must not rewind its clock (see docstring)
+                    last, n, total = max(last, us), n + 1, total + float(value)
         state.update((start, last, n, total))
         if closed:
             out = pd.DataFrame(
@@ -252,9 +264,12 @@ def velocity_alerts(
 
     State per user is a single (period_start, count, alerted) tuple —
     constant-size, carried across micro-batches, reset when events move
-    to a later period. Rows are processed in event-time order within
-    each batch so the crossing point is deterministic for
-    replay/availableNow runs. This is the escape hatch for semantics
+    to a later period, never evicted (NoTimeout). Rows are processed in
+    event-time order within each batch so the crossing point is
+    deterministic for replay/availableNow runs. Late data: a straggler
+    from a period EARLIER than the current one is dropped from counting
+    (its period's alert opportunity has passed); counting it into the
+    current period would fire spurious alerts. This is the escape hatch for semantics
     neither windowed aggregates nor session windows express: the alert
     fires mid-window, exactly once, with cross-batch memory.
 
@@ -282,6 +297,11 @@ def velocity_alerts(
                 p = us - us % period_us
                 if period_start is None or p > period_start:
                     period_start, n, alerted = p, 0, False
+                elif p < period_start:
+                    # stale-period straggler from an earlier batch: its
+                    # period's alert opportunity has passed — counting it
+                    # into the CURRENT period would fire spurious alerts
+                    continue
                 n += 1
                 if n >= threshold and not alerted:
                     alerted = True

@@ -264,3 +264,79 @@ def test_velocity_alert_fires_once_across_batches(spark, tmp_path):
     rows = [(r.user_id, r.period_start, r.n_events) for r in out.collect()]
     period0 = int(T0.timestamp()) * 1_000_000
     assert rows == [(1, period0, 3)]
+
+
+def test_sessionize_late_straggler_joins_without_rewinding_clock(
+    spark, tmp_path
+):
+    """Three micro-batches with a LATE interleaving: batch 2 delivers an
+    out-of-order event older than the open session's last event. It must
+    join the open session (count/total) WITHOUT rewinding the session
+    clock — so the 80-min gap measured in batch 3 still closes the
+    session at its true last event time, and state survives all three
+    batches unevicted."""
+    b1 = [(1, _ts(0), "click", 1.0), (1, _ts(10), "view", 2.0),
+          (1, _ts(20), "click", 3.0)]
+    b2 = [(1, _ts(15), "late", 0.5)]          # straggler: 15 < last=20
+    b3 = [(1, _ts(100), "click", 4.0)]        # 100-20=80 > 30 → close
+    d = tmp_path / "late_in"
+    d.mkdir()
+    for i, rs in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    out = _run_stream(
+        spark, sessionize(stream, gap_minutes=30), "late_sessions",
+        tmp_path / "ck_late",
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    s = rows[0]
+    # straggler counted, clock NOT rewound: end stays at minute 20
+    assert s.n_events == 4 and s.total_value == pytest.approx(6.5)
+    assert s.session_start == _ts(0) and s.session_end == _ts(20)
+
+
+def test_velocity_stale_period_straggler_cannot_fire_spurious_alert(
+    spark, tmp_path
+):
+    """A straggler from an ALREADY-PASSED period must not count toward
+    the current period: user 1 sits at n=2 in the current period when a
+    late event from the previous period arrives — without the stale
+    guard that would tip n to 3 and fire a spurious alert. User 2's
+    genuine in-period crossing still fires."""
+    from cruncher_spark.streaming.windows import velocity_alerts
+
+    b1 = [(1, _ts(1), "click", 1.0), (1, _ts(2), "click", 1.0)]
+    b2 = [(1, _ts(12), "click", 1.0), (1, _ts(13), "click", 1.0),
+          (2, _ts(11), "click", 1.0), (2, _ts(12), "click", 1.0)]
+    b3 = [(1, _ts(3), "late", 1.0),           # stale: period 0 < period 10
+          (2, _ts(14), "click", 1.0)]         # genuine 3rd → alert
+    d = tmp_path / "vel_late_in"
+    d.mkdir()
+    for i, rs in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    out = _run_stream(
+        spark,
+        velocity_alerts(stream, threshold=3, period_minutes=10),
+        "vel_late",
+        tmp_path / "ck_vel_late",
+    )
+    rows = sorted((r.user_id, r.n_events) for r in out.collect())
+    period10 = int(_ts(10).timestamp()) * 1_000_000
+    assert rows == [(2, 3)]
+    assert {r.period_start for r in out.collect()} == {period10}
