@@ -206,17 +206,32 @@ def prefix_jaccard_pairs(
     # count-only pre-aggregate: map-side combinable, constant state per
     # group — safe at any skew; its output is one row per distinct shingle
     # persisted: hot feeds TWO broadcasts (anti-join + df-attach) whose
-    # projections differ, so without the persist the full corpus-wide
-    # count aggregate would execute twice; the cached result is tiny by
+    # projections differ, so without the persist the corpus-wide count
+    # aggregate would execute twice; the cached result is tiny by
     # construction (≤ rows/df_cap entries)
     hot = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > df_cap)
     ).persist()
-    cold_postings = exploded.join(
-        F.broadcast(hot.select("shingle")), "shingle", "left_anti"
-    ).groupBy("shingle").agg(
+    # data-dependent plan choice (the trick AQE uses, made explicit): on
+    # an UNSKEWED corpus the hot set is empty, and the anti-join plus the
+    # hot branch's second full explode pass are pure overhead. hot is
+    # persisted and tiny by construction, so the emptiness probe is ~free
+    # (a doc-count guard was measured instead and lost: counting through
+    # fan_out's repartition costs a full text shuffle).
+    if hot.isEmpty():
+        cold_src = exploded
+        hot_keyed = None
+    else:
+        cold_src = exploded.join(
+            F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+        )
+        hot_keyed = exploded.join(F.broadcast(hot), "shingle").select(
+            F.struct("df", portable_hash64("shingle").alias("h")).alias("key"),
+            F.col(id_col),
+        )
+    cold_postings = cold_src.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df"),
         F.collect_list(id_col).alias("ids"),
     )
@@ -225,11 +240,9 @@ def prefix_jaccard_pairs(
         portable_hash64("shingle").alias("h"),
         F.explode("ids").alias(id_col),
     ).select(F.struct("df", "h").alias("key"), F.col(id_col))
-    hot_keyed = exploded.join(F.broadcast(hot), "shingle").select(
-        F.struct("df", portable_hash64("shingle").alias("h")).alias("key"),
-        F.col(id_col),
+    keyed = (
+        cold_keyed if hot_keyed is None else cold_keyed.unionByName(hot_keyed)
     )
-    keyed = cold_keyed.unionByName(hot_keyed)
     ordered = keyed.groupBy(id_col).agg(
         F.array_sort(F.collect_list("key")).alias("ks")
     )
@@ -249,17 +262,33 @@ def prefix_jaccard_pairs(
         F.col(id_col),
         F.size("ks").alias("n"),
         F.transform("ks", lambda x: x["h"]).alias("harr"),
-        F.explode(F.slice("ks", F.lit(1), prefix_n)).alias("k"),
-    ).select(F.col(id_col), "n", "harr", F.col("k")["h"].alias("h"))
+        F.posexplode(F.slice("ks", F.lit(1), prefix_n)).alias("p", "k"),
+    ).select(F.col(id_col), "n", "harr", "p", F.col("k")["h"].alias("h"))
     a = prefixes.select(
         F.col(id_col).alias("id_a"), F.col("n").alias("na"),
-        F.col("harr").alias("ha"), "h",
+        F.col("harr").alias("ha"), F.col("p").alias("pa"), "h",
     )
     b = prefixes.select(
         F.col(id_col).alias("id_b"), F.col("n").alias("nb"),
-        F.col("harr").alias("hb"), "h",
+        F.col("harr").alias("hb"), F.col("p").alias("pb"), "h",
     )
     n_common = F.size(F.array_intersect("ha", "hb"))
+    # PPJoin positional filter (round-5): a match at 0-based prefix
+    # positions (pa, pb) caps the possible overlap at 1 + the elements
+    # remaining AFTER each position; J >= tau needs overlap >=
+    # ceil(tau/(1+tau) * (na+nb)). Cheap arithmetic that prunes ~60% of
+    # candidate occurrences before the array_intersect (the pipeline's
+    # CPU hotspot — measured 329k -> 132k at sf0.1). Exact: for a true
+    # pair, the occurrence at its FIRST shared token has bound >= the
+    # real overlap, so at least one occurrence always survives to
+    # verification; the post-threshold dedup keys on the pair.
+    alpha = F.ceil(
+        F.lit(min_jaccard / (1.0 + min_jaccard))
+        * (F.col("na") + F.col("nb"))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("na") - 1 - F.col("pa"), F.col("nb") - 1 - F.col("pb")
+    )
     # length filter: J >= tau forces tau <= |A|/|B| <= 1/tau
     return (
         a.join(b, "h")
@@ -267,6 +296,7 @@ def prefix_jaccard_pairs(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("na") >= F.ceil(F.col("nb") * F.lit(min_jaccard)))
             & (F.col("nb") >= F.ceil(F.col("na") * F.lit(min_jaccard)))
+            & (ubound >= alpha)
         )
         .withColumn(
             "jaccard",
