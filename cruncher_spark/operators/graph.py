@@ -116,6 +116,11 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     upstream (here a fact self-join) is evaluated ONCE instead of six
     times — at scale, recomputing a multi-exchange lineage per consumer
     dwarfs the cost of materializing the narrow 2-column edge list.
+
+    Eager: the single result row is computed HERE so both caches can be
+    unpersisted before returning (ADVICE r4: returning a lazy plan over
+    the caches leaked them for the session lifetime). The returned
+    DataFrame is rebuilt from JVM literals — no Python-worker spawn.
     """
     edges = edges.persist()
     deg = (
@@ -150,8 +155,17 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(F.count(F.lit(1)).alias("n_vertices"))
     )
-    return stats.crossJoin(F.broadcast(tri)).select(
-        "n_vertices", "n_edges", "n_triangles"
+    row = (
+        stats.crossJoin(F.broadcast(tri))
+        .select("n_vertices", "n_edges", "n_triangles")
+        .first()
+    )
+    edges.unpersist()
+    directed.unpersist()
+    return edges.sparkSession.range(1).select(
+        F.lit(row["n_vertices"]).cast("long").alias("n_vertices"),
+        F.lit(row["n_edges"]).cast("long").alias("n_edges"),
+        F.lit(row["n_triangles"]).cast("long").alias("n_triangles"),
     )
 
 

@@ -62,15 +62,63 @@ def _strip_line_comments(sql: str) -> str:
     return re.sub(r"--[^\n]*", "", sql)
 
 
-def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on `sep` at paren depth 0."""
-    parts, depth, cur = [], 0, []
-    for ch in s:
+def _scan(s: str) -> tuple[list[int], list[bool]]:
+    """Per-character (paren depth BEFORE the char, inside-a-literal flag).
+
+    Quoted literals — single/double quotes (with backslash and doubled-
+    quote escapes, MySQL default sql_mode) and MySQL backtick identifiers
+    — are opaque: parens/commas/keywords inside them must not move the
+    depth tracker or match keyword scans (ADVICE r4: a parameter value
+    containing ``(`` corrupted depth tracking once spliced in).
+    """
+    depth_at: list[int] = []
+    in_quote: list[bool] = []
+    d = 0
+    quote: str | None = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote is not None:
+            depth_at.append(d)
+            in_quote.append(True)
+            if ch == "\\" and quote in "'\"" and i + 1 < n:
+                depth_at.append(d)
+                in_quote.append(True)
+                i += 2
+                continue
+            if ch == quote:
+                if quote in "'\"" and i + 1 < n and s[i + 1] == quote:
+                    depth_at.append(d)  # '' / "" escape
+                    in_quote.append(True)
+                    i += 2
+                    continue
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+            depth_at.append(d)
+            in_quote.append(True)
+            i += 1
+            continue
+        depth_at.append(d)
+        in_quote.append(False)
         if ch == "(":
-            depth += 1
+            d += 1
         elif ch == ")":
-            depth -= 1
-        if ch == sep and depth == 0:
+            d -= 1
+        i += 1
+    return depth_at, in_quote
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren depth 0, outside string/identifier literals."""
+    depth_at, in_quote = _scan(s)
+    parts, cur = [], []
+    for i, ch in enumerate(s):
+        # a separator splits at depth 0; '(' is recorded at its outer
+        # depth so the depth of the sep char itself is the right test
+        if ch == sep and depth_at[i] == 0 and not in_quote[i]:
             parts.append("".join(cur))
             cur = []
         else:
@@ -80,19 +128,13 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def _find_top(s: str, pattern: str, last: bool = False) -> int:
-    """Start index of a regex keyword match at paren depth 0, or -1."""
-    depth_at = []
-    d = 0
-    for ch in s:
-        depth_at.append(d)
-        if ch == "(":
-            d += 1
-        elif ch == ")":
-            d -= 1
+    """Start index of a regex keyword match at paren depth 0 (outside
+    literals), or -1."""
+    depth_at, in_quote = _scan(s)
     hits = [
         m.start()
         for m in re.finditer(pattern, s, re.I)
-        if depth_at[m.start()] == 0
+        if depth_at[m.start()] == 0 and not in_quote[m.start()]
     ]
     if not hits:
         return -1
@@ -157,7 +199,13 @@ def substitute_params(sql: str, params: dict, allow_missing: bool = False) -> st
     tokens in place (used to defer the per-batch id list while every
     static parameter is substituted once)."""
 
+    _, in_quote = _scan(sql)
+
     def repl(m: re.Match) -> str:
+        if in_quote[m.start()]:
+            # a ':word' inside a string literal is DATA, not a parameter
+            # (quote-aware pass, ADVICE r4)
+            return m.group(0)
         name = m.group(1)
         if name not in params:
             if allow_missing:
@@ -242,9 +290,19 @@ def hoist_subquery_join_conditions(sql: str) -> str:
     LEFT OUTER joins are never hoisted (ON/WHERE differ there); the
     reference's only outer join (participant_items) has a plain equality
     ON and is untouched.
+
+    Only DEPTH-0 joins are considered (ADVICE r4): a join inside a
+    derived table has its own WHERE scope — lifting its predicate into
+    the outer WHERE would move it out of scope (analysis error at best,
+    silently wrong rows if the aliases happen to resolve). Nested
+    subquery-bearing inner-join ONs are left untouched; if Spark rejects
+    one, rewrite that derived table by hand.
     """
     out = sql
+    depth_at, in_quote = _scan(sql)
     for m in list(_JOIN_ON_RE.finditer(sql))[::-1]:
+        if depth_at[m.start()] != 0 or in_quote[m.start()]:
+            continue
         prev = out[: m.start()].rstrip().rsplit(None, 1)
         if prev and prev[-1].lower() in _OUTERISH:
             continue

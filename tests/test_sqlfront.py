@@ -609,3 +609,52 @@ def test_over_cap_batch_routes_through_semi_join(spark, crunch_tables):
     semi = run(8)                  # 40 keys > cap: temp-view semi-join path
     assert semi == inline
     assert len(inline) > 0
+
+
+def test_lexers_are_quote_aware():
+    """ADVICE r4: quoted literals are opaque to depth tracking, top-level
+    splitting, and parameter substitution."""
+    # a comma and parens inside a string literal must not split
+    assert sqlfront._split_top("a, 'x,(y', b") == ["a", "'x,(y'", "b"]
+    # an unbalanced paren inside a literal must not corrupt later depth
+    s = "f('(') , g(h(i), j)"
+    assert sqlfront._split_top(s) == ["f('(')", "g(h(i), j)"]
+    # keyword inside a literal is not a top-level hit
+    assert sqlfront._find_top("select ' where ' from t where x", r"\bwhere\b") \
+        == len("select ' where ' from t ")
+    # backtick identifiers are opaque too
+    assert sqlfront._find_top("select `from` from t", r"\bfrom\b") \
+        == len("select `from` ")
+    # doubled-quote escape stays inside the literal
+    assert sqlfront._split_top("a, 'it''s, fine', b") == [
+        "a", "'it''s, fine'", "b",
+    ]
+
+
+def test_substitute_params_ignores_colon_words_inside_literals():
+    out = sqlfront.substitute_params(
+        "select ':nope' as lit, :real as v", {"real": 7}
+    )
+    assert out == "select ':nope' as lit, 7 as v"
+    # a substituted STRING value containing '(' must not corrupt the
+    # depth scan of a later pass over the substituted text
+    out2 = sqlfront.substitute_params("select :s as v from t", {"s": "a(b,"})
+    assert sqlfront._find_top(out2, r"\bfrom\b") > 0
+
+
+def test_hoist_leaves_nested_subquery_joins_untouched():
+    """ADVICE r4: a subquery-bearing inner-join ON inside a derived table
+    must NOT have its predicate lifted into the outer WHERE (out of
+    scope). Only depth-0 joins are rewritten."""
+    sql = (
+        "select * from (select a.x from a "
+        "join b bb on (a.x in (select y from c)) ) d "
+        "join e ee on (d.x in (select z from f)) "
+        "where d.x > 0"
+    )
+    out = sqlfront.hoist_subquery_join_conditions(sql)
+    # inner join untouched (still join..on inside the derived table)
+    assert "join b bb on (a.x in (select y from c))" in out
+    # outer join hoisted to cross join + WHERE conjunction
+    assert "cross join `e` ee" in out
+    assert "(d.x in (select z from f)) and (d.x > 0)" in out

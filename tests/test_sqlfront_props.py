@@ -16,12 +16,24 @@ from hypothesis import strategies as st
 
 from cruncher_spark import sqlfront
 
-# fragments with balanced parens; commas allowed only inside parens
-_atom = st.text(alphabet=string.ascii_letters + string.digits + " .=<>'", min_size=1, max_size=8)
+# fragments with balanced parens; commas allowed only inside parens.
+# Quotes appear only as BALANCED literals: since the round-5 quote-aware
+# lexer (ADVICE r4), an unbalanced quote legitimately swallows the rest
+# of the text as a string literal — valid SQL always balances them.
+_plain = st.text(
+    alphabet=string.ascii_letters + string.digits + " .=<>", min_size=1, max_size=8
+)
+_atom = st.one_of(
+    _plain,
+    # quoted literal with nasty contents: commas, parens, keywords
+    st.text(
+        alphabet=string.ascii_letters + " ,()", min_size=0, max_size=8
+    ).map(lambda s: f"'{s}'"),
+)
 _fragment = st.one_of(
     _atom,
-    _atom.map(lambda s: f"f({s},{s})"),
-    _atom.map(lambda s: f"({s},({s}))"),
+    st.tuples(_atom, _atom).map(lambda t: f"f({t[0]},{t[1]})"),
+    st.tuples(_atom, _atom).map(lambda t: f"({t[0]},({t[1]}))"),
 )
 
 
