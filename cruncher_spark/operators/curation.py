@@ -222,3 +222,143 @@ def sequence_pack(
         F.expr(f"(end_tok - n_tokens) div {pack_tokens}").alias("first_pack"),
         F.expr(f"(end_tok - 1) div {pack_tokens}").alias("last_pack"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping word-window chunking — the RAG/embedding-prep primitive
+    (split every document into ``window``-word chunks every ``stride``
+    words, ``window - stride`` words of overlap between neighbors).
+
+    Chunk starts are 0, stride, 2*stride, … while < n_words, so a doc
+    yields ``ceil(n_words / stride)`` chunks and the tail chunk may be
+    short (never empty). Returns (id, chunk_ix, n_words, chunk_digest);
+    the digest stands in for the chunk text in the gate (the text itself
+    is `array_join`-reconstructable and row-identical by construction).
+
+    Scale shape: pure narrow work — split, bounded sequence-explode,
+    slice, hash; no shuffle at all. Output size is corpus x (1 +
+    overlap/stride), the explicit cost of overlap.
+    """
+    from cruncher_spark.functions.text import words
+
+    wl = words(text_col)
+    n_chunks = F.ceil(F.size(wl) / F.lit(stride))
+    base = docs.select(
+        F.col(id_col), wl.alias("wl"), n_chunks.alias("nc")
+    ).where(F.col("nc") >= 1)
+    chunk_words = F.slice(
+        "wl", F.col("chunk_ix").cast("int") * stride + 1, window
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            "wl",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("nc") - 1, F.lit(1))
+            ).alias("chunk_ix"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_ix",
+            F.size(chunk_words).alias("n_words"),
+            F.md5(F.array_join(chunk_words, " ")).alias("chunk_digest"),
+        )
+    )
+
+
+def chunk_documents_oracle_sql(
+    id_col: str = "doc_id", window: int = 32, stride: int = 24
+) -> str:
+    """DuckDB rendering of the identical chunking."""
+    return f"""
+    WITH w AS (SELECT {id_col}, string_split(text, ' ') AS wl FROM documents),
+    c AS (
+      SELECT {id_col}, CAST(g AS BIGINT) AS chunk_ix,
+        wl[(CAST(g AS INT)*{stride}+1):(CAST(g AS INT)*{stride}+{window})] AS cw
+      FROM w, unnest(range(0, CAST(ceil(len(wl) / {stride}.0) AS BIGINT))) t(g)
+      WHERE len(wl) > 0
+    )
+    SELECT {id_col}, chunk_ix, len(cw) AS n_words,
+      md5(array_to_string(cw, ' ')) AS chunk_digest
+    FROM c
+    """
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic k-per-key sample ("reservoir" made reproducible):
+    rank rows inside each key by the md5 of their id and keep the k
+    smallest. The hash order is uniform-pseudorandom yet identical on
+    every run, engine, and partitioning — the property a train-time
+    per-source cap needs (classic reservoir sampling is stream-order-
+    dependent and irreproducible).
+
+    Returns (key, id, rk in 1..k). Scale shape: ONE shuffle (hash-
+    partition by key) + per-partition sort; a skewed key sorts spill-
+    safely inside its partition, and AQE's skew handling does not apply
+    to window shuffles — for a pathological single-key corpus, pre-
+    aggregate with a (hash-bucket, key) two-phase top-k instead.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(F.col(key_col), F.col(id_col))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def doc_mean_token_freq(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-relative rarity score per document: the mean corpus
+    frequency of the document's tokens (low mean = rare vocabulary, the
+    cheap unigram stand-in for LM-perplexity quality filters; boilerplate
+    and stopword-soup documents score HIGH).
+
+    Integer-exact until the final division: token frequencies and their
+    per-doc sums are exact longs, and long/long division is a single
+    IEEE double op — identical on every engine — rounded to 6 decimals.
+
+    Scale shape: one corpus-sized shuffle for the frequency aggregate
+    (map-side combined), one term-keyed join to attach frequencies (a
+    stopword's postings concentrate in that term's partition — AQE
+    skew-join splits it because the frequency side is one row per term),
+    one per-doc aggregate.
+    """
+    from cruncher_spark.functions.text import words
+
+    toks = docs.select(
+        F.col(id_col), F.explode(words(text_col)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(freq, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("freq_sum"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(
+                F.col("freq_sum") / F.col("n_tokens"), 6
+            ).alias("mean_token_freq"),
+        )
+    )

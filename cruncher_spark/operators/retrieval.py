@@ -120,3 +120,109 @@ def bm25_oracle_sql(
     SELECT {id_col}, score, n_terms FROM scored
     ORDER BY score DESC, {id_col} LIMIT {k}
     """
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents by TF-IDF cosine similarity to the term set —
+    the classic VSM ranking next to :func:`bm25_topk`'s probabilistic
+    one.
+
+    Unlike BM25 (which only ever touches query-term postings), cosine
+    needs each document's FULL TF-IDF norm over its entire vocabulary,
+    so this pays one extra corpus-sized aggregate + term-keyed join —
+    the honest cost of length-normalized VSM scoring. Weights use the
+    sklearn-style smooth idf ``ln((1+N)/(1+df)) + 1`` and are rounded
+    to 6 decimals before norm/dot accumulation (cross-engine float
+    discipline, as bm25/IVF); ranking tie-breaks by id.
+    """
+    from cruncher_spark.functions.text import words
+
+    toks = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    # per-(doc, term) tf over the WHOLE corpus (norms need every term)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    idf = F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1
+    weighted = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("w"),
+            F.round(idf, 6).alias("qw"),
+        )
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
+    )
+    qnorm = (
+        weighted.where(F.col("term").isin(terms))
+        .select("term", "qw")
+        .distinct()
+        .agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+    )
+    dots = (
+        weighted.where(F.col("term").isin(terms))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("w") * F.col("qw")).alias("dot"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 6
+            ).alias("score"),
+            "n_terms",
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def tfidf_oracle_sql(
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> str:
+    """DuckDB rendering of the identical TF-IDF cosine computation."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT {id_col}, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    weighted AS (
+      SELECT tf.{id_col}, tf.term,
+        round(tf * (ln((1 + n_docs) / (1.0 + df)) + 1), 6) AS w,
+        round(ln((1 + n_docs) / (1.0 + df)) + 1, 6) AS qw
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT {id_col}, sqrt(SUM(w * w)) AS dnorm FROM weighted GROUP BY 1),
+    qn AS (
+      SELECT sqrt(SUM(qw * qw)) AS qnorm
+      FROM (SELECT DISTINCT term, qw FROM weighted WHERE term IN ({in_list}))
+    ),
+    dots AS (
+      SELECT {id_col}, SUM(w * qw) AS dot, count(*) AS n_terms
+      FROM weighted WHERE term IN ({in_list}) GROUP BY 1
+    )
+    SELECT dots.{id_col}, round(dot / (dnorm * qnorm), 6) AS score, n_terms
+    FROM dots JOIN norms USING ({id_col}) CROSS JOIN qn
+    ORDER BY score DESC, {id_col} LIMIT {k}
+    """

@@ -1522,3 +1522,101 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_col=token_count(F.col("text")),
         id_col="doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking, deterministic per-key reservoir, unigram rarity, TF-IDF
+# ---------------------------------------------------------------------------
+
+from cruncher_spark.operators.curation import (  # noqa: E402
+    chunk_documents,
+    chunk_documents_oracle_sql,
+    doc_mean_token_freq,
+    reservoir_per_key,
+)
+from cruncher_spark.operators.retrieval import (  # noqa: E402
+    tfidf_oracle_sql,
+    tfidf_topk,
+)
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@register(
+    "doc_chunking",
+    oracle=chunk_documents_oracle_sql(window=_CHUNK_W, stride=_CHUNK_S),
+    doc="Overlapping word-window chunking (32-word chunks every 24 words) "
+    "— the RAG/embedding-prep primitive. Pure narrow work: split, bounded "
+    "sequence-explode, slice, md5; zero shuffles, so it scales as a map "
+    "over the corpus.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return chunk_documents(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+@register(
+    "reservoir_per_key",
+    oracle="""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+      FROM documents
+    ) WHERE rk <= 7
+    """,
+    doc="Deterministic k-per-key sample: rank by md5(id) inside each key, "
+    "keep the k smallest — reservoir sampling made reproducible across "
+    "runs, engines, and partitionings. One shuffle + per-partition sort.",
+)
+def reservoir_per_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F  # noqa: F811
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    out = reservoir_per_key(docs, "source", "doc_id", k=7)
+    return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+
+
+@register(
+    "doc_rarity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS c FROM t GROUP BY 1)
+    SELECT doc_id, count(*) AS n_tokens,
+      round(SUM(c) / (count(*) * 1.0), 6) AS mean_token_freq
+    FROM t JOIN freq USING (term) GROUP BY doc_id
+    """,
+    doc="Mean corpus token frequency per doc — the cheap unigram stand-in "
+    "for LM-perplexity quality filtering (stopword-soup scores high, rare "
+    "vocabulary low). Integer-exact until one final rounded division; "
+    "frequency-attach join is AQE-skew-splittable (one row per term on "
+    "the build side).",
+)
+def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return doc_mean_token_freq(docs)
+
+
+_TFIDF_TERMS = ["merge", "hash", "window"]
+_TFIDF_K = 15
+
+
+@register(
+    "tfidf_topk",
+    oracle=tfidf_oracle_sql(_TFIDF_TERMS, k=_TFIDF_K),
+    doc="TF-IDF cosine retrieval (VSM counterpart to bm25_topk): full-"
+    "vocabulary document norms (one corpus aggregate + term join — the "
+    "honest cost of length normalization), sklearn smooth idf, weights "
+    "rounded before accumulation, TakeOrdered top-k.",
+)
+def tfidf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return tfidf_topk(docs, _TFIDF_TERMS, k=_TFIDF_K)
