@@ -157,8 +157,29 @@ class AmqpClient:
             buf += chunk
         return buf
 
-    def _recv_frame(self) -> tuple[int, int, bytes]:
-        ftype, channel, size = struct.unpack(">BHI", self._recv_exact(7))
+    def _recv_frame(
+        self, wait_timeout: float | None = None
+    ) -> tuple[int, int, bytes] | None:
+        """Read one frame. ``wait_timeout`` bounds ONLY the wait for the
+        frame's first byte (returns None on expiry, stream still in
+        sync); once a frame has started it is read to completion under
+        the normal socket timeout — a mid-frame timeout would lose frame
+        sync, so it stays a hard ConnectionError."""
+        if wait_timeout is not None:
+            assert self.sock is not None
+            self.sock.settimeout(max(wait_timeout, 1e-3))
+            try:
+                first = self.sock.recv(1)
+            except (TimeoutError, socket.timeout):
+                return None
+            finally:
+                self.sock.settimeout(self.timeout)
+            if not first:
+                raise ConnectionError("AMQP peer closed the connection")
+            header = first + self._recv_exact(6)
+        else:
+            header = self._recv_exact(7)
+        ftype, channel, size = struct.unpack(">BHI", header)
         payload = self._recv_exact(size)
         if self._recv_exact(1)[0] != FRAME_END:
             raise ConnectionError("bad AMQP frame end")
@@ -246,16 +267,31 @@ class AmqpClient:
         )
         self._send_frame(FRAME_BODY, 1, body)
 
-    def consume(self, queue: str, max_messages: int) -> list[Delivery]:
+    def consume(
+        self,
+        queue: str,
+        max_messages: int,
+        timeout_s: float | None = None,
+    ) -> list[Delivery]:
         """Pull up to ``max_messages`` deliveries (one batch), WITHOUT
         acking — the caller acks after its durable commit, preserving the
         reference's ack-after-crunch ordering (worker.js:167-182).
+
+        ``timeout_s`` makes this the reference's EXACT count-OR-timeout
+        batching (worker.js:29-30,147-148: flush at BATCHSIZE ids or
+        LOAD_TIMEOUT seconds, whichever first): the batch returns as
+        soon as it is full OR the deadline passes, whichever comes
+        first, with a partial (possibly empty) batch on timeout. Without
+        it the call blocks until the batch fills or the stream ends.
 
         The consumer registers ONCE; later calls keep reading the same
         delivery stream (deliveries released by prefetch as earlier
         batches ack). A server-initiated ``Basic.Cancel`` (consumer
         cancel notification) ends the stream — the batch returns short.
         """
+        import time as _time
+
+        deadline = None if timeout_s is None else _time.monotonic() + timeout_s
         if not self._consuming:
             self._send_method(
                 1, 60, 20,
@@ -266,7 +302,15 @@ class AmqpClient:
             self._consuming = True
         out: list[Delivery] = []
         while len(out) < max_messages:
-            ftype, _ch, payload = self._recv_frame()
+            wait = None
+            if deadline is not None:
+                wait = deadline - _time.monotonic()
+                if wait <= 0:
+                    break
+            frame = self._recv_frame(wait_timeout=wait)
+            if frame is None:  # LOAD_TIMEOUT fired: flush the partial batch
+                break
+            ftype, _ch, payload = frame
             if ftype == FRAME_HEARTBEAT:
                 continue
             if ftype != FRAME_METHOD:
@@ -309,10 +353,13 @@ def drain_to_landing_dir(
     *,
     batch_size: int = 1000,
     max_batches: int | None = None,
+    timeout_s: float | None = None,
 ) -> int:
     """Drain ``queue`` into the file-stream landing dir: one text file of
     message bodies (one id per line) per batch of up to ``batch_size`` —
     the BATCHSIZE grouping of worker.js:121-125 made durable.
+    ``timeout_s`` per batch gives the reference's exact count-OR-timeout
+    flush (BATCHSIZE ids or LOAD_TIMEOUT seconds, whichever first).
 
     Ack ordering: the batch file is written to a temp name and atomically
     renamed into the landing dir BEFORE any of its messages are acked
@@ -327,7 +374,7 @@ def drain_to_landing_dir(
     landed = 0
     batches = 0
     while max_batches is None or batches < max_batches:
-        deliveries = client.consume(queue, batch_size)
+        deliveries = client.consume(queue, batch_size, timeout_s=timeout_s)
         if not deliveries:
             break
         name = f"batch-{uuid.uuid4().hex}.txt"

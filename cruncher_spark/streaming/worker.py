@@ -12,7 +12,11 @@ to (SURVEY.md §2.1, §2.7):
 - in-batch dedup via Set (worker.js:121,145) → ``dropDuplicates``
 - count-or-timeout micro-batch (1000 ids / 5 s, worker.js:29-30)
   → ``trigger(processingTime=...)`` + ``maxFilesPerTrigger`` rate cap;
-  Spark has no exact count-OR-time trigger (approximation documented)
+  Spark itself has no exact count-OR-time trigger, but the AMQP bridge
+  restores the EXACT semantics upstream: ``AmqpClient.consume(...,
+  timeout_s=LOAD_TIMEOUT)`` flushes each landed batch file at BATCHSIZE
+  messages or the deadline, whichever first, and ``maxFilesPerTrigger=1``
+  then makes one micro-batch == one reference batch
 - at-least-once + DLQ (worker.js:167-182) → try/except in foreachBatch
   appending failed batch keys to the quarantine table
 - ACK→notify (worker.js:183-190) → appending (routing_key, event) rows to

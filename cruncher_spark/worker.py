@@ -289,6 +289,7 @@ def main(env: Mapping[str, str] | None = None) -> int:
             _start_amqp_bridge(
                 env["RABBITMQ_URI"], queue, landing,
                 batch_size=batchsize, once=available_now,
+                timeout_s=load_timeout,
             )
         q = worker.start_file_stream(
             landing,
@@ -314,13 +315,21 @@ def main(env: Mapping[str, str] | None = None) -> int:
 
 
 def _start_amqp_bridge(
-    uri: str, queue: str, landing_dir: str, *, batch_size: int, once: bool
+    uri: str,
+    queue: str,
+    landing_dir: str,
+    *,
+    batch_size: int,
+    once: bool,
+    timeout_s: float | None = None,
 ) -> None:
     """Drain RABBITMQ_URI's queue into the landing dir (ack-after-durable;
-    streaming/amqp.py). ``once`` drains what's queued now; otherwise a
-    daemon thread keeps bridging like the reference's channel.consume."""
+    streaming/amqp.py), flushing each batch at BATCHSIZE messages or
+    LOAD_TIMEOUT seconds, whichever first — the reference's exact
+    count-or-timeout contract (worker.js:29-30,147-148). ``once`` drains
+    what's queued now; otherwise a daemon thread keeps bridging like the
+    reference's channel.consume."""
     import threading
-    import time
     from urllib.parse import urlparse
 
     from cruncher_spark.streaming.amqp import AmqpClient, drain_to_landing_dir
@@ -331,11 +340,11 @@ def _start_amqp_bridge(
     def pump():
         while True:
             drain_to_landing_dir(
-                client, queue, landing_dir, batch_size=batch_size
+                client, queue, landing_dir,
+                batch_size=batch_size, timeout_s=timeout_s,
             )
             if once:
                 break
-            time.sleep(1.0)
 
     if once:
         pump()

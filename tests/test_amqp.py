@@ -27,8 +27,11 @@ class FakeBroker(threading.Thread):
     qos, consume (delivers preloaded messages, then Basic.Cancel), ack
     and publish recording."""
 
-    def __init__(self, messages: list[bytes]):
+    def __init__(self, messages: list[bytes], hold_open: bool = False):
         super().__init__(daemon=True)
+        #: hold_open=True models a LIVE queue that is merely empty right
+        #: now: no consumer-cancel when drained, the stream stays open
+        self.hold_open = hold_open
         self.messages = list(messages)
         self.acked: list[int] = []
         self.published: list[tuple[str, bytes]] = []
@@ -163,7 +166,7 @@ class FakeBroker(threading.Thread):
             )
             self._send(FRAME_HEADER, 1, struct.pack(">HHQH", 60, 0, len(body), 0))
             self._send(FRAME_BODY, 1, body)
-        if not self.messages and not self._cancel_sent:
+        if not self.messages and not self._cancel_sent and not self.hold_open:
             self._method(1, 60, 30, shortstr("ctag") + b"\x01")
             self._cancel_sent = True
             self._consuming = False
@@ -205,3 +208,32 @@ def test_publish_reaches_broker(tmp_path):
         ("crunch_failed", b'{"id": "bad"}'),
         ("notify.global", b"crunch_update"),
     ]
+
+
+def test_consume_flushes_partial_batch_on_timeout():
+    """worker.js:29-30,147-148 EXACT count-OR-timeout batching: with only
+    2 messages on a live (held-open) queue and BATCHSIZE=1000, the batch
+    flushes with 2 messages after LOAD_TIMEOUT instead of blocking; an
+    idle follow-up call returns an empty batch after the timeout, with
+    the stream still usable."""
+    import time
+
+    broker = FakeBroker([b"a", b"b"], hold_open=True)
+    broker.start()
+    client = AmqpClient(port=broker.port).connect()
+    client.queue_declare("crunch")
+
+    t0 = time.monotonic()
+    batch = client.consume("crunch", 1000, timeout_s=0.5)
+    dt = time.monotonic() - t0
+    assert [d.body for d in batch] == [b"a", b"b"]
+    assert 0.4 <= dt < 5.0  # waited for the timeout, not forever
+
+    t0 = time.monotonic()
+    assert client.consume("crunch", 1000, timeout_s=0.3) == []
+    assert time.monotonic() - t0 >= 0.25
+    for d in batch:
+        client.basic_ack(d.delivery_tag)
+    client.close()
+    broker.join(timeout=10)
+    assert sorted(broker.acked) == [1, 2]
