@@ -319,3 +319,29 @@ def velocity_alerts(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup with WATERMARK-BOUNDED state —
+    the source-level complement to the engine's two other dedup layers
+    (in-batch ``dropDuplicates``, worker.js:121's Set; cross-batch
+    merge-ledger idempotence at the sink).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key seen
+    within the lateness horizon and EVICTS it once the watermark passes
+    — so state is O(keys-per-horizon), not O(all keys ever), which is
+    what makes exact streaming dedup viable on an unbounded 100 TB/day
+    id stream. A duplicate arriving inside the horizon is dropped even
+    when its event time differs from the first occurrence's (redelivery
+    with a new broker timestamp — the case plain ``dropDuplicates`` on
+    (key, ts) misses); one arriving after eviction passes through, which
+    the downstream merge ledger then absorbs.
+    """
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -340,3 +340,42 @@ def test_velocity_stale_period_straggler_cannot_fire_spurious_alert(
     period10 = int(_ts(10).timestamp()) * 1_000_000
     assert rows == [(2, 3)]
     assert {r.period_start for r in out.collect()} == {period10}
+
+
+def test_streaming_dedup_drops_cross_batch_redelivery(spark, tmp_path):
+    """A key redelivered in a LATER micro-batch with a DIFFERENT event
+    time (broker redelivery) is dropped while inside the watermark
+    horizon; state is evicted once the watermark passes, so a far-future
+    re-occurrence of the key flows through again."""
+    from cruncher_spark.streaming.windows import streaming_dedup
+
+    b1 = [(1, _ts(0), "click", 1.0), (2, _ts(1), "view", 2.0)]
+    b2 = [(1, _ts(2), "click", 1.0),            # redelivery, new ts → drop
+          (3, _ts(3), "click", 3.0)]
+    # eviction is two batches behind the advancing event: the watermark
+    # moves on the batch AFTER the event, and state is purged at that
+    # batch's END — so the re-occurrence goes two batches later
+    b3 = [(4, _ts(590), "view", 1.0)]           # advances event-time high mark
+    b4 = [(5, _ts(591), "view", 1.0)]           # watermark 9:20 → eviction runs
+    b5 = [(1, _ts(600), "click", 9.0)]          # state evicted → passes
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    for i, rs in enumerate([b1, b2, b3, b4, b5]):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    out = _run_stream(
+        spark,
+        streaming_dedup(stream, ["user_id"], delay="30 minutes"),
+        "sdedup",
+        tmp_path / "ck_sdedup",
+    )
+    got = sorted((r.user_id, r.ts) for r in out.collect())
+    assert got == [(1, _ts(0)), (1, _ts(600)), (2, _ts(1)), (3, _ts(3)),
+                   (4, _ts(590)), (5, _ts(591))]
