@@ -212,21 +212,37 @@ class PointTable:
 
         Cost: reads/rewrites only the hash buckets containing the delta's
         keys; all other buckets are hard-linked into the new version.
+
+        Concurrency: merges SERIALIZE on an advisory flock held from the
+        ledger read to the pointer flip. Without it, two same-process or
+        cross-process writers (two misconfigured workers on one view)
+        would both build v_{N+1} from v_N and the last flip would
+        silently discard the other's delta; with it the second writer
+        blocks, then merges on top of the first's committed version —
+        and its ledger check happens INSIDE the lock, so a duplicate
+        batch_id racing itself still applies exactly once. Readers never
+        take the lock (versions are immutable; the pointer flip is
+        atomic).
         """
-        if batch_id is not None and batch_id in self.applied_batches():
-            return False
+        import fcntl
 
-        cur = self._current_version()
-        if cur is not None:
-            self.num_buckets = int(self._meta(cur)["num_buckets"])
+        self.path.mkdir(parents=True, exist_ok=True)
+        with open(self.path / "WRITER.lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if batch_id is not None and batch_id in self.applied_batches():
+                return False
 
-        # The delta is consumed twice (bucket discovery + merge write);
-        # persist so the upstream crunch plan runs once per batch.
-        delta = delta.persist()
-        try:
-            return self._merge_persisted(delta, cur, batch_id)
-        finally:
-            delta.unpersist()
+            cur = self._current_version()
+            if cur is not None:
+                self.num_buckets = int(self._meta(cur)["num_buckets"])
+
+            # The delta is consumed twice (bucket discovery + merge write);
+            # persist so the upstream crunch plan runs once per batch.
+            delta = delta.persist()
+            try:
+                return self._merge_persisted(delta, cur, batch_id)
+            finally:
+                delta.unpersist()
 
     def _merge_persisted(
         self, delta: DataFrame, cur: Path | None, batch_id: str | None

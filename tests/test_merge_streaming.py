@@ -490,3 +490,76 @@ def test_two_streams_one_point_table_do_not_collide_on_epochs(
     # both scoped epochs are in the ledger
     applied = point.applied_batches()
     assert {f"stream-{w1.stream_id}-0", f"stream-{w2.stream_id}-0"} <= applied
+
+
+def test_crash_before_pointer_flip_leaves_table_consistent(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER writing the new version dir but BEFORE the CURRENT
+    pointer flip must leave readers on the old version, and a retried
+    merge must succeed (the leftover half-written version dir is
+    reclaimed), landing exactly the once-applied state."""
+    from cruncher_spark.merge.upsert import PointTable
+
+    pt = PointTable(
+        spark, str(tmp_path / "pt"), key=["k"], num_buckets=2
+    )
+    pt.merge(spark.createDataFrame([(1, 10)], "k int, n int"), batch_id="b0")
+    before = sorted(map(tuple, pt.read().collect()))
+
+    real_flip = PointTable._flip
+
+    def crashing_flip(self, new):
+        raise RuntimeError("simulated crash before commit point")
+
+    monkeypatch.setattr(PointTable, "_flip", crashing_flip)
+    delta = spark.createDataFrame([(1, 5), (2, 7)], "k int, n int")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pt.merge(delta, batch_id="b1")
+    # not committed: readers still see the old version, ledger unchanged
+    assert sorted(map(tuple, pt.read().collect())) == before
+    assert pt.applied_batches() == {"b0"}
+
+    monkeypatch.setattr(PointTable, "_flip", real_flip)
+    assert pt.merge(delta, batch_id="b1") is True
+    assert sorted(map(tuple, pt.read().collect())) == [(1, 15), (2, 7)]
+    assert pt.applied_batches() == {"b0", "b1"}
+
+
+def test_concurrent_merges_serialize_without_losing_deltas(spark, tmp_path):
+    """Two writers racing one PointTable: the advisory writer lock
+    serializes them, so BOTH deltas land (pre-lock, both built v_{N+1}
+    and the last pointer flip silently discarded the other's delta).
+    A duplicate batch_id racing itself applies exactly once."""
+    import threading
+
+    from cruncher_spark.merge.upsert import PointTable
+
+    pt = PointTable(
+        spark, str(tmp_path / "ptc"), key=["k"], num_buckets=2
+    )
+    pt.merge(spark.createDataFrame([(0, 1)], "k int, n int"), batch_id="seed")
+
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag, rows, batch_id):
+        df = spark.createDataFrame(rows, "k int, n int")
+        barrier.wait()
+        results[tag] = pt.merge(df, batch_id=batch_id)
+
+    t1 = threading.Thread(target=writer, args=("a", [(1, 10)], "w-a"))
+    t2 = threading.Thread(target=writer, args=("b", [(2, 20)], "w-b"))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert results == {"a": True, "b": True}
+    assert sorted(map(tuple, pt.read().collect())) == [(0, 1), (1, 10), (2, 20)]
+
+    # duplicate batch_id race: exactly one side applies
+    results.clear()
+    t3 = threading.Thread(target=writer, args=("x", [(3, 30)], "dup"))
+    t4 = threading.Thread(target=writer, args=("y", [(3, 30)], "dup"))
+    t3.start(); t4.start(); t3.join(120); t4.join(120)
+    assert sorted(results.values()) == [False, True]
+    assert sorted(map(tuple, pt.read().collect())) == [
+        (0, 1), (1, 10), (2, 20), (3, 30)
+    ]
