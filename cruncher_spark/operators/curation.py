@@ -362,3 +362,71 @@ def doc_mean_token_freq(
             ).alias("mean_token_freq"),
         )
     )
+
+
+def fuzzy_contamination(
+    corpus_sh: DataFrame,
+    eval_sh: DataFrame,
+    id_col: str = "doc_id",
+    min_containment: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: corpus documents whose
+    shingle sets CONTAIN a large fraction of an eval document's shingles
+    — the fuzzy complement to :func:`contamination_check`, which counts
+    exact shared grams per corpus doc but cannot say "this corpus doc is
+    a light paraphrase of that benchmark item". Containment |C∩E|/|E|
+    is the right asymmetric measure: a benchmark question embedded in a
+    much larger corpus page scores ~1.0 where symmetric Jaccard would
+    dilute toward 0.
+
+    Inputs are (id, sh) shingle-array tables (:func:`shingle_arrays`).
+    Scale shape: MinHash signatures on both sides (map-side-combinable
+    aggregates), banded candidates via an equi-join where the eval side
+    is benchmark-sized (broadcast — the corpus never shuffles for
+    candidate generation), and exact containment verified by
+    ``array_intersect`` on candidates only. Self-pairs (a benchmark doc
+    also present in the corpus) are kept — finding exact copies is
+    contamination too.
+    """
+    from cruncher_spark.operators.dedup import (
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+
+    sig_c = minhash_signatures(corpus_sh, id_col, num_hashes).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    sig_e = minhash_signatures(eval_sh, id_col, num_hashes).withColumnRenamed(
+        id_col, "eval_id"
+    )
+    cand = lsh_cross_candidates(
+        sig_c, sig_e, "corpus_id", "eval_id",
+        num_hashes=num_hashes, band_size=band_size,
+    )
+    verified = (
+        cand.join(
+            corpus_sh.select(
+                F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c")
+            ),
+            "corpus_id",
+        )
+        .join(
+            F.broadcast(
+                eval_sh.select(
+                    F.col(id_col).alias("eval_id"), F.col("sh").alias("sh_e")
+                )
+            ),
+            "eval_id",
+        )
+        .select(
+            "corpus_id",
+            "eval_id",
+            (
+                F.size(F.array_intersect("sh_c", "sh_e")).cast("double")
+                / F.size("sh_e")
+            ).alias("containment"),
+        )
+    )
+    return verified.where(F.col("containment") >= min_containment)

@@ -343,15 +343,10 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+def _band_rows(
+    signatures: DataFrame, id_col: str, num_hashes: int, band_size: int
 ) -> DataFrame:
-    """LSH banding: docs agreeing on all hashes of any band become a pair.
-
-    Each band is an equi-join key (band_idx, key) — Catalyst turns the
-    all-pairs problem into a shuffle-hash join on band buckets. Output
-    distinct (id_a, id_b), id_a < id_b.
-    """
+    """(id, band_idx, band_key) rows — one per (doc, band)."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -365,17 +360,51 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    return signatures.select(F.col(id_col), F.explode(bands).alias("band")).select(
         F.col(id_col),
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_key").alias("band_key"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: docs agreeing on all hashes of any band become a pair.
+
+    Each band is an equi-join key (band_idx, key) — Catalyst turns the
+    all-pairs problem into a shuffle-hash join on band buckets. Output
+    distinct (id_a, id_b), id_a < id_b.
+    """
+    exploded = _band_rows(signatures, id_col, num_hashes, band_size)
     a = exploded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = exploded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     return (
         a.join(b, ["band_idx", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_cross_candidates(
+    sig_left: DataFrame,
+    sig_right: DataFrame,
+    id_left: str,
+    id_right: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Banded candidates ACROSS two signature tables (corpus × eval) —
+    the cross-corpus form of :func:`lsh_candidate_pairs`: same band
+    equi-join, no self-pair ordering, distinct (left, right) ids. The
+    right side is typically benchmark-sized, so its band rows broadcast
+    and the corpus side never shuffles for candidate generation."""
+    bl = _band_rows(sig_left, id_left, num_hashes, band_size)
+    br = _band_rows(sig_right, id_right, num_hashes, band_size)
+    return (
+        bl.join(br, ["band_idx", "band_key"])
+        .select(id_left, id_right)
         .distinct()
     )
 

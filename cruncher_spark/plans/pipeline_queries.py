@@ -1620,3 +1620,70 @@ def tfidf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
     return tfidf_topk(docs, _TFIDF_TERMS, k=_TFIDF_K)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (near-dup) benchmark contamination: MinHash containment
+# ---------------------------------------------------------------------------
+
+
+def _band_selects_for(tbl: str) -> str:
+    return "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM {tbl}".format(
+            b=b,
+            tbl=tbl,
+            key=" || ':' || ".join(
+                f"CAST(mh_{b * _BAND_SIZE + j} AS VARCHAR)"
+                for j in range(_BAND_SIZE)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
+
+
+@register(
+    "contamination_fuzzy",
+    oracle=f"""
+    WITH {_SH_CTE},
+    ev AS (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    cp AS (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} <> 0),
+    mh_c AS (SELECT doc_id, {_MH_COLS} FROM cp GROUP BY doc_id),
+    mh_e AS (SELECT doc_id, {_MH_COLS} FROM ev GROUP BY doc_id),
+    bands_c AS ({_band_selects_for("mh_c")}),
+    bands_e AS ({_band_selects_for("mh_e")}),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, e.doc_id AS eval_id
+      FROM bands_c c JOIN bands_e e
+        ON c.band_idx = e.band_idx AND c.band_key = e.band_key
+    ),
+    esz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY 1),
+    common AS (
+      SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id, COUNT(*) AS cnt
+      FROM cp c JOIN ev e USING (shingle) GROUP BY 1, 2
+    )
+    SELECT cand.corpus_id, cand.eval_id,
+           CAST(cnt AS DOUBLE) / esz.n AS containment
+    FROM cand
+    JOIN common USING (corpus_id, eval_id)
+    JOIN esz ON esz.doc_id = cand.eval_id
+    WHERE CAST(cnt AS DOUBLE) / esz.n >= 0.5
+    """,
+    doc="Near-dup benchmark contamination: MinHash+LSH candidates between "
+    "corpus and eval set, verified by exact shingle CONTAINMENT |C∩E|/|E| "
+    "— catches light paraphrases of benchmark items that exact-gram "
+    "contamination_check under-weights. Eval side broadcast; corpus never "
+    "shuffles for candidate generation.",
+)
+def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import fuzzy_contamination
+    from cruncher_spark.operators.dedup import shingle_arrays
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    sh = shingle_arrays(docs, "doc_id", "text", 3)
+    ev = sh.where(F.col("doc_id") % _EVAL_MOD == 0)
+    corpus = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+    return fuzzy_contamination(
+        corpus, ev, "doc_id",
+        min_containment=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    )

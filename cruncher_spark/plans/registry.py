@@ -40,7 +40,7 @@ QUERIES: dict[str, Query] = {}
 #: surface but a guarded one would swallow) can never green-light the
 #: surviving subset — round 3 was burned by exactly that drift class.
 #: Bump in the same commit that registers/removes a query.
-EXPECTED_QUERY_COUNT = 86
+EXPECTED_QUERY_COUNT = 87
 
 
 def register(name: str, oracle: str | Callable[[str], str] | None, doc: str = ""):
