@@ -242,6 +242,13 @@ def dedup_within_watermark(
     would grow state with the key universe forever). Downstream, the
     batch-id ledger (merge/upsert.py) remains the exactly-once backstop
     for redeliveries OUTSIDE the horizon.
+
+    Eviction cadence (pinned by test): the watermark advances on the
+    batch AFTER an event arrives and state purges at that batch's END,
+    so a beyond-horizon re-occurrence of a key passes through two
+    batches after the event that advanced the watermark — duplicates are
+    GUARANTEED dropped within the horizon and best-effort beyond it,
+    exactly the dropDuplicatesWithinWatermark contract.
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
@@ -318,30 +325,4 @@ def velocity_alerts(
         "period_start long, n long, alerted boolean",
         "append",
         GroupStateTimeout.NoTimeout,
-    )
-
-
-def streaming_dedup(
-    events: DataFrame,
-    keys: list[str],
-    ts_col: str = "ts",
-    delay: str = "1 hour",
-) -> DataFrame:
-    """Cross-micro-batch exact dedup with WATERMARK-BOUNDED state —
-    the source-level complement to the engine's two other dedup layers
-    (in-batch ``dropDuplicates``, worker.js:121's Set; cross-batch
-    merge-ledger idempotence at the sink).
-
-    ``dropDuplicatesWithinWatermark`` keeps one state entry per key seen
-    within the lateness horizon and EVICTS it once the watermark passes
-    — so state is O(keys-per-horizon), not O(all keys ever), which is
-    what makes exact streaming dedup viable on an unbounded 100 TB/day
-    id stream. A duplicate arriving inside the horizon is dropped even
-    when its event time differs from the first occurrence's (redelivery
-    with a new broker timestamp — the case plain ``dropDuplicates`` on
-    (key, ts) misses); one arriving after eviction passes through, which
-    the downstream merge ledger then absorbs.
-    """
-    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
-        keys
     )

@@ -347,7 +347,7 @@ def test_streaming_dedup_drops_cross_batch_redelivery(spark, tmp_path):
     time (broker redelivery) is dropped while inside the watermark
     horizon; state is evicted once the watermark passes, so a far-future
     re-occurrence of the key flows through again."""
-    from cruncher_spark.streaming.windows import streaming_dedup
+    from cruncher_spark.streaming.windows import dedup_within_watermark
 
     b1 = [(1, _ts(0), "click", 1.0), (2, _ts(1), "view", 2.0)]
     b2 = [(1, _ts(2), "click", 1.0),            # redelivery, new ts → drop
@@ -372,7 +372,7 @@ def test_streaming_dedup_drops_cross_batch_redelivery(spark, tmp_path):
     )
     out = _run_stream(
         spark,
-        streaming_dedup(stream, ["user_id"], delay="30 minutes"),
+        dedup_within_watermark(stream, ["user_id"], watermark="30 minutes"),
         "sdedup",
         tmp_path / "ck_sdedup",
     )
