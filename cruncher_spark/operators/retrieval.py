@@ -137,9 +137,14 @@ def tfidf_topk(
     Unlike BM25 (which only ever touches query-term postings), cosine
     needs each document's FULL TF-IDF norm over its entire vocabulary,
     so this pays one extra corpus-sized aggregate + term-keyed join —
-    the honest cost of length-normalized VSM scoring. Weights use the
-    sklearn-style smooth idf ``ln((1+N)/(1+df)) + 1`` and are rounded
-    to 6 decimals before norm/dot accumulation (cross-engine float
+    the honest cost of length-normalized VSM scoring. Norm, dot product,
+    and matched-term count all fold in ONE per-doc aggregate over the
+    weighted postings (a first cut computed them as three branches, each
+    re-running the corpus TF aggregate — 25 shuffles; now 1 corpus
+    aggregate + 1 term join + 1 per-doc aggregate), and the query norm
+    comes from the |vocabulary|-sized df table, never a corpus pass.
+    Weights use the sklearn-style smooth idf ``ln((1+N)/(1+df)) + 1``
+    rounded to 6 decimals before accumulation (cross-engine float
     discipline, as bm25/IVF); ranking tie-breaks by id.
     """
     from cruncher_spark.functions.text import words
@@ -161,33 +166,27 @@ def tfidf_topk(
             F.round(idf, 6).alias("qw"),
         )
     )
-    norms = weighted.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
+    is_q = F.col("term").isin(terms)
+    per_doc = (
+        weighted.groupBy(id_col)
+        .agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"),
+            F.sum(F.when(is_q, F.col("w") * F.col("qw"))).alias("dot"),
+            F.sum(F.when(is_q, 1).otherwise(0)).alias("n_terms"),
+        )
+        .where(F.col("dot").isNotNull())
     )
     qnorm = (
-        weighted.where(F.col("term").isin(terms))
-        .select("term", "qw")
-        .distinct()
-        .agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+        df_.where(F.col("term").isin(terms))
+        .crossJoin(F.broadcast(n_docs))
+        .agg(F.sqrt(F.sum(F.round(idf, 6) * F.round(idf, 6))).alias("qnorm"))
     )
-    dots = (
-        weighted.where(F.col("term").isin(terms))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("w") * F.col("qw")).alias("dot"),
-            F.count(F.lit(1)).alias("n_terms"),
-        )
-    )
-    scored = (
-        dots.join(norms, id_col)
-        .crossJoin(F.broadcast(qnorm))
-        .select(
-            F.col(id_col),
-            F.round(
-                F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 6
-            ).alias("score"),
-            "n_terms",
-        )
+    scored = per_doc.crossJoin(F.broadcast(qnorm)).select(
+        F.col(id_col),
+        F.round(
+            F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 6
+        ).alias("score"),
+        "n_terms",
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -213,16 +212,20 @@ def tfidf_oracle_sql(
         round(ln((1 + n_docs) / (1.0 + df)) + 1, 6) AS qw
       FROM tf JOIN df USING (term) CROSS JOIN n
     ),
-    norms AS (SELECT {id_col}, sqrt(SUM(w * w)) AS dnorm FROM weighted GROUP BY 1),
-    qn AS (
-      SELECT sqrt(SUM(qw * qw)) AS qnorm
-      FROM (SELECT DISTINCT term, qw FROM weighted WHERE term IN ({in_list}))
+    per_doc AS (
+      SELECT {id_col},
+        sqrt(SUM(w * w)) AS dnorm,
+        SUM(CASE WHEN term IN ({in_list}) THEN w * qw END) AS dot,
+        CAST(SUM(CASE WHEN term IN ({in_list}) THEN 1 ELSE 0 END) AS BIGINT) AS n_terms
+      FROM weighted GROUP BY 1
     ),
-    dots AS (
-      SELECT {id_col}, SUM(w * qw) AS dot, count(*) AS n_terms
-      FROM weighted WHERE term IN ({in_list}) GROUP BY 1
+    qn AS (
+      SELECT sqrt(SUM(round(ln((1 + n_docs) / (1.0 + df)) + 1, 6)
+                      * round(ln((1 + n_docs) / (1.0 + df)) + 1, 6))) AS qnorm
+      FROM df CROSS JOIN n WHERE term IN ({in_list})
     )
-    SELECT dots.{id_col}, round(dot / (dnorm * qnorm), 6) AS score, n_terms
-    FROM dots JOIN norms USING ({id_col}) CROSS JOIN qn
+    SELECT {id_col}, round(dot / (dnorm * qnorm), 6) AS score, n_terms
+    FROM per_doc CROSS JOIN qn
+    WHERE dot IS NOT NULL
     ORDER BY score DESC, {id_col} LIMIT {k}
     """
