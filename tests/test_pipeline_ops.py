@@ -443,3 +443,49 @@ def test_centroid_sample_bounded_by_cap(spark):
     small = corpus.where(F.col("vec_id") < 4 * cap)
     legacy = centroid_sample(small, "vec_id", "embedding", max_sample=cap)
     assert [i for i, _ in legacy] == list(range(0, 4 * cap, 4))
+
+
+def test_chunking_covers_every_word_with_declared_overlap(spark):
+    """Every word position lands in >=1 chunk; consecutive chunks overlap
+    by exactly window-stride words (except a short tail); chunk_ix is
+    dense from 0 — the invariants a RAG splitter must hold."""
+    from cruncher_spark.operators.curation import chunk_documents
+
+    W, S = 8, 5
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n)))
+         for i, n in enumerate([1, 4, 5, 8, 9, 13, 23])],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=W, stride=S).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = [1, 4, 5, 8, 9, 13, 23]
+    for i, n in enumerate(lens):
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_ix)
+        assert [r.chunk_ix for r in rows] == list(range(-(-n // S)))
+        covered = set()
+        for r in rows:
+            start = r.chunk_ix * S
+            assert r.n_words == min(W, n - start)
+            covered.update(range(start, start + r.n_words))
+        assert covered == set(range(n)), f"doc {i}"
+
+
+def test_reservoir_is_stable_under_repartitioning(spark):
+    """The k-per-key sample must pick the SAME ids regardless of
+    physical layout — the reproducibility contract."""
+    from cruncher_spark.operators.curation import reservoir_per_key
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(300)], "source string, doc_id long"
+    )
+    a = {(r.source, r.doc_id, r.rk)
+         for r in reservoir_per_key(df, "source", "doc_id", 5).collect()}
+    b = {(r.source, r.doc_id, r.rk)
+         for r in reservoir_per_key(
+             df.repartition(17), "source", "doc_id", 5
+         ).collect()}
+    assert a == b
+    assert len(a) == 15  # 3 keys x k=5, ranks dense
