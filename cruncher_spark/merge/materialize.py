@@ -188,21 +188,19 @@ def start_stream_refresh(
     per-bucket state is O(1) mergeable aggregate state, not buffered rows.
 
     Ledger batch ids are ``stream-<stream_id>-<epoch>``; ``stream_id``
-    defaults to a hash of the checkpoint path so TWO streams feeding one
-    view never collide on epoch numbers. The remaining operational rule:
-    DELETING a checkpoint while keeping the view reprocesses the source
-    with epoch numbers restarted from 0 — pass a fresh ``stream_id`` for
-    the new query (or rebuild the view), otherwise the ledger will treat
-    the replayed epochs as already applied and silently drop them.
+    defaults to a marker minted INSIDE the checkpoint dir at first start
+    (:func:`cruncher_spark.streaming.worker.checkpoint_stream_id`), so
+    TWO streams feeding one view never collide on epoch numbers — and
+    DELETING a checkpoint while keeping the view mints a fresh scope for
+    the recreated stream, so its restarted epochs re-apply instead of
+    being silently dropped as duplicates of the previous run's.
     """
-    import hashlib
-    import os
     from pathlib import Path
 
+    from cruncher_spark.streaming.worker import checkpoint_stream_id
+
     Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
-    sid = stream_id or hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    sid = stream_id or checkpoint_stream_id(checkpoint_dir)
     writer = (
         rows.writeStream.foreachBatch(
             lambda df, bid: view.refresh(df, batch_id=f"stream-{sid}-{bid}")

@@ -223,6 +223,9 @@ def prefix_jaccard_pairs(
     if hot.isEmpty():
         cold_src = exploded
         hot_keyed = None
+        # nothing in the returned plan references hot — release its cache
+        # now instead of waiting for the ContextCleaner
+        hot.unpersist()
     else:
         cold_src = exploded.join(
             F.broadcast(hot.select("shingle")), "shingle", "left_anti"
@@ -402,8 +405,10 @@ def lsh_cross_candidates(
     and the corpus side never shuffles for candidate generation."""
     bl = _band_rows(sig_left, id_left, num_hashes, band_size)
     br = _band_rows(sig_right, id_right, num_hashes, band_size)
+    # explicit hint: the documented plan shape must not depend on the
+    # autoBroadcastJoinThreshold setting
     return (
-        bl.join(br, ["band_idx", "band_key"])
+        bl.join(F.broadcast(br), ["band_idx", "band_key"])
         .select(id_left, id_right)
         .distinct()
     )

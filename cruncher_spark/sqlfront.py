@@ -598,8 +598,12 @@ def script_plan_fn(
     construct the PointTable with ``script_policies(text)`` once.
     """
 
+    import uuid
+
     state: dict = {}
-    keys_view = "cruncher_batch_keys"
+    # unique per plan_fn: two scripts streaming in one SparkSession must
+    # not clobber each other's keys view between plan build and execution
+    keys_view = f"cruncher_batch_keys_{uuid.uuid4().hex[:8]}"
 
     def plan(tables: dict, keys_df: DataFrame) -> DataFrame:
         spark = keys_df.sparkSession
@@ -627,9 +631,14 @@ def script_plan_fn(
         else:
             key_col = keys_df.columns[0]
             keys_df.select(key_col).createOrReplaceTempView(keys_view)
+            # quote-aware, like substitute_params: a ':param' inside a
+            # string literal is data, not a substitution site
+            _, in_quote = _scan(stmt.select_sql)
             sql = re.sub(
                 rf"(?<![:\w]):{batch_param}\b",
-                f"select `{key_col}` from {keys_view}",
+                lambda m: m.group(0)
+                if in_quote[m.start()]
+                else f"select `{key_col}` from {keys_view}",
                 stmt.select_sql,
             )
         final = CrunchStatement(

@@ -65,6 +65,31 @@ from cruncher_spark.merge.upsert import PointTable
 PlanFn = Callable[[Mapping[str, DataFrame], DataFrame], DataFrame]
 
 
+def checkpoint_stream_id(checkpoint_dir: str) -> str:
+    """Stream identity pinned to the checkpoint's LIFETIME, not its path.
+
+    A marker file inside the checkpoint dir holds an id minted at first
+    start; deleting the checkpoint (the reprocess-from-scratch gesture)
+    deletes the marker too, so the recreated stream gets a FRESH ledger
+    scope and its restarted epochs can never collide with already-applied
+    ids. (A hash of the checkpoint path — the previous scheme — reused
+    the same scope after recreation and silently dropped the first N
+    replayed batches as duplicates.)
+    """
+    import os
+    import uuid
+
+    p = Path(checkpoint_dir) / ".cruncher-stream-id"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    if p.exists():
+        return p.read_text().strip()
+    sid = uuid.uuid4().hex[:12]
+    tmp = p.with_name(p.name + ".tmp")
+    tmp.write_text(sid)
+    os.replace(tmp, p)
+    return sid
+
+
 class CrunchWorker:
     def __init__(
         self,
@@ -94,12 +119,17 @@ class CrunchWorker:
         self.exactly_once = exactly_once
         self.slowmode_seconds = slowmode_seconds
         #: ledger scope for batch ids (same contract as
-        #: materialize.start_stream_refresh): defaults to a hash of the
-        #: checkpoint path at stream start, so two streams feeding one
+        #: materialize.start_stream_refresh): defaults to a marker minted
+        #: inside the checkpoint dir at first stream start
+        #: (:func:`checkpoint_stream_id`), so two streams feeding one
         #: PointTable — or a deleted-and-recreated checkpoint whose epochs
         #: restart at 0 — never collide with already-applied ids and get
         #: silently dropped as duplicates. Pass explicitly to pin identity
         #: across checkpoint moves (or to deliberately share a scope).
+        #: NB: ledgers written before stream scoping existed hold bare
+        #: epoch ids — reset such checkpoints rather than resuming them
+        #: under a new scope, or the replayed last batch re-applies under
+        #: its new id.
         self.stream_id = stream_id
         self.batches_processed = 0
         self.batches_failed = 0
@@ -197,12 +227,7 @@ class CrunchWorker:
         stream → guarded/sampled/deduped foreachBatch merge."""
         Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
         if self.stream_id is None:
-            import hashlib
-            import os
-
-            self.stream_id = hashlib.md5(
-                os.path.abspath(checkpoint_dir).encode()
-            ).hexdigest()[:12]
+            self.stream_id = checkpoint_stream_id(checkpoint_dir)
         writer = (
             stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -305,10 +305,13 @@ def main(env: Mapping[str, str] | None = None) -> int:
         flush=True,
     )
     q.awaitTermination()
+    # an empty drain (or one where every batch failed into the DLQ) never
+    # initializes the point table — report 0 rows, don't crash the summary
+    state_rows = worker.point.read().count() if worker.point.exists() else 0
     print(
         f"drained: batches={worker.batches_processed} "
         f"failed={worker.batches_failed} "
-        f"state_rows={worker.point.read().count()}",
+        f"state_rows={state_rows}",
         flush=True,
     )
     return 1 if worker.batches_failed else 0

@@ -275,3 +275,39 @@ def test_decimal_sum_schema_stable_across_partial_merges(spark, tmp_path):
     assert got[3] == Decimal("6.25")
     assert got[0] == Decimal("0.25")
     assert dict(view.point.read().dtypes)["total"] == dtype0
+
+
+def test_recreated_checkpoint_gets_fresh_ledger_scope(spark, tmp_path):
+    """Deleting a checkpoint (the explicit reprocess-from-scratch
+    gesture) while keeping the view must RE-APPLY the reprocessed
+    batches: stream identity lives in a marker inside the checkpoint
+    dir, so the recreated stream's restarted epochs get a fresh ledger
+    scope. A path-derived id reused the old scope and silently dropped
+    them (ADVICE-class bug found in round-5 self-review)."""
+    import json
+    import shutil
+
+    from cruncher_spark.merge.materialize import start_stream_refresh
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f0.json").write_text(json.dumps({"k": 1, "v": 10}))
+    view = IncrementalView(
+        spark, str(tmp_path / "mv"), keys=["k"],
+        measures={"total": Measure("sum", "v")}, num_buckets=1,
+    )
+
+    def run():
+        stream = spark.readStream.schema("k int, v long").json(str(src))
+        q = start_stream_refresh(
+            view, stream, str(tmp_path / "ckpt"), available_now=True
+        )
+        q.awaitTermination(300)
+
+    run()
+    assert view.read().collect()[0].total == 10
+    run()  # same checkpoint: epoch replay is a no-op (ledger)
+    assert view.read().collect()[0].total == 10
+    shutil.rmtree(tmp_path / "ckpt")
+    run()  # recreated checkpoint: fresh scope -> reprocess APPLIES
+    assert view.read().collect()[0].total == 20
