@@ -92,6 +92,69 @@ def connected_components(
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 
+def triangle_count_plan(
+    edges: DataFrame, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """The LAZY single-row triangle plan — no persist, no execution.
+
+    Exists so plan audits (tests/test_plan_invariants.py, PLANS.md) can
+    inspect the real six-join shape: the executable wrapper
+    :func:`triangle_count` computes eagerly through persisted edge
+    caches and returns literals, which hides the plan. Running THIS form
+    re-evaluates the edge lineage per consumer — use the wrapper for
+    actual computation.
+    """
+    stats, _ = _triangle_stats_parts(edges, u, v, persist=False)
+    return stats
+
+
+def _triangle_stats_parts(
+    edges: DataFrame, u: str, v: str, persist: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(single-row stats plan, oriented-edge table) — shared by the lazy
+    audit form and the eager executable wrapper."""
+    deg = (
+        edges.select(F.col(u).alias("x"))
+        .unionAll(edges.select(F.col(v).alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("x", u), u)
+        .withColumnRenamed("d", "du")
+        .join(
+            deg.withColumnRenamed("x", v).withColumnRenamed("d", "dv"), v
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))
+    )
+    directed = e.select(
+        F.when(fwd, F.col(u)).otherwise(F.col(v)).alias("src"),
+        F.when(fwd, F.col(v)).otherwise(F.col(u)).alias("dst"),
+    )
+    if persist:
+        directed = directed.persist()
+    d1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    d2 = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = d1.join(d2, "b").select("a", "c")
+    closing = directed.select(
+        F.col("src").alias("a"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(tri)).select(
+            "n_vertices", "n_edges", "n_triangles"
+        ),
+        directed,
+    )
+
+
 def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Exact triangle count over an undirected edge set (canonical
     ``u < v`` pairs) via DEGREE-ORDERED wedge joins — the standard
@@ -120,46 +183,12 @@ def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     Eager: the single result row is computed HERE so both caches can be
     unpersisted before returning (ADVICE r4: returning a lazy plan over
     the caches leaked them for the session lifetime). The returned
-    DataFrame is rebuilt from JVM literals — no Python-worker spawn.
+    DataFrame is rebuilt from JVM literals — no Python-worker spawn;
+    :func:`triangle_count_plan` exposes the lazy shape for plan audits.
     """
     edges = edges.persist()
-    deg = (
-        edges.select(F.col(u).alias("x"))
-        .unionAll(edges.select(F.col(v).alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    e = (
-        edges.join(deg.withColumnRenamed("x", u), u)
-        .withColumnRenamed("d", "du")
-        .join(
-            deg.withColumnRenamed("x", v).withColumnRenamed("d", "dv"), v
-        )
-    )
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))
-    )
-    directed = e.select(
-        F.when(fwd, F.col(u)).otherwise(F.col(v)).alias("src"),
-        F.when(fwd, F.col(v)).otherwise(F.col(u)).alias("dst"),
-    ).persist()
-    d1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    d2 = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    wedges = d1.join(d2, "b").select("a", "c")
-    closing = directed.select(
-        F.col("src").alias("a"), F.col("dst").alias("c")
-    )
-    tri = wedges.join(closing, ["a", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
-        deg.agg(F.count(F.lit(1)).alias("n_vertices"))
-    )
-    row = (
-        stats.crossJoin(F.broadcast(tri))
-        .select("n_vertices", "n_edges", "n_triangles")
-        .first()
-    )
+    stats, directed = _triangle_stats_parts(edges, u, v, persist=True)
+    row = stats.first()
     edges.unpersist()
     directed.unpersist()
     return edges.sparkSession.range(1).select(

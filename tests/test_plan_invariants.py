@@ -89,3 +89,34 @@ def test_registry_load_is_fail_loud():
         registry.QUERIES[name] = saved
     # registry restored: the public surface is intact again
     assert len(query_map()) == registry.EXPECTED_QUERY_COUNT
+
+
+def test_triangle_lazy_plan_shape_still_audited(spark):
+    """triangle_count executes eagerly (cache-cleanup contract), so the
+    registry audits a literal projection; the REAL six-join shape stays
+    checkable through triangle_count_plan — no cartesian product, no
+    Python nodes, and the wedge joins are present."""
+    import pyspark.sql.functions as F
+
+    from cruncher_spark.operators.graph import triangle_count_plan
+    from cruncher_spark.sources import Star
+
+    li = Star(spark, SF_DIR).lineitem.where(
+        F.col("l_orderkey") % 10 == 0
+    ).select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    plan = (
+        triangle_count_plan(edges)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert not PY_NODES.search(plan)
+    # the degree-ordered wedge pipeline is really in there
+    assert plan.count("Join") >= 5
