@@ -247,6 +247,18 @@ def chunk_documents(
     """
     from cruncher_spark.functions.text import words
 
+    # every-word-covered invariant (pinned by the tests) requires each
+    # chunk to reach at least the next chunk's start (ADVICE r5:
+    # stride > window silently skipped words between chunks)
+    if stride > window:
+        raise ValueError(
+            f"stride ({stride}) must be <= window ({window}): chunks "
+            "must cover every word; a gap between consecutive chunks "
+            "is never intended for RAG/embedding prep"
+        )
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+
     wl = words(text_col)
     n_chunks = F.ceil(F.size(wl) / F.lit(stride))
     base = docs.select(

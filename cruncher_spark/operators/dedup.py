@@ -258,8 +258,26 @@ def prefix_jaccard_pairs(
     ordered = ordered.repartition(
         ordered.sparkSession.sparkContext.defaultParallelism
     )
+    # All threshold bounds below are computed in EXACT integer arithmetic
+    # over a rational tau = tn/td (ADVICE r5: float taus like 0.25 whose
+    # nearest double rounds UP — 0.2000000000000000111 for tau/(1+tau) at
+    # tau=0.25 — made ceil() land one too high and prune a pair sitting
+    # exactly at the threshold before verification). limit_denominator
+    # recovers the intended rational from the float literal (0.3 →
+    # 3/10, not 5404319552844595/18014398509481984); set sizes are <=
+    # 2^31, tn/td <= 10^6, so every product stays well inside int64.
+    from fractions import Fraction
+
+    _tau = Fraction(min_jaccard).limit_denominator(1_000_000)
+    tn, td = _tau.numerator, _tau.denominator
+    # ceil(n * tn/td) == floor((n*tn + td - 1) / td) — exact through the
+    # double division because the quotient is <= n <= 2^31 (so rounding
+    # error < 2^-22) while a non-integer true quotient is >= 1/td = 1e-6
+    # away from the nearest integer
     prefix_n = (
-        F.size("ks") - F.ceil(F.size("ks") * F.lit(min_jaccard)) + 1
+        F.size("ks")
+        - F.floor((F.size("ks") * F.lit(tn) + F.lit(td - 1)) / F.lit(td))
+        + 1
     ).cast("int")
     prefixes = ordered.select(
         F.col(id_col),
@@ -279,33 +297,43 @@ def prefix_jaccard_pairs(
     # PPJoin positional filter (round-5): a match at 0-based prefix
     # positions (pa, pb) caps the possible overlap at 1 + the elements
     # remaining AFTER each position; J >= tau needs overlap >=
-    # ceil(tau/(1+tau) * (na+nb)). Cheap arithmetic that prunes ~60% of
+    # tau/(1+tau) * (na+nb). Cheap arithmetic that prunes ~60% of
     # candidate occurrences before the array_intersect (the pipeline's
     # CPU hotspot — measured 329k -> 132k at sf0.1). Exact: for a true
     # pair, the occurrence at its FIRST shared token has bound >= the
     # real overlap, so at least one occurrence always survives to
     # verification; the post-threshold dedup keys on the pair.
-    alpha = F.ceil(
-        F.lit(min_jaccard / (1.0 + min_jaccard))
-        * (F.col("na") + F.col("nb"))
-    )
+    # The keep-condition ubound >= ceil(tau/(1+tau)*(na+nb)) rearranges
+    # over integers (tau = tn/td) to ubound*(tn+td) >= tn*(na+nb) —
+    # no float ceil anywhere (ADVICE r5 boundary-rounding fix).
     ubound = F.lit(1) + F.least(
         F.col("na") - 1 - F.col("pa"), F.col("nb") - 1 - F.col("pb")
     )
-    # length filter: J >= tau forces tau <= |A|/|B| <= 1/tau
+    positional_ok = ubound * F.lit(tn + td) >= F.lit(tn) * (
+        F.col("na") + F.col("nb")
+    )
+    # length filter: J >= tau forces tau <= |A|/|B| <= 1/tau; for integer
+    # na: na >= ceil(nb*tau) <=> na >= nb*tau <=> na*td >= nb*tn
     return (
         a.join(b, "h")
         .where(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("na") >= F.ceil(F.col("nb") * F.lit(min_jaccard)))
-            & (F.col("nb") >= F.ceil(F.col("na") * F.lit(min_jaccard)))
-            & (ubound >= alpha)
+            & (F.col("na") * F.lit(td) >= F.col("nb") * F.lit(tn))
+            & (F.col("nb") * F.lit(td) >= F.col("na") * F.lit(tn))
+            & positional_ok
+        )
+        .withColumn("n_common", n_common)
+        # threshold check integer-exact too: c/(na+nb-c) >= tn/td
+        # <=> c*td >= tn*(na+nb-c)
+        .where(
+            F.col("n_common") * F.lit(td)
+            >= F.lit(tn) * (F.col("na") + F.col("nb") - F.col("n_common"))
         )
         .withColumn(
             "jaccard",
-            n_common.cast("double") / (F.col("na") + F.col("nb") - n_common),
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
         )
-        .where(F.col("jaccard") >= min_jaccard)
         .groupBy("id_a", "id_b")
         .agg(F.first("jaccard").alias("jaccard"))
     )

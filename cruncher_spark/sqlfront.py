@@ -59,7 +59,50 @@ from cruncher_spark.merge.upsert import MergePolicy
 
 
 def _strip_line_comments(sql: str) -> str:
-    return re.sub(r"--[^\n]*", "", sql)
+    """Strip ``--`` line comments QUOTE-AWARELY (ADVICE r5: the old
+    quote-blind regex truncated a string literal containing ``--``,
+    undermining the lexer's literals-are-opaque guarantee).
+
+    One combined pass rather than consulting :func:`_scan` first:
+    comment BODIES must not feed the quote tracker either (a comment
+    like ``-- don't`` would otherwise flip the in-quote state for the
+    rest of the script). Quote rules mirror ``_scan``: single/double
+    quotes with backslash and doubled-quote escapes, backtick
+    identifiers.
+    """
+    out: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if quote is not None:
+            out.append(ch)
+            if ch == "\\" and quote in "'\"" and i + 1 < n:
+                out.append(sql[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                if quote in "'\"" and i + 1 < n and sql[i + 1] == quote:
+                    out.append(sql[i + 1])
+                    i += 2
+                    continue
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            nl = sql.find("\n", i)
+            if nl == -1:
+                break
+            i = nl  # keep the newline itself (line structure preserved)
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _scan(s: str) -> tuple[list[int], list[bool]]:

@@ -83,6 +83,27 @@ def checkpoint_stream_id(checkpoint_dir: str) -> str:
     p.parent.mkdir(parents=True, exist_ok=True)
     if p.exists():
         return p.read_text().strip()
+    # ADVICE r5: a PRE-EXISTING checkpoint without the marker is a
+    # pre-upgrade (legacy) checkpoint whose ledger holds BARE epoch ids.
+    # Minting a fresh scope here would resume it under new ledger ids and
+    # re-apply the last uncommitted epoch into ADD-folded state (silent
+    # double count). A checkpoint that has ever run a batch always has
+    # offsets/ (commits/ after the first commit) — detect that shape and
+    # fail loudly instead of silently minting.
+    base = Path(checkpoint_dir)
+    legacy = [
+        d for d in ("offsets", "commits", "metadata") if (base / d).exists()
+    ]
+    if legacy:
+        raise RuntimeError(
+            f"checkpoint {checkpoint_dir!r} predates stream-id scoping "
+            f"(has {', '.join(legacy)} but no .cruncher-stream-id marker). "
+            "Resuming it under a fresh scope would replay the last "
+            "uncommitted epoch with a new ledger id and double-apply it. "
+            "Delete the checkpoint (and let the ledger dedup the replay "
+            "within one scope) to reprocess from scratch, or pass an "
+            "explicit stream_id= to adopt a scope deliberately."
+        )
     sid = uuid.uuid4().hex[:12]
     tmp = p.with_name(p.name + ".tmp")
     tmp.write_text(sid)

@@ -325,7 +325,7 @@ def _start_amqp_bridge(
     batch_size: int,
     once: bool,
     timeout_s: float | None = None,
-) -> None:
+) -> dict:
     """Drain RABBITMQ_URI's queue into the landing dir (ack-after-durable;
     streaming/amqp.py), flushing each batch at BATCHSIZE messages or
     LOAD_TIMEOUT seconds, whichever first — the reference's exact
@@ -333,26 +333,65 @@ def _start_amqp_bridge(
     what's queued now; otherwise a daemon thread keeps bridging like the
     reference's channel.consume."""
     import threading
+    import time
     from urllib.parse import urlparse
 
     from cruncher_spark.streaming.amqp import AmqpClient, drain_to_landing_dir
 
     u = urlparse(uri)
-    client = AmqpClient(u.hostname or "localhost", u.port or 5672).connect()
+    host, port = u.hostname or "localhost", u.port or 5672
+    client = AmqpClient(host, port).connect()
+    health = {"alive": True, "reconnects": 0, "last_error": None}
 
     def pump():
+        nonlocal client
+        backoff = 1.0
         while True:
-            drain_to_landing_dir(
-                client, queue, landing_dir,
-                batch_size=batch_size, timeout_s=timeout_s,
-            )
-            if once:
-                break
+            try:
+                drain_to_landing_dir(
+                    client, queue, landing_dir,
+                    batch_size=batch_size, timeout_s=timeout_s,
+                )
+                backoff = 1.0
+                if once:
+                    break
+            except (ConnectionError, OSError) as e:
+                # ADVICE r5: a broker disconnect used to kill this daemon
+                # thread silently while the Spark stream idled forever.
+                # Reconnect with capped exponential backoff — the
+                # reference process would crash and be restarted by its
+                # supervisor (worker.js has no reconnect either); a
+                # bridge thread can't crash the driver, so it restores
+                # the connection itself and surfaces state via `health`.
+                if once:
+                    health["alive"] = False
+                    health["last_error"] = repr(e)
+                    raise
+                health["last_error"] = repr(e)
+                print(
+                    f"amqp bridge: connection lost ({e!r}); "
+                    f"reconnecting in {backoff:.0f}s",
+                    file=sys.stderr, flush=True,
+                )
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 30.0)
+                try:
+                    client.close()
+                except Exception:
+                    pass
+                try:
+                    client = AmqpClient(host, port).connect()
+                    health["reconnects"] += 1
+                except (ConnectionError, OSError) as e2:
+                    health["last_error"] = repr(e2)
+                    # retry the connect on the next loop pass
+        health["alive"] = not once or health["last_error"] is None
 
     if once:
         pump()
     else:
         threading.Thread(target=pump, daemon=True).start()
+    return health
 
 
 if __name__ == "__main__":  # pragma: no cover - subprocess entry

@@ -563,3 +563,24 @@ def test_concurrent_merges_serialize_without_losing_deltas(spark, tmp_path):
     assert sorted(map(tuple, pt.read().collect())) == [
         (0, 1), (1, 10), (2, 20), (3, 30)
     ]
+
+
+def test_legacy_checkpoint_without_marker_fails_loudly(tmp_path):
+    """ADVICE r5: a pre-upgrade checkpoint (Spark stream state present,
+    no .cruncher-stream-id marker) must NOT silently mint a fresh ledger
+    scope — its ledger holds bare epoch ids, so a new scope would replay
+    the last uncommitted epoch under a new id and double-apply it. The
+    resolver now detects the legacy shape and demands an explicit
+    decision (reset, or an explicitly pinned stream_id)."""
+    from cruncher_spark.streaming.worker import checkpoint_stream_id
+
+    cp = tmp_path / "legacy-cp"
+    (cp / "offsets").mkdir(parents=True)
+    (cp / "offsets" / "0").write_text("{}")
+    with pytest.raises(RuntimeError, match="stream-id scoping"):
+        checkpoint_stream_id(str(cp))
+
+    # a genuinely fresh checkpoint dir still mints and persists a marker
+    fresh = tmp_path / "fresh-cp"
+    sid = checkpoint_stream_id(str(fresh))
+    assert sid and checkpoint_stream_id(str(fresh)) == sid

@@ -489,3 +489,43 @@ def test_reservoir_is_stable_under_repartitioning(spark):
          ).collect()}
     assert a == b
     assert len(a) == 15  # 3 keys x k=5, ranks dense
+
+
+def test_positional_filter_keeps_pair_exactly_at_threshold(spark):
+    """ADVICE r5: alpha computed via float ceil(tau/(1+tau)*(na+nb))
+    rounded UP for tau=0.25 (double of 0.2 is 0.2000...0111) and pruned a
+    pair sitting exactly at the Jaccard threshold. The bound is now exact
+    integer arithmetic over a rational tau; the boundary pair survives.
+
+    Shape: |A|=2, |B|=3, overlap=1 → J = 1/(2+3-1) = 0.25 exactly, and
+    the shared shingle (highest df) sorts LAST in both docs' rare-first
+    orderings, so ubound = 1 — the old float alpha of 2 pruned it."""
+    from cruncher_spark.operators.dedup import prefix_jaccard_pairs
+
+    doc_sh = spark.createDataFrame(
+        [(1, ["a1", "s"]), (2, ["b1", "b2", "s"])],
+        "doc_id long, sh array<string>",
+    )
+    out = prefix_jaccard_pairs(doc_sh, "doc_id", 0.25).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert abs(out[0].jaccard - 0.25) < 1e-12
+    # strictly-below-threshold stays excluded (the fix must not loosen);
+    # NB taus within ~1e-7 of a simple rational (e.g. 0.2500001) snap
+    # BACK to it by design — intent recovery — so probe with a tau that
+    # is a genuinely different rational
+    below = prefix_jaccard_pairs(doc_sh, "doc_id", 0.26)
+    assert below.count() == 0
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    """ADVICE r5: stride > window would leave silent word gaps between
+    chunks, violating the every-word-covered invariant — now refused."""
+    from cruncher_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=4, stride=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_documents(docs, window=0, stride=0)
+    # window == stride (no overlap) remains legal
+    assert chunk_documents(docs, window=2, stride=2).count() == 2

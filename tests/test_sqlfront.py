@@ -658,3 +658,26 @@ def test_hoist_leaves_nested_subquery_joins_untouched():
     # outer join hoisted to cross join + WHERE conjunction
     assert "cross join `e` ee" in out
     assert "(d.x in (select z from f)) and (d.x > 0)" in out
+
+
+def test_line_comment_strip_is_quote_aware():
+    """ADVICE r5: the comment stripper ran a quote-blind regex BEFORE the
+    quote-aware lexer, truncating string literals containing '--'. It now
+    lexes quotes itself, and comment bodies (which may hold unbalanced
+    quotes like ``-- don't``) never feed the quote tracker."""
+    from cruncher_spark.sqlfront import _strip_line_comments
+
+    assert (
+        _strip_line_comments("SELECT 'a--b' AS x -- trailing\nFROM t")
+        == "SELECT 'a--b' AS x \nFROM t"
+    )
+    # unbalanced quote inside a comment must not poison later literals
+    assert (
+        _strip_line_comments("SELECT 1 -- don't\n, 'c--d' -- x\nFROM t")
+        == "SELECT 1 \n, 'c--d' \nFROM t"
+    )
+    # escaped quote forms stay opaque
+    assert (
+        _strip_line_comments("SELECT 'it''s--here', \"a\\\"--b\", `c--d`")
+        == "SELECT 'it''s--here', \"a\\\"--b\", `c--d`"
+    )
