@@ -147,24 +147,39 @@ def tfidf_topk(
     rounded to 6 decimals before accumulation (cross-engine float
     discipline, as bm25/IVF); ranking tie-breaks by id.
     """
+    from pyspark.sql import Window
+
     from cruncher_spark.functions.text import words
 
     toks = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
-    # per-(doc, term) tf over the WHOLE corpus (norms need every term)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # per-(doc, term) tf over the WHOLE corpus (norms need every term).
+    # The tf aggregate shuffles on (doc, term) — uniform, no stopword hot
+    # key — then re-hashes ONCE onto term; `df` is attached as a COUNT
+    # OVER the term window on that same partitioning, so the document
+    # frequency costs zero extra lineage: no second aggregate branch, no
+    # term join, no exchange to reuse (VERDICT r5 next #2: the previous
+    # shape fed tf into both a df_ aggregate and the weighted join, and
+    # Catalyst's column pruning made the two copies structurally
+    # different — the tf lineage executed per consumer, 17 exchanges;
+    # this is a strictly linear pipeline). Window rows per term are
+    # post-aggregation (<= n_docs), so the hot-term partition is bounded
+    # by the corpus DOC count, never the token count.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition("term")
+    )
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
 
     idf = F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1
-    weighted = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col(id_col),
-            "term",
-            F.round(F.col("tf") * idf, 6).alias("w"),
-            F.round(idf, 6).alias("qw"),
-        )
+    weighted = with_df.crossJoin(F.broadcast(n_docs)).select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("w"),
+        F.round(idf, 6).alias("qw"),
     )
     is_q = F.col("term").isin(terms)
     per_doc = (
@@ -176,9 +191,18 @@ def tfidf_topk(
         )
         .where(F.col("dot").isNotNull())
     )
+    # query norm: df for the |terms| query terms only — a token pass
+    # FILTERED to the query terms before its (tiny) shuffle, exactly
+    # bm25's posting-list discipline; never a corpus-wide aggregate.
+    # countDistinct(id) == the window df for those terms (tf rows are
+    # distinct (doc, term) by construction).
+    qdf = (
+        toks.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
     qnorm = (
-        df_.where(F.col("term").isin(terms))
-        .crossJoin(F.broadcast(n_docs))
+        qdf.crossJoin(F.broadcast(n_docs))
         .agg(F.sqrt(F.sum(F.round(idf, 6) * F.round(idf, 6))).alias("qnorm"))
     )
     scored = per_doc.crossJoin(F.broadcast(qnorm)).select(

@@ -120,3 +120,57 @@ def test_triangle_lazy_plan_shape_still_audited(spark):
     assert not PY_NODES.search(plan)
     # the degree-ordered wedge pipeline is really in there
     assert plan.count("Join") >= 5
+
+
+def test_pagerank_lazy_plan_shape_and_equivalence(spark):
+    """VERDICT r5 next #1: pagerank's eager wrapper returns a
+    checkpoint-scan plan, so audits use pagerank_plan — which must (a)
+    expose the real iteration shape (per-round join + aggregate, no
+    cartesian, no Python nodes, bounded exchanges) and (b) produce
+    BIT-IDENTICAL ranks to the eager executable (decimal contribution
+    sums are order-independent, so equality is exact, not approximate)."""
+    from cruncher_spark.operators.graph import pagerank, pagerank_plan
+    from cruncher_spark.plans.star_queries import _co_order_edges
+
+    edges = _co_order_edges(spark, SF_DIR)
+    lazy = pagerank_plan(edges, iters=3)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not PY_NODES.search(plan)
+    # the unrolled iteration really is in the plan: >= 1 join + 1 agg per
+    # round plus degree/out-edge build joins
+    assert plan.count("Join") >= 4
+    assert len(re.findall(r"HashAggregate|SortAggregate", plan)) >= 3
+    # bounded exchanges PER ITERATION: the unroll repeats the (static)
+    # edge lineage each round — runtime ReuseExchange dedupes identical
+    # shuffles at execution — so the invariant is LINEAR growth with a
+    # small constant per round, never quadratic blowup
+    def n_ex(i):
+        p = (
+            pagerank_plan(edges, iters=i)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        return len(re.findall(r"Exchange (?:hash|range|Single)", p))
+
+    e1, e2, e3 = n_ex(1), n_ex(2), n_ex(3)
+    assert e3 - e2 == e2 - e1, f"superlinear exchange growth: {e1},{e2},{e3}"
+    assert e2 - e1 <= 12, f"per-round exchange cost too high: {e2 - e1}"
+
+    eager = {(r.id, r.pr) for r in pagerank(edges, iters=3).collect()}
+    got = {(r.id, r.pr) for r in lazy.collect()}
+    assert got == eager and eager
+
+
+def test_audit_forms_match_registered_queries(spark):
+    """Every AUDIT_FORMS entry names a registered query and returns the
+    SAME rows (collected, order-insensitive) — the lazy stand-in is
+    evidence about the real query only if it computes the real query."""
+    from cruncher_spark.plans import audit_form_map, query_map
+
+    forms = audit_form_map()
+    assert set(forms) == {"triangle_count", "pagerank_topk"}
+    qmap = query_map()
+    for name, fn in forms.items():
+        real = sorted(map(tuple, qmap[name](spark, SF_DIR).collect()))
+        lazy = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+        assert lazy == real, name
