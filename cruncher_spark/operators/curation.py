@@ -307,6 +307,8 @@ def reservoir_per_key(
     key_col: str,
     id_col: str,
     k: int,
+    *,
+    two_phase_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic k-per-key sample ("reservoir" made reproducible):
     rank rows inside each key by the md5 of their id and keep the k
@@ -318,17 +320,36 @@ def reservoir_per_key(
     Returns (key, id, rk in 1..k). Scale shape: ONE shuffle (hash-
     partition by key) + per-partition sort; a skewed key sorts spill-
     safely inside its partition, and AQE's skew handling does not apply
-    to window shuffles — for a pathological single-key corpus, pre-
-    aggregate with a (hash-bucket, key) two-phase top-k instead.
+    to window shuffles — for a pathological corpus where one key holds
+    most rows, pass ``two_phase_buckets=B`` (VERDICT r5 next #4): phase
+    one ranks within (key, hash-bucket-of-id) — B-way parallel even for
+    a single key — and keeps k per bucket, so phase two's per-key rank
+    sorts at most ``B*k`` rows per key instead of the key's whole
+    population. Identical output by construction: the global k smallest
+    under the (md5, id) order are each within their own bucket's k
+    smallest, and both phases use the same total order.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    src = df.select(F.col(key_col), F.col(id_col))
+    if two_phase_buckets is not None and two_phase_buckets > 1:
+        wb = Window.partitionBy(key_col, "_rpk_bkt").orderBy(*order)
+        src = (
+            src.withColumn(
+                "_rpk_bkt",
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")),
+                    F.lit(two_phase_buckets),
+                ),
+            )
+            .withColumn("_rpk_brk", F.row_number().over(wb))
+            .where(F.col("_rpk_brk") <= k)
+            .drop("_rpk_bkt", "_rpk_brk")
+        )
+    w = Window.partitionBy(key_col).orderBy(*order)
     return (
-        df.select(F.col(key_col), F.col(id_col))
-        .withColumn("rk", F.row_number().over(w))
+        src.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
 
@@ -337,6 +358,7 @@ def doc_mean_token_freq(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Corpus-relative rarity score per document: the mean corpus
     frequency of the document's tokens (low mean = rare vocabulary, the
@@ -348,10 +370,20 @@ def doc_mean_token_freq(
     IEEE double op — identical on every engine — rounded to 6 decimals.
 
     Scale shape: one corpus-sized shuffle for the frequency aggregate
-    (map-side combined), one term-keyed join to attach frequencies (a
-    stopword's postings concentrate in that term's partition — AQE
-    skew-join splits it because the frequency side is one row per term),
-    one per-doc aggregate.
+    (map-side combined), one term-keyed join to attach frequencies, one
+    per-doc aggregate. The frequency-attach join is explicitly SALTED:
+    the token side joins on (term, hash(id) % salt_buckets) and the
+    one-row-per-term frequency side is replicated across all buckets, so
+    a stopword that is half the corpus spreads over ``salt_buckets``
+    partitions deterministically. Explicit rather than AQE because
+    OptimizeSkewedJoin is structurally unavailable here (verified r6,
+    pinned by tests/test_pipeline_ops.py): it pattern-matches
+    SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) over ENSURE_REQUIREMENTS
+    stages only, and the frequency aggregate fuses INSIDE the join stage
+    (child = Sort(HashAgg(ShuffleRead))), while forcing a boundary with
+    repartition() mints a REPARTITION_BY_COL stage AQE refuses to
+    rewrite. Salt cost: the vocabulary-sized frequency table shuffles
+    x salt_buckets — negligible next to the corpus-sized token side.
     """
     from cruncher_spark.functions.text import words
 
@@ -359,8 +391,19 @@ def doc_mean_token_freq(
         F.col(id_col), F.explode(words(text_col)).alias("term")
     )
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    salted_toks = toks.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets)),
+    )
+    salted_freq = freq.select(
+        "term",
+        "c",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1))
+        ).alias("salt"),
+    )
     return (
-        toks.join(freq, "term")
+        salted_toks.join(salted_freq, ["term", "salt"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
