@@ -204,33 +204,56 @@ delta = [
     (9, 8, 8, 8, 8, 8, 8.0, "i", "I"),    # pure insert
 ]
 
+# k NOT NULL: Spark's delta-based rewrite refuses nullable row-id
+# attributes (NULLABLE_ROW_ID_ATTRIBUTES); merge keys are non-null by
+# PointTable contract anyway
+ddl = (
+    "(k BIGINT NOT NULL, n BIGINT, ns BIGINT, hi BIGINT, lo BIGINT, "
+    "gr BIGINT, v DOUBLE, tag STRING, first STRING)"
+)
+# both row-level rewrite modes Spark supports: group-based
+# (copy-on-write, ReplaceData) is the catalog default; delta-based
+# (merge-on-read, WriteDelta -- Iceberg MoR's production mode) is
+# opted into per table via TBLPROPERTIES
+spark.sql(f"CREATE TABLE memcat.ns.pt {ddl}")
 spark.sql(
-    "CREATE TABLE memcat.ns.pt (k BIGINT, n BIGINT, ns BIGINT, hi BIGINT, "
-    "lo BIGINT, gr BIGINT, v DOUBLE, tag STRING, first STRING)"
+    f"CREATE TABLE memcat.ns.ptd {ddl} "
+    "TBLPROPERTIES('rewrite'='delta','rowid'='k')"
 )
 spark.createDataFrame(seed, schema).createOrReplaceTempView("seed")
-spark.sql("INSERT INTO memcat.ns.pt SELECT * FROM seed")
 spark.createDataFrame(delta, schema).createOrReplaceTempView("delta")
 
-stmt = merge_into_sql(
-    "memcat.ns.pt", "delta", key=["k"],
-    columns=[f.name for f in spark.table("delta").schema.fields if f.name != "k"],
-    policies=policies, dtypes={"v": "double"},
-)
-spark.sql(stmt)
+cols = [f.name for f in spark.table("delta").schema.fields if f.name != "k"]
+rewrite_nodes = {}
+for tbl, node in [("memcat.ns.pt", "ReplaceData"),
+                  ("memcat.ns.ptd", "WriteDelta")]:
+    spark.sql(f"INSERT INTO {tbl} SELECT * FROM seed")
+    stmt = merge_into_sql(
+        tbl, "delta", key=["k"], columns=cols,
+        policies=policies, dtypes={"v": "double"},
+    )
+    plan = spark.sql(f"EXPLAIN EXTENDED {stmt}").collect()[0][0]
+    if node not in plan:
+        print(f"REWRITE_MODE_MISSING {tbl}: expected {node}")
+        sys.exit(1)
+    rewrite_nodes[tbl] = node
+    spark.sql(stmt)
+
 got = sorted(map(tuple, spark.sql("SELECT * FROM memcat.ns.pt").collect()))
+got_d = sorted(map(tuple, spark.sql("SELECT * FROM memcat.ns.ptd").collect()))
 
 pt = PointTable(spark, sys.argv[2], key=["k"], policies=policies, num_buckets=2)
 pt.merge(spark.createDataFrame(seed, schema), batch_id="seed")
 pt.merge(spark.createDataFrame(delta, schema), batch_id="delta")
 want = sorted(map(tuple, pt.read().collect()))
 
-if got != want:
-    for g, w in zip(got, want):
-        if g != w:
-            print("MISMATCH", g, w)
+if got != want or got_d != want:
+    for label, g_all in [("group", got), ("delta", got_d)]:
+        for g, w in zip(g_all, want):
+            if g != w:
+                print("MISMATCH", label, g, w)
     sys.exit(1)
-print(f"MERGE_OK rows={len(got)}")
+print(f"MERGE_OK rows={len(got)} modes={sorted(rewrite_nodes.values())}")
 '''
 
 
@@ -279,4 +302,5 @@ def test_emitted_merge_executes_on_spark_v2_catalog(
         capture_output=True, text=True, timeout=600, cwd="/root/repo",
     )
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
-    assert "MERGE_OK rows=5" in proc.stdout
+    # both rewrite modes executed and matched PointTable.merge
+    assert "MERGE_OK rows=5 modes=['ReplaceData', 'WriteDelta']" in proc.stdout

@@ -1,7 +1,18 @@
 /*
- * Minimal in-memory DataSource V2 catalog WITH group-based row-level
- * operation support, so `MERGE INTO` (and UPDATE/DELETE) can be EXECUTED
- * through Spark in a sandbox that has no Delta/Iceberg connector jar.
+ * Minimal in-memory DataSource V2 catalog WITH row-level operation
+ * support in BOTH rewrite modes Spark knows, so `MERGE INTO` (and
+ * UPDATE/DELETE) can be EXECUTED through Spark in a sandbox that has no
+ * Delta/Iceberg connector jar:
+ *
+ * - group-based (copy-on-write, ReplaceData): the default. The scan
+ *   group is the whole table; commit REPLACES the table contents with
+ *   the rewritten rows -- Delta Lake's and Iceberg CoW's model.
+ * - delta-based (merge-on-read, WriteDelta): opt-in per table with
+ *   TBLPROPERTIES('rewrite'='delta','rowid'='<col>[,<col>...]').
+ *   The operation implements SupportsDelta; the writer receives per-row
+ *   DELETE/UPDATE/INSERT ops keyed by the declared row-id columns and
+ *   commit applies them surgically -- Iceberg MoR's model (VERDICT r5
+ *   next #3: validate the emitted MERGE under both rewrite paths).
  *
  * Purpose-built test scaffolding for tests/test_merge_into.py: the
  * cruncher_spark merge_into emitter renders PointTable policy specs as
@@ -13,11 +24,6 @@
  * Design notes (kept deliberately tiny; LOCAL MODE ONLY):
  * - Storage is a static map of row lists keyed by table identity; reader
  *   and writer tasks reach it directly because local[*] shares one JVM.
- * - One scan group == the whole table. Spark's group-based rewrite of
- *   MERGE (ReplaceData) rewrites every group the scan read, so commit()
- *   of a row-level write REPLACES the table contents -- exactly the
- *   contract SupportsRowLevelOperations requires when the scan reads
- *   everything.
  * - Plain INSERT INTO appends; truncate supported for test setup.
  */
 
@@ -42,6 +48,8 @@ import org.apache.spark.sql.connector.catalog.TableCapability;
 import org.apache.spark.sql.connector.catalog.TableCatalog;
 import org.apache.spark.sql.connector.catalog.TableChange;
 import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.expressions.Expressions;
+import org.apache.spark.sql.connector.expressions.NamedReference;
 import org.apache.spark.sql.connector.expressions.Transform;
 import org.apache.spark.sql.connector.read.Batch;
 import org.apache.spark.sql.connector.read.InputPartition;
@@ -52,11 +60,17 @@ import org.apache.spark.sql.connector.read.ScanBuilder;
 import org.apache.spark.sql.connector.write.BatchWrite;
 import org.apache.spark.sql.connector.write.DataWriter;
 import org.apache.spark.sql.connector.write.DataWriterFactory;
+import org.apache.spark.sql.connector.write.DeltaBatchWrite;
+import org.apache.spark.sql.connector.write.DeltaWrite;
+import org.apache.spark.sql.connector.write.DeltaWriteBuilder;
+import org.apache.spark.sql.connector.write.DeltaWriter;
+import org.apache.spark.sql.connector.write.DeltaWriterFactory;
 import org.apache.spark.sql.connector.write.LogicalWriteInfo;
 import org.apache.spark.sql.connector.write.PhysicalWriteInfo;
 import org.apache.spark.sql.connector.write.RowLevelOperation;
 import org.apache.spark.sql.connector.write.RowLevelOperationBuilder;
 import org.apache.spark.sql.connector.write.RowLevelOperationInfo;
+import org.apache.spark.sql.connector.write.SupportsDelta;
 import org.apache.spark.sql.connector.write.SupportsTruncate;
 import org.apache.spark.sql.connector.write.Write;
 import org.apache.spark.sql.connector.write.WriteBuilder;
@@ -114,7 +128,12 @@ public class MemoryRowLevelCatalog implements TableCatalog, SupportsNamespaces {
     @SuppressWarnings("deprecation")
     public Table createTable(Identifier ident, StructType schema,
                              Transform[] partitions, Map<String, String> properties) {
-        MemTable t = new MemTable(catalogName, ident, schema);
+        boolean delta = "delta".equalsIgnoreCase(
+                properties.getOrDefault("rewrite", "group"));
+        String rowid = properties.getOrDefault(
+                "rowid", schema.fields()[0].name());
+        MemTable t = new MemTable(catalogName, ident, schema, delta,
+                rowid.split("\\s*,\\s*"));
         TABLES.put(key(catalogName, ident), t);
         return t;
     }
@@ -179,13 +198,18 @@ public class MemoryRowLevelCatalog implements TableCatalog, SupportsNamespaces {
         final String catalog;
         final Identifier ident;
         final StructType tableSchema;
+        final boolean deltaRewrite;
+        final String[] rowIdCols;
         final List<InternalRow> rows =
                 Collections.synchronizedList(new ArrayList<>());
 
-        MemTable(String catalog, Identifier ident, StructType schema) {
+        MemTable(String catalog, Identifier ident, StructType schema,
+                 boolean deltaRewrite, String[] rowIdCols) {
             this.catalog = catalog;
             this.ident = ident;
             this.tableSchema = schema;
+            this.deltaRewrite = deltaRewrite;
+            this.rowIdCols = rowIdCols;
         }
 
         String storeKey() {
@@ -223,6 +247,9 @@ public class MemoryRowLevelCatalog implements TableCatalog, SupportsNamespaces {
         @Override
         public RowLevelOperationBuilder newRowLevelOperationBuilder(
                 RowLevelOperationInfo info) {
+            if (deltaRewrite) {
+                return () -> new MemDeltaOperation(this, info.command());
+            }
             return () -> new MemRowLevelOperation(this, info.command());
         }
     }
@@ -260,6 +287,238 @@ public class MemoryRowLevelCatalog implements TableCatalog, SupportsNamespaces {
         @Override
         public String description() {
             return "memory-" + cmd;
+        }
+    }
+
+    // -- delta-based (merge-on-read) row-level operation ----------------------
+
+    static class MemDeltaOperation implements SupportsDelta {
+        final MemTable table;
+        final Command cmd;
+
+        MemDeltaOperation(MemTable table, Command cmd) {
+            this.table = table;
+            this.cmd = cmd;
+        }
+
+        @Override
+        public Command command() {
+            return cmd;
+        }
+
+        @Override
+        public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+            return () -> new MemScan(table.storeKey(), table.tableSchema);
+        }
+
+        @Override
+        public NamedReference[] rowId() {
+            NamedReference[] refs = new NamedReference[table.rowIdCols.length];
+            for (int i = 0; i < refs.length; i++) {
+                refs[i] = Expressions.column(table.rowIdCols[i]);
+            }
+            return refs;
+        }
+
+        @Override
+        public DeltaWriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+            return new DeltaWriteBuilder() {
+                @Override
+                public DeltaWrite build() {
+                    return new DeltaWrite() {
+                        @Override
+                        public DeltaBatchWrite toBatch() {
+                            return new MemDeltaBatchWrite(table, info.schema());
+                        }
+                    };
+                }
+            };
+        }
+
+        @Override
+        public String description() {
+            return "memory-delta-" + cmd;
+        }
+    }
+
+    static class MemDeltaBatchWrite implements DeltaBatchWrite {
+        final String storeKey;
+        final StructType tableSchema;
+        final StructType writeSchema;
+        final String[] rowIdCols;
+
+        MemDeltaBatchWrite(MemTable table, StructType writeSchema) {
+            this.storeKey = table.storeKey();
+            this.tableSchema = table.tableSchema;
+            this.writeSchema = writeSchema;
+            this.rowIdCols = table.rowIdCols;
+        }
+
+        private int[] rowIdIdx() {
+            int[] idx = new int[rowIdCols.length];
+            for (int i = 0; i < rowIdCols.length; i++) {
+                idx[i] = tableSchema.fieldIndex(rowIdCols[i]);
+            }
+            return idx;
+        }
+
+        @Override
+        public DeltaWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
+            int[] srcIdx = new int[tableSchema.length()];
+            for (int i = 0; i < tableSchema.length(); i++) {
+                srcIdx[i] = writeSchema.fieldIndex(tableSchema.fields()[i].name());
+            }
+            org.apache.spark.sql.types.DataType[] idTypes =
+                    new org.apache.spark.sql.types.DataType[rowIdCols.length];
+            int[] idIdx = rowIdIdx();
+            for (int i = 0; i < rowIdCols.length; i++) {
+                idTypes[i] = tableSchema.fields()[idIdx[i]].dataType();
+            }
+            return new MemDeltaWriterFactory(tableSchema, srcIdx,
+                    writeSchema.length(), idTypes);
+        }
+
+        /** Key values normalized for cross-representation equality. */
+        static List<Object> normKey(Object[] vals) {
+            List<Object> out = new ArrayList<>(vals.length);
+            for (Object v : vals) {
+                if (v instanceof org.apache.spark.unsafe.types.UTF8String) {
+                    v = v.toString();
+                }
+                out.add(v);
+            }
+            return out;
+        }
+
+        @Override
+        public void commit(WriterCommitMessage[] messages) {
+            MemTable t = TABLES.get(storeKey);
+            int[] idIdx = rowIdIdx();
+            org.apache.spark.sql.types.DataType[] idTypes =
+                    new org.apache.spark.sql.types.DataType[idIdx.length];
+            for (int i = 0; i < idIdx.length; i++) {
+                idTypes[i] = tableSchema.fields()[idIdx[i]].dataType();
+            }
+            Set<List<Object>> removed = ConcurrentHashMap.newKeySet();
+            List<InternalRow> additions = new ArrayList<>();
+            for (WriterCommitMessage m : messages) {
+                MemDeltaCommitMessage dm = (MemDeltaCommitMessage) m;
+                removed.addAll(dm.removedKeys);
+                additions.addAll(dm.rows);
+            }
+            synchronized (t.rows) {
+                t.rows.removeIf(row -> {
+                    Object[] key = new Object[idIdx.length];
+                    for (int i = 0; i < idIdx.length; i++) {
+                        key[i] = row.isNullAt(idIdx[i]) ? null
+                                : row.get(idIdx[i], idTypes[i]);
+                    }
+                    return removed.contains(normKey(key));
+                });
+                t.rows.addAll(additions);
+            }
+        }
+
+        @Override
+        public void abort(WriterCommitMessage[] messages) {
+        }
+    }
+
+    static class MemDeltaWriterFactory implements DeltaWriterFactory {
+        final StructType tableSchema;
+        final int[] srcIdx;
+        final int writeSchemaLen;
+        final org.apache.spark.sql.types.DataType[] idTypes;
+
+        MemDeltaWriterFactory(StructType tableSchema, int[] srcIdx,
+                              int writeSchemaLen,
+                              org.apache.spark.sql.types.DataType[] idTypes) {
+            this.tableSchema = tableSchema;
+            this.srcIdx = srcIdx;
+            this.writeSchemaLen = writeSchemaLen;
+            this.idTypes = idTypes;
+        }
+
+        @Override
+        public DeltaWriter<InternalRow> createWriter(int partitionId, long taskId) {
+            List<List<Object>> removedKeys = new ArrayList<>();
+            List<InternalRow> rows = new ArrayList<>();
+            return new DeltaWriter<InternalRow>() {
+                private List<Object> keyOf(InternalRow id) {
+                    Object[] vals = new Object[idTypes.length];
+                    for (int i = 0; i < idTypes.length; i++) {
+                        vals[i] = id.isNullAt(i) ? null : id.get(i, idTypes[i]);
+                    }
+                    return MemDeltaBatchWrite.normKey(vals);
+                }
+
+                private InternalRow projected(InternalRow record) {
+                    // same defensive undeclared-leading-columns handling
+                    // as the group-based writer
+                    int extra = record.numFields() - writeSchemaLen;
+                    if (extra < 0) {
+                        throw new IllegalStateException(
+                                "delta write row has " + record.numFields()
+                                + " fields, write schema declared "
+                                + writeSchemaLen);
+                    }
+                    Object[] values = new Object[srcIdx.length];
+                    for (int i = 0; i < srcIdx.length; i++) {
+                        int j = srcIdx[i] + extra;
+                        Object v = record.isNullAt(j) ? null
+                                : record.get(j,
+                                        tableSchema.fields()[i].dataType());
+                        if (v instanceof org.apache.spark.unsafe.types.UTF8String) {
+                            v = ((org.apache.spark.unsafe.types.UTF8String) v).clone();
+                        }
+                        values[i] = v;
+                    }
+                    return new org.apache.spark.sql.catalyst.expressions
+                            .GenericInternalRow(values);
+                }
+
+                @Override
+                public void delete(InternalRow metadata, InternalRow id) {
+                    removedKeys.add(keyOf(id));
+                }
+
+                @Override
+                public void update(InternalRow metadata, InternalRow id,
+                                   InternalRow row) {
+                    removedKeys.add(keyOf(id));
+                    rows.add(projected(row));
+                }
+
+                @Override
+                public void insert(InternalRow row) {
+                    rows.add(projected(row));
+                }
+
+                @Override
+                public WriterCommitMessage commit() {
+                    return new MemDeltaCommitMessage(
+                            new ArrayList<>(removedKeys), new ArrayList<>(rows));
+                }
+
+                @Override
+                public void abort() {
+                }
+
+                @Override
+                public void close() {
+                }
+            };
+        }
+    }
+
+    static class MemDeltaCommitMessage implements WriterCommitMessage {
+        final List<List<Object>> removedKeys;
+        final List<InternalRow> rows;
+
+        MemDeltaCommitMessage(List<List<Object>> removedKeys,
+                              List<InternalRow> rows) {
+            this.removedKeys = removedKeys;
+            this.rows = rows;
         }
     }
 
