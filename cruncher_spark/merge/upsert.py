@@ -554,7 +554,23 @@ class PointTable:
         off the merge path). The ledger is carried forward unchanged, so
         replay idempotence is preserved, and readers see the old layout
         until the single pointer flip.
+
+        Concurrency: serializes on the same WRITER.lock as :meth:`merge`
+        (r6; without it a merge racing the rebucket would build its
+        version from the pre-rebucket CURRENT and the last pointer flip
+        would silently discard the other writer's work). The state read
+        happens INSIDE the lock, so the rewrite always reflects the
+        latest committed version; a table can therefore be re-tuned
+        ONLINE while its worker keeps merging — the merge just blocks
+        for the duration of the rewrite.
         """
+        import fcntl
+
+        with open(self.path / "WRITER.lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            self._rebucket_locked(num_buckets)
+
+    def _rebucket_locked(self, num_buckets: int) -> None:
         cur = self._current_version()
         if cur is None:
             raise FileNotFoundError(f"point table not initialized: {self.path}")

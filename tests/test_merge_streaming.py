@@ -584,3 +584,66 @@ def test_legacy_checkpoint_without_marker_fails_loudly(tmp_path):
     fresh = tmp_path / "fresh-cp"
     sid = checkpoint_stream_id(str(fresh))
     assert sid and checkpoint_stream_id(str(fresh)) == sid
+
+
+def test_rebucket_online_with_concurrent_merge(spark, tmp_path):
+    """VERDICT r5 next #7: a table that grows 100x must be re-tunable
+    ONLINE. rebucket(8 -> 64) and a merge run concurrently from two
+    threads; the WRITER.lock serializes them (r6 fix -- previously
+    rebucket skipped the lock and the last pointer flip silently
+    discarded the other writer), so afterwards BOTH effects are present:
+    the 64-bucket layout, the merged delta, and a ledger holding every
+    batch id."""
+    import threading
+
+    pt = PointTable(spark, str(tmp_path / "pt"), key=["k"], num_buckets=8)
+    pt.merge(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(200)], "k int, n int"
+        ),
+        batch_id="seed",
+    )
+    before = {r.k: r.n for r in pt.read().collect()}
+
+    # separate handles, as two writers would have
+    rb = PointTable(spark, str(tmp_path / "pt"), key=["k"])
+    mg = PointTable(spark, str(tmp_path / "pt"), key=["k"])
+    errs = []
+
+    def do_rebucket():
+        try:
+            rb.rebucket(64)
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    def do_merge():
+        try:
+            mg.merge(
+                spark.createDataFrame([(3, 1), (777, 7)], "k int, n int"),
+                batch_id="delta",
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=do_rebucket)
+    t2 = threading.Thread(target=do_merge)
+    t1.start(); t2.start(); t1.join(300); t2.join(300)
+    assert not errs, errs
+
+    fresh = PointTable(spark, str(tmp_path / "pt"), key=["k"])
+    rows = {r.k: r.n for r in fresh.read().collect()}
+    want = dict(before)
+    want[3] = before[3] + 1
+    want[777] = 7
+    assert rows == want
+    assert fresh.applied_batches() == {"seed", "delta"}
+    import json as _json
+
+    meta = _json.loads(
+        (fresh._current_version() / "meta.json").read_text()
+    )
+    assert meta["num_buckets"] == 64
+    # replay stays idempotent across the migration
+    assert fresh.merge(
+        spark.createDataFrame([(3, 999)], "k int, n int"), batch_id="delta"
+    ) is False
