@@ -364,9 +364,32 @@ def drain_to_landing_dir(
     Ack ordering: the batch file is written to a temp name and atomically
     renamed into the landing dir BEFORE any of its messages are acked
     (ack-after-durable). A crash between rename and ack redelivers the
-    batch; the engine's batch-id ledger absorbs the replay. Returns the
-    number of messages landed.
+    batch.
+
+    Redelivery dedup (r6): batches land under their CONTENT hash
+    (``batch-<sha256[:24]>.txt``), and the landing dir itself is the
+    durable occurrence ledger:
+
+    - a batch whose messages are ALL broker-flagged ``redelivered`` and
+      whose content file already exists is the crash-between-rename-
+      and-ack replay — nothing is written (the original landing stands,
+      Spark's file source never sees a second file) and the messages are
+      just acked: the common crash window stays exactly-once;
+    - a batch with redelivered=false whose content file exists is a
+      legitimately REPEATED batch (the same id re-crunched later —
+      normal reference traffic, worker.js re-crunches a participant on
+      every new match): it lands under a uniquified name and is
+      processed again, as it must be;
+    - a redelivery that regroups messages across batch boundaries
+      (reconnect with a different prefetch cut), or whose original file
+      was already pruned from the landing dir, lands as a novel file and
+      degrades to at-least-once — exactly the reference's semantics
+      (worker.js ACKs after commit and double-crunches on replay).
+
+    Returns the number of messages landed (acked replays included).
     """
+    import hashlib
+
     land = Path(landing_dir)
     land.mkdir(parents=True, exist_ok=True)
     client.queue_declare(queue)
@@ -377,10 +400,19 @@ def drain_to_landing_dir(
         deliveries = client.consume(queue, batch_size, timeout_s=timeout_s)
         if not deliveries:
             break
-        name = f"batch-{uuid.uuid4().hex}.txt"
-        tmp = land / f".{name}.tmp"
-        tmp.write_bytes(b"".join(d.body + b"\n" for d in deliveries))
-        os.replace(tmp, land / name)  # durable before any ack
+        content = b"".join(d.body + b"\n" for d in deliveries)
+        base = f"batch-{hashlib.sha256(content).hexdigest()[:24]}"
+        exists = (land / f"{base}.txt").exists()
+        if exists and all(d.redelivered for d in deliveries):
+            name = None  # crash replay of an already-landed batch
+        elif exists:
+            name = f"{base}-{uuid.uuid4().hex[:8]}.txt"  # legit repeat
+        else:
+            name = f"{base}.txt"
+        if name is not None:
+            tmp = land / f".{name}.tmp.{uuid.uuid4().hex[:8]}"
+            tmp.write_bytes(content)
+            os.replace(tmp, land / name)  # durable before any ack
         for d in deliveries:
             client.basic_ack(d.delivery_tag)
         landed += len(deliveries)
