@@ -1582,6 +1582,35 @@ def reservoir_per_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reservoir_two_phase",
+    oracle="""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+      FROM documents
+    ) WHERE rk <= 7
+    """,
+    doc="The single-hot-key fallback of reservoir_per_key (VERDICT r5 "
+    "next #4), driver-verified against the SAME oracle as the window "
+    "form: phase one ranks within (key, hash-bucket-of-id) so one key "
+    "holding the whole corpus still ranks B-way parallel, phase two "
+    "re-ranks the <= B*k survivors per key. Output is identical to the "
+    "plain window form by construction — both phases use the same "
+    "(md5(id), id) total order — so the oracle needs no bucket notion.",
+)
+def reservoir_two_phase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F  # noqa: F811
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    out = reservoir_per_key(docs, "source", "doc_id", k=7, two_phase_buckets=8)
+    return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+
+
+@register(
     "doc_rarity",
     oracle="""
     WITH t AS (
@@ -1595,8 +1624,9 @@ def reservoir_per_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Mean corpus token frequency per doc — the cheap unigram stand-in "
     "for LM-perplexity quality filtering (stopword-soup scores high, rare "
     "vocabulary low). Integer-exact until one final rounded division; "
-    "frequency-attach join is AQE-skew-splittable (one row per term on "
-    "the build side).",
+    "frequency-attach join explicitly SALTED on (term, hash(id) % 8) with "
+    "the one-row-per-term side replicated (r6: AQE skew-join is "
+    "structurally unavailable for this shape — see doc_mean_token_freq).",
 )
 def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
