@@ -373,18 +373,28 @@ def _start_amqp_bridge(
                     f"reconnecting in {backoff:.0f}s",
                     file=sys.stderr, flush=True,
                 )
-                time.sleep(backoff)
-                backoff = min(backoff * 2, 30.0)
                 try:
                     client.close()
                 except Exception:
                     pass
-                try:
-                    client = AmqpClient(host, port).connect()
-                    health["reconnects"] += 1
-                except (ConnectionError, OSError) as e2:
-                    health["last_error"] = repr(e2)
-                    # retry the connect on the next loop pass
+                # reconnect-until-success INSIDE the handler: returning to
+                # the drain loop with a dead client would raise through a
+                # different exception type and kill the thread — the exact
+                # silent death this handler exists to prevent
+                while True:
+                    time.sleep(backoff)
+                    backoff = min(backoff * 2, 30.0)
+                    try:
+                        client = AmqpClient(host, port).connect()
+                        health["reconnects"] += 1
+                        break
+                    except (ConnectionError, OSError) as e2:
+                        health["last_error"] = repr(e2)
+                        print(
+                            f"amqp bridge: reconnect failed ({e2!r}); "
+                            f"retrying in {backoff:.0f}s",
+                            file=sys.stderr, flush=True,
+                        )
         health["alive"] = not once or health["last_error"] is None
 
     if once:
