@@ -305,6 +305,109 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL},
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, comp) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    labels AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+    allc AS (
+      SELECT d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+             len(string_split(trim(d.text), ' ')) AS n_words
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, n_words,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY cluster_id ORDER BY n_words DESC, doc_id
+        ) AS rn,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM allc
+    ) WHERE rn = 1
+    """,
+    doc="The curation step after near-dup clustering: keep ONE "
+    "representative per cluster, chosen by QUALITY (here word count, "
+    "ties by min doc_id) rather than arbitrary min-id — what a real "
+    "training-data pipeline does so boilerplate stubs never shadow the "
+    "full document. Composition: verified MinHash+LSH pairs -> "
+    "connected components -> singleton docs self-clustered via a left "
+    "join (the labels table holds only paired docs, far smaller than "
+    "the corpus) -> one per-cluster rank window. Scale shape: the CC "
+    "loop is the bounded-lineage iterative kernel; the final window "
+    "shuffles once on cluster_id with partitions bounded by cluster "
+    "size; the labels join is hashable at any scale and broadcastable "
+    "when pairs are rare.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cruncher_spark.operators.graph import connected_components
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        min_jaccard=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    ).persist()
+    labels = connected_components(pairs, "id_a", "id_b")
+    clustered = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), " ")).alias("n_words"),
+        )
+        .join(
+            labels.select(
+                F.col("id").alias("doc_id"), F.col("comp").alias("cl")
+            ),
+            "doc_id",
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce("cl", F.col("doc_id")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_words"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        clustered.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_words",
+            "n_members",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash banded near-dup (generated oracle)
 # ---------------------------------------------------------------------------
