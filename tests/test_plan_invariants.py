@@ -156,7 +156,13 @@ def test_pagerank_lazy_plan_shape_and_equivalence(spark):
     assert e3 - e2 == e2 - e1, f"superlinear exchange growth: {e1},{e2},{e3}"
     assert e2 - e1 <= 12, f"per-round exchange cost too high: {e2 - e1}"
 
-    eager = {(r.id, r.pr) for r in pagerank(edges, iters=3).collect()}
+    # checkpoint_interval=1 forces the CHECKPOINTED eager form (iters >
+    # interval) — pagerank() otherwise routes shallow runs through
+    # pagerank_plan itself, which would make this comparison circular
+    eager = {
+        (r.id, r.pr)
+        for r in pagerank(edges, iters=3, checkpoint_interval=1).collect()
+    }
     got = {(r.id, r.pr) for r in lazy.collect()}
     assert got == eager and eager
 
