@@ -615,3 +615,44 @@ def test_doc_rarity_skew_salting(spark):
         .count()
     )
     assert n_buckets == 4
+
+
+def test_prefix_jaccard_exact_threshold_property(spark):
+    """Property net over the r6 integer-threshold arithmetic: for random
+    taus (including awkward non-dyadic ones) and random small shingle
+    sets, prefix_jaccard_pairs must return EXACTLY the brute-force
+    Python pair set — no boundary pair float-pruned, none invented.
+    Spark-amortized: all (tau, corpus) cases share one session; each
+    case is a 12-doc corpus so the whole sweep is seconds."""
+    import random
+
+    from cruncher_spark.operators.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(20260814)
+    taus = [0.25, 0.3, 0.5, 0.6, 2 / 3, 0.75, 0.2, 0.45]
+    for case in range(6):
+        vocab = [f"t{j}" for j in range(12)]
+        docs = []
+        for i in range(12):
+            n = rng.randint(1, 8)
+            docs.append((i, sorted(rng.sample(vocab, n))))
+        sets = {i: set(sh) for i, sh in docs}
+        df = spark.createDataFrame(docs, "doc_id long, sh array<string>")
+        for tau in taus:
+            # the operator's contract: J >= tau under the EXACT rational
+            # tau recovered by limit_denominator — mirror it here
+            from fractions import Fraction
+
+            fr = Fraction(tau).limit_denominator(1_000_000)
+            want = set()
+            for a in range(12):
+                for b in range(a + 1, 12):
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if union and inter * fr.denominator >= fr.numerator * union:
+                        want.add((a, b))
+            got = {
+                (r.id_a, r.id_b)
+                for r in prefix_jaccard_pairs(df, "doc_id", tau).collect()
+            }
+            assert got == want, (case, tau, got ^ want)
