@@ -18,10 +18,11 @@ At 100 TB the same loop holds: edges and labels are co-partitioned by the
 join key each round (one hash shuffle each), and convergence is detected
 with a single scalar aggregate (sum of labels strictly decreases — no
 row-wise diff join). For adversarial graph shapes (giant near-chain
-components) switch to alternating large-star/small-star rounds
-(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-— same (id, comp) state, provably O(log^2 n) rounds; the propagation
-kernel below is the building block either way.
+components) :func:`connected_components_star` implements the alternating
+large-star/small-star formulation (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) — same (id, comp) contract, provably
+O(log^2 n) rounds on any graph; a property test pins both algorithms
+equal on random and pathological shapes.
 """
 
 from __future__ import annotations
@@ -90,6 +91,110 @@ def connected_components(
             return labels
         prev_sum = new_sum
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 60,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-shape fallback the min-label kernel's
+    docstring promises: provably O(log^2 n) rounds on ANY graph,
+    including near-chain giant components where plain propagation's
+    pointer jumping is the only thing keeping rounds down.
+
+    Same contract as :func:`connected_components`: (id, comp) with comp =
+    the component's min node id, for every node appearing in ``pairs``.
+
+    One round = one symmetric-neighborhood min aggregate + one conditional
+    edge rewrite + distinct — O(V + E) shuffle, same as the propagation
+    kernel. The edge set monotonically contracts toward stars centered at
+    component minima; convergence is detected with a two-scalar aggregate
+    (edge count + order-insensitive xxhash64 sum — equality of both across
+    a round means the edge SET is unchanged: the count pins cardinality
+    and a 64-bit sum collision under a fixed deterministic hash has no
+    adversary here). Lineage is cut per round with ``localCheckpoint``.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # remember every node up front: star rounds drop self-contained
+    # minima from the edge list as components collapse
+    all_nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        # hash sum in DECIMAL(38,0): full-range int64 hashes overflow a
+        # long sum under ANSI mode; the decimal sum is exact
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        joined = sym.join(m, "u")
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        rewired = joined.where(cond).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        keep_self = m.select(F.col("u"), F.col("m").alias("v"))
+        out = (
+            rewired.union(keep_self)
+            .where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        return out.localCheckpoint(eager=True)
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _star(edges, large=True)
+        edges = _star(edges, large=False)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_iter} rounds"
+        )
+    # converged edges are stars (u > v = component min); nodes absent from
+    # the edge list are their own components. The min-agg is belt-and-
+    # braces: at a true fixed point each non-min node has exactly one
+    # edge, but a duplicate row here must never fan out the left join.
+    labels = (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        .groupBy("id")
+        .agg(F.min("comp").alias("comp"))
+    )
+    return (
+        all_nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
 
 
 def triangle_count_plan(

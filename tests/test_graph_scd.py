@@ -118,3 +118,57 @@ def test_scd2_apply_new_key_and_absorbed_repeat(spark):
     assert out[(1, 2)].attr == "b" and out[(1, 2)].is_current
     assert out[(1, 2)].valid_from == 20  # absorbed repeat kept the run start
     assert out[(2, 1)].attr == "x" and out[(2, 1)].is_current
+
+
+def test_star_cc_equals_propagation_cc(spark):
+    """connected_components_star (large-star/small-star, the adversarial-
+    shape fallback) must produce EXACTLY the min-label propagation
+    kernel's labels on every shape: random sparse graphs, a long chain
+    (the near-worst case for naive propagation), a star, disjoint
+    cliques, and singleton-heavy edge lists."""
+    import random
+
+    from cruncher_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+
+    def pairs_df(edges):
+        return spark.createDataFrame(
+            [(a, b) for a, b in edges], "a long, b long"
+        )
+
+    cases = {}
+    # long chain 0-1-2-...-127: one component, diameter 127
+    cases["chain"] = [(i, i + 1) for i in range(127)]
+    # star centered at 500
+    cases["star"] = [(500, 500 + i) for i in range(1, 40)]
+    # two cliques + a bridge-free gap
+    k1 = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    k2 = [(100 + i, 100 + j) for i in range(8) for j in range(i + 1, 8)]
+    cases["cliques"] = k1 + k2
+    # random sparse
+    cases["random"] = list(
+        {(min(a, b), max(a, b))
+         for a, b in ((rng.randrange(60), rng.randrange(60))
+                      for _ in range(70)) if a != b}
+    )
+
+    for name, edges in cases.items():
+        df = pairs_df(edges)
+        prop = {(r.id, r.comp)
+                for r in connected_components(df, "a", "b").collect()}
+        star = {(r.id, r.comp)
+                for r in connected_components_star(df, "a", "b").collect()}
+        assert star == prop, name
+        assert star, name
+    # chain sanity: every node labeled 0
+    chain_star = {
+        r.comp
+        for r in connected_components_star(
+            pairs_df(cases["chain"]), "a", "b"
+        ).collect()
+    }
+    assert chain_star == {0}
