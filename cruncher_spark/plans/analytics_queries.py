@@ -488,6 +488,18 @@ _CMS_H_PROBE = (
 )
 
 
+def _cms_rc(key: F.Column, r: int) -> F.Column:
+    """(row, counter) struct for one CMS hash row — shared by the batch
+    gate and the streaming windowed sketch (streaming/windows.py) so
+    their sketches are bit-compatible."""
+    return F.struct(
+        F.lit(r).alias("r"),
+        (portable_hash64(key.cast("string"), salt=f"cms{r}") % _CMS_W).alias(
+            "c"
+        ),
+    )
+
+
 @register(
     "cms_heavy_hitters",
     oracle=f"""
@@ -524,13 +536,9 @@ _CMS_H_PROBE = (
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     events = Star(spark, sf_dir).events
-    uid_s = F.col("user_id").cast("string")
 
     def rc(r: int) -> F.Column:
-        return F.struct(
-            F.lit(r).alias("r"),
-            (portable_hash64(uid_s, salt=f"cms{r}") % _CMS_W).alias("c"),
-        )
+        return _cms_rc(F.col("user_id"), r)
 
     pairs = events.select(
         F.explode(F.array(*[rc(r) for r in range(_CMS_D)])).alias("rc")

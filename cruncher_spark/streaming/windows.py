@@ -326,3 +326,81 @@ def velocity_alerts(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_cms_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-window count-min sketch as a STREAMING aggregation — the
+    frequency-tracking complement of :func:`windowed_distinct_sketch`
+    (which answers "how many distinct"; this answers "how often is any
+    given key", with CMS's one-sided overestimate).
+
+    Each event hashes into d x w counters; the streaming state per
+    (window) is bounded at d*w = 4096 count rows regardless of stream
+    volume — the property that makes frequency tracking viable where
+    exact per-key counts grow with the key universe. Append mode emits
+    the window's sketch rows when the watermark closes it; PROBING is a
+    deliberately separate batch step (:func:`cms_probe`) because
+    enumerating candidate keys over an infinite stream is itself a
+    second sketch problem (space-saving / Misra-Gries) — the emitted
+    sketch is mergeable downstream exactly like the reference's
+    externalized-state discipline.
+
+    Hash family and dimensions are SHARED with the batch gate
+    (plans/analytics_queries.py cms_heavy_hitters), so probing a closed
+    window's streaming sketch reproduces the batch estimates bit-for-bit
+    (test-asserted).
+    """
+    from cruncher_spark.plans.analytics_queries import _CMS_D, _CMS_W, _cms_rc
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.explode(
+                F.array(*[_cms_rc(F.col(key_col), r) for r in range(_CMS_D)])
+            ).alias("rc"),
+        )
+        .groupBy(F.window("ts", window).alias("w"), F.col("rc.r"), F.col("rc.c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "r",
+            "c",
+            "cnt",
+        )
+    )
+
+
+def cms_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Estimate each candidate key's per-window frequency from CMS sketch
+    rows (:func:`windowed_cms_sketch` output or any union of them —
+    sketches with the same dimensions merge by summing counters).
+
+    min-over-rows gives the classic one-sided overestimate. The sketch
+    side is window x 4096 rows — broadcast-sized for any realistic
+    window count; candidates come from the caller (top-k tracker, dim
+    table, investigation list).
+    """
+    from cruncher_spark.plans.analytics_queries import _CMS_D, _cms_rc
+
+    probe = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[_cms_rc(F.col(key_col), r) for r in range(_CMS_D)])
+        ).alias("rc"),
+    ).select(key_col, "rc.r", "rc.c")
+    return (
+        probe.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy(key_col, "window_start", "window_end")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -379,3 +379,90 @@ def test_streaming_dedup_drops_cross_batch_redelivery(spark, tmp_path):
     got = sorted((r.user_id, r.ts) for r in out.collect())
     assert got == [(1, _ts(0)), (1, _ts(600)), (2, _ts(1)), (3, _ts(3)),
                    (4, _ts(590)), (5, _ts(591))]
+
+
+def test_windowed_cms_sketch_matches_batch_estimates(spark, tmp_path):
+    """The streaming per-window count-min sketch, probed offline, must
+    reproduce the batch CMS estimates bit-for-bit for every CLOSED
+    window (shared hash family/dimensions), with late-but-in-horizon
+    rows landing in their window. State per window is d*w counter rows,
+    never per-key."""
+    from cruncher_spark.plans.analytics_queries import _CMS_D, _CMS_W, _cms_rc
+    from cruncher_spark.streaming.windows import cms_probe, windowed_cms_sketch
+
+    rows = []
+    for i in range(400):
+        # heavy user 7, moderate 13, long tail
+        uid = 7 if i % 3 == 0 else (13 if i % 5 == 0 else (i % 50) + 100)
+        rows.append((uid, _ts(i % 110), "click", 1.0))
+    b1, b2 = rows[:250], rows[250:] + [(999, _ts(600), "click", 1.0)]
+    d = tmp_path / "cms_in"
+    d.mkdir()
+    for i, rs in enumerate([b1, b2]):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    # 3h watermark: batch-2's late rows (ts 0-110 min) must land INSIDE
+    # the horizon while their windows are still open — CMS counters are
+    # exact, so a dropped late row would show as a counted mismatch
+    # (unlike the HLL test, where saturated bucket maxes forgive drops)
+    sketch_rows = _run_stream(
+        spark,
+        windowed_cms_sketch(stream, watermark="3 hours"),
+        "cms_sketch_sink",
+        tmp_path / "ckpt_cms",
+    )
+    closed = sketch_rows.where(F.col("window_start") < _ts(300))
+    assert closed.count() > 0
+    # bounded state: never more than d*w counter rows per window
+    per_window = {
+        r.window_start: r.n
+        for r in closed.groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(n <= _CMS_D * _CMS_W for n in per_window.values())
+
+    # batch truth: same sketch math over all rows, per window
+    batch = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    batch_sketch = (
+        batch.select(
+            F.window("ts", "1 hour").alias("w"),
+            F.explode(
+                F.array(*[_cms_rc(F.col("user_id"), r) for r in range(_CMS_D)])
+            ).alias("rc"),
+        )
+        .groupBy(F.col("w.start").alias("window_start"),
+                 F.col("w.end").alias("window_end"), "rc.r", "rc.c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keys = batch.select("user_id").distinct()
+    want = {
+        (r.user_id, r.window_start): r.cms_est
+        for r in cms_probe(batch_sketch, keys).collect()
+    }
+    got = {
+        (r.user_id, r.window_start): r.cms_est
+        for r in cms_probe(closed, keys).collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert want[k] == v, k
+    # one-sided error: the estimate never undercounts the exact frequency
+    exact = {
+        (r.user_id, r.ws): r.n
+        for r in batch.select(
+            "user_id", F.window("ts", "1 hour").start.alias("ws")
+        )
+        .groupBy("user_id", "ws")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for (uid, ws), est in got.items():
+        assert est >= exact.get((uid, ws), 0), (uid, ws)
