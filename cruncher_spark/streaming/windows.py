@@ -404,3 +404,92 @@ def cms_probe(
         .groupBy(key_col, "window_start", "window_end")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+TOPK_OUT_SCHEMA = "shard long, key long, est long, err long, n_seen long"
+
+
+def streaming_topk_tracker(
+    events: DataFrame,
+    key_col: str = "user_id",
+    k: int = 8,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Sharded Misra-Gries top-k candidate tracker — the candidate-
+    enumeration half of streaming heavy hitters that
+    :func:`windowed_cms_sketch` deliberately leaves out (the sketch
+    answers "how often is THIS key"; this answers "WHICH keys could be
+    frequent").
+
+    Each shard (hash(key) % n_shards) folds its key stream through a
+    Misra-Gries summary of at most ``k`` counters: increment a tracked
+    key, adopt an untracked key into a free slot, else decrement ALL
+    counters by the min count (the classic k-1 guarantee: any key with
+    true shard frequency > N_shard/(k) survives). State per shard is k
+    (key, count) pairs plus the total decrement — constant-size,
+    cross-batch, never evicted. Sharding removes the single-group
+    bottleneck AND preserves the guarantee per shard, because a key's
+    occurrences all land in one shard: the union of shard candidates is
+    a SUPERSET of the global heavy hitters (test-pinned). Every batch
+    emits each shard's current summary: (shard, key, est, err) where
+    ``est`` is the summary count (an UNDERestimate of true frequency)
+    and ``err`` bounds the undercount (total decrements) — downstream,
+    exact frequencies come from :func:`cms_probe` over the candidates.
+
+    Same API notes as :func:`velocity_alerts` (applyInPandasWithState;
+    the transformWithStateInPandas successor needs protobuf, absent
+    here). Rows are folded in event-time order within each batch so
+    replays are deterministic.
+    """
+    from cruncher_spark.functions.text import portable_hash64
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (shard,) = key
+        if state.exists:
+            keys, counts, err, n_seen = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary, err, n_seen = {}, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "key"])
+            n_seen += len(pdf)
+            for kk in pdf["key"]:
+                kk = int(kk)
+                if kk in summary:
+                    summary[kk] += 1
+                elif len(summary) < k:
+                    summary[kk] = 1
+                else:
+                    dec = min(summary.values())
+                    err += dec
+                    summary = {
+                        s: c - dec for s, c in summary.items() if c > dec
+                    }
+                    if len(summary) < k:
+                        summary[kk] = 1
+        state.update(
+            (list(summary), [summary[s] for s in summary], err, n_seen)
+        )
+        # n_seen is a monotone per-shard emission clock: every batch
+        # re-emits the full summary, and consumers keep each shard's
+        # rows at max(n_seen) — the latest snapshot
+        yield pd.DataFrame(
+            [(shard, s, c, err, n_seen) for s, c in summary.items()],
+            columns=["shard", "key", "est", "err", "n_seen"],
+        )
+
+    keyed = events.select(
+        (portable_hash64(F.col(key_col).cast("string"), salt="mg")
+         % n_shards).alias("shard"),
+        F.col(key_col).alias("key"),
+        F.col("ts"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        fold,
+        TOPK_OUT_SCHEMA,
+        "keys array<long>, counts array<long>, err long, n_seen long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
