@@ -264,19 +264,25 @@ def prefix_jaccard_pairs(
     # tau=0.25 — made ceil() land one too high and prune a pair sitting
     # exactly at the threshold before verification). limit_denominator
     # recovers the intended rational from the float literal (0.3 →
-    # 3/10, not 5404319552844595/18014398509481984); set sizes are <=
-    # 2^31, tn/td <= 10^6, so every product stays well inside int64.
+    # 3/10, not 5404319552844595/18014398509481984); every product is
+    # computed in LONG arithmetic (one operand cast / long literals —
+    # r6 review: F.size() is int32 and an int literal keeps int32
+    # multiplies, which overflow for >2147-element sets at td=10^6) —
+    # set sizes <= 2^31 and tn/td <= 10^6 stay well inside int64.
     from fractions import Fraction
 
     _tau = Fraction(min_jaccard).limit_denominator(1_000_000)
     tn, td = _tau.numerator, _tau.denominator
+    tn_l, td_l = F.lit(tn).cast("long"), F.lit(td).cast("long")
     # ceil(n * tn/td) == floor((n*tn + td - 1) / td) — exact through the
     # double division because the quotient is <= n <= 2^31 (so rounding
     # error < 2^-22) while a non-integer true quotient is >= 1/td = 1e-6
     # away from the nearest integer
     prefix_n = (
         F.size("ks")
-        - F.floor((F.size("ks") * F.lit(tn) + F.lit(td - 1)) / F.lit(td))
+        - F.floor(
+            (F.size("ks") * tn_l + F.lit(td - 1).cast("long")) / td_l
+        )
         + 1
     ).cast("int")
     prefixes = ordered.select(
@@ -309,7 +315,7 @@ def prefix_jaccard_pairs(
     ubound = F.lit(1) + F.least(
         F.col("na") - 1 - F.col("pa"), F.col("nb") - 1 - F.col("pb")
     )
-    positional_ok = ubound * F.lit(tn + td) >= F.lit(tn) * (
+    positional_ok = ubound * F.lit(tn + td).cast("long") >= tn_l * (
         F.col("na") + F.col("nb")
     )
     # length filter: J >= tau forces tau <= |A|/|B| <= 1/tau; for integer
@@ -318,16 +324,16 @@ def prefix_jaccard_pairs(
         a.join(b, "h")
         .where(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("na") * F.lit(td) >= F.col("nb") * F.lit(tn))
-            & (F.col("nb") * F.lit(td) >= F.col("na") * F.lit(tn))
+            & (F.col("na") * td_l >= F.col("nb") * tn_l)
+            & (F.col("nb") * td_l >= F.col("na") * tn_l)
             & positional_ok
         )
         .withColumn("n_common", n_common)
         # threshold check integer-exact too: c/(na+nb-c) >= tn/td
         # <=> c*td >= tn*(na+nb-c)
         .where(
-            F.col("n_common") * F.lit(td)
-            >= F.lit(tn) * (F.col("na") + F.col("nb") - F.col("n_common"))
+            F.col("n_common") * td_l
+            >= tn_l * (F.col("na") + F.col("nb") - F.col("n_common"))
         )
         .withColumn(
             "jaccard",

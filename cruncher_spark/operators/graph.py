@@ -118,17 +118,19 @@ def connected_components_star(
     and a 64-bit sum collision under a fixed deterministic hash has no
     adversary here). Lineage is cut per round with ``localCheckpoint``.
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u") != F.col("v"))
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node universe from the UNFILTERED pairs (r6 review: a node present
+    # only as a self-loop must still label itself, matching
+    # connected_components); star rounds additionally drop self-contained
+    # minima from the edge list as components collapse
+    all_nodes = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # remember every node up front: star rounds drop self-contained
-    # minima from the edge list as components collapse
-    all_nodes = (
-        edges.select(F.col("u").alias("id"))
-        .union(edges.select(F.col("v").alias("id")))
+    edges = (
+        raw.where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -390,15 +392,21 @@ def pagerank(
     """
     if iters <= checkpoint_interval:
         # shallow runs (the common 3-5 iterations): the unrolled LAZY plan
-        # with no caches measured ~40% faster at bench scale than the
-        # persist+checkpoint discipline below — caching the edge lineage
-        # pins the cached plan's output partitioning (AQE may not change
-        # it), forcing full shuffle-partition task overhead onto every
-        # tiny stage, while runtime ReuseExchange already dedups the
-        # repeated edge subtrees of the unrolled plan. Results are
-        # bit-identical (tests/test_plan_invariants.py pins both paths
-        # against each other); deep runs keep the cache+checkpoint form
-        # for its bounded lineage.
+        # measured ~40% faster at bench scale than the persist+checkpoint
+        # discipline below — caching the edge lineage pins the cached
+        # plan's output partitioning (AQE may not change it), forcing
+        # full shuffle-partition task overhead onto every tiny stage.
+        # The edges are SNAPSHOTTED with one eager localCheckpoint first
+        # (r6 review: the unrolled plan embeds the edge lineage in the
+        # degree, out-edge, and per-round subtrees, and a caller's
+        # nondeterministic derivation — a sample, a shuffle-order-
+        # dependent aggregate — could otherwise evaluate to DIFFERENT
+        # edge sets per subtree wherever ReuseExchange cannot dedup
+        # them; an expensive upstream would also re-run per subtree).
+        # A checkpointed-RDD scan, unlike a cached plan, leaves AQE
+        # free to coalesce. Results are bit-identical to the deep path
+        # (tests/test_plan_invariants.py pins both).
+        edges = edges.localCheckpoint(eager=True)
         return pagerank_plan(edges, u, v, iters=iters, damping=damping)
     # the caller's edge list is typically an expensive derivation (a fact
     # self-join); it feeds BOTH the degree aggregate and the out-edge join

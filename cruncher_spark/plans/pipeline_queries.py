@@ -376,7 +376,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         min_jaccard=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
     ).persist()
+    # labels are eagerly localCheckpointed inside connected_components,
+    # so the pair cache can be released immediately (r6 review: the
+    # sibling dedup_cluster unpersists; this one leaked its cache into
+    # every bench/attestation sweep)
     labels = connected_components(pairs, "id_a", "id_b")
+    pairs.unpersist()
     clustered = (
         docs.select(
             "doc_id",

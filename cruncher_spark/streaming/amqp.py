@@ -354,6 +354,7 @@ def drain_to_landing_dir(
     batch_size: int = 1000,
     max_batches: int | None = None,
     timeout_s: float | None = None,
+    dedupe_redelivered: bool = True,
 ) -> int:
     """Drain ``queue`` into the file-stream landing dir: one text file of
     message bodies (one id per line) per batch of up to ``batch_size`` —
@@ -386,6 +387,18 @@ def drain_to_landing_dir(
       degrades to at-least-once — exactly the reference's semantics
       (worker.js ACKs after commit and double-crunches on replay).
 
+    Residual corner (r6 review): content alone cannot distinguish WHICH
+    occurrence a replay belongs to. If a batch's content is legitimately
+    re-published LATER, the drainer crashes between consume and rename
+    of that second occurrence (nothing landed for it), and the broker
+    redelivers it flagged — the skip branch misattributes it to the
+    FIRST occurrence's landing and drops it (at-most-once for that one
+    batch). This needs three coincidences: byte-identical full-batch
+    content, a crash inside the sub-millisecond consume→rename window,
+    and flagged redelivery of the whole batch. Deployments that would
+    rather keep the reference's at-least-once double-count than accept
+    that corner pass ``dedupe_redelivered=False``.
+
     Returns the number of messages landed (acked replays included).
     """
     import hashlib
@@ -403,7 +416,11 @@ def drain_to_landing_dir(
         content = b"".join(d.body + b"\n" for d in deliveries)
         base = f"batch-{hashlib.sha256(content).hexdigest()[:24]}"
         exists = (land / f"{base}.txt").exists()
-        if exists and all(d.redelivered for d in deliveries):
+        if (
+            dedupe_redelivered
+            and exists
+            and all(d.redelivered for d in deliveries)
+        ):
             name = None  # crash replay of an already-landed batch
         elif exists:
             name = f"{base}-{uuid.uuid4().hex[:8]}.txt"  # legit repeat

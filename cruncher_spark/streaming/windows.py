@@ -86,8 +86,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         else:
             start, last, n, total = None, None, 0, 0.0
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # concat ALL Arrow chunks, then ONE stable sort (r6 review: a
+        # group spanning multiple chunks arrives in internals-dependent
+        # chunk order; per-chunk sorting made the fold replay-dependent)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts", kind="mergesort")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 us = int(ts.value // 1000)  # pandas ns → epoch micros
                 if start is None:
@@ -297,8 +301,13 @@ def velocity_alerts(
         else:
             period_start, n, alerted = None, 0, False
         alerts: list[tuple[int, int, int]] = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # concat ALL Arrow chunks, then ONE sort: a shard batch spanning
+        # multiple chunks arrives in internals-dependent chunk order, and
+        # per-chunk sorting would make the fold replay-nondeterministic
+        # (r6 review)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts", kind="mergesort")
             for ts in pdf["ts"]:
                 us = int(ts.value // 1000)  # pandas ns → epoch micros
                 p = us - us % period_us
@@ -387,22 +396,49 @@ def cms_probe(
     sketches with the same dimensions merge by summing counters).
 
     min-over-rows gives the classic one-sided overestimate. The sketch
-    side is window x 4096 rows — broadcast-sized for any realistic
-    window count; candidates come from the caller (top-k tracker, dim
-    table, investigation list).
+    is SPARSE (only hit cells have rows), and an un-hit cell is a ZERO
+    counter that must participate in the min (r6 review: an inner join
+    dropped empty cells, so a key colliding with a hot key in one row
+    but missing from another was estimated at the hot count instead of
+    0) — so every (key, window, r) probe row is materialized via a
+    windows cross join and left-joined, with absent cells coalesced to
+    0. The sketch side is window x <=4096 rows — broadcast-sized for
+    any realistic window count; candidates come from the caller (top-k
+    tracker, dim table, investigation list).
     """
     from cruncher_spark.plans.analytics_queries import _CMS_D, _cms_rc
 
-    probe = keys.select(
-        F.col(key_col),
-        F.explode(
-            F.array(*[_cms_rc(F.col(key_col), r) for r in range(_CMS_D)])
-        ).alias("rc"),
-    ).select(key_col, "rc.r", "rc.c")
+    # fresh aliases mint new attribute ids for the window list, so the
+    # left join back onto the SAME sketch lineage resolves cleanly (a
+    # bare self-join over e.g. a memory-sink view hits Spark's
+    # conflicting-reference internal error)
+    windows = sketch.select(
+        F.col("window_start").alias("_ws"), F.col("window_end").alias("_we")
+    ).distinct()
+    probe = (
+        keys.select(
+            F.col(key_col),
+            F.explode(
+                F.array(*[_cms_rc(F.col(key_col), r) for r in range(_CMS_D)])
+            ).alias("rc"),
+        )
+        .select(key_col, F.col("rc.r").alias("_r"), F.col("rc.c").alias("_c"))
+        .crossJoin(F.broadcast(windows))
+    )
+    cond = (
+        (F.col("_ws") == sketch["window_start"])
+        & (F.col("_we") == sketch["window_end"])
+        & (F.col("_r") == sketch["r"])
+        & (F.col("_c") == sketch["c"])
+    )
     return (
-        probe.join(F.broadcast(sketch), ["r", "c"])
-        .groupBy(key_col, "window_start", "window_end")
-        .agg(F.min("cnt").alias("cms_est"))
+        probe.join(F.broadcast(sketch), cond, "left")
+        .groupBy(
+            F.col(key_col),
+            F.col("_ws").alias("window_start"),
+            F.col("_we").alias("window_end"),
+        )
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
 
 
@@ -452,8 +488,14 @@ def streaming_topk_tracker(
             summary = dict(zip(keys, counts))
         else:
             summary, err, n_seen = {}, 0, 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "key"])
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            # one concat + one stable sort across ALL chunks — per-chunk
+            # sorting is chunk-order dependent and Misra-Gries folds are
+            # arrival-order sensitive (r6 review)
+            pdf = pd.concat(chunks).sort_values(
+                ["ts", "key"], kind="mergesort"
+            )
             n_seen += len(pdf)
             for kk in pdf["key"]:
                 kk = int(kk)

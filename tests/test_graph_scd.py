@@ -155,6 +155,10 @@ def test_star_cc_equals_propagation_cc(spark):
          for a, b in ((rng.randrange(60), rng.randrange(60))
                       for _ in range(70)) if a != b}
     )
+    # self-loops: a node appearing ONLY as (7,7) must still label itself
+    # (r6 review: the star variant built its node universe from the
+    # self-loop-filtered edge list and dropped such nodes)
+    cases["selfloops"] = [(1, 2), (7, 7), (2, 2)]
 
     for name, edges in cases.items():
         df = pairs_df(edges)
