@@ -32,7 +32,7 @@ from cruncher_spark.operators.similarity import (
     score_topk_arrow,
     threshold_neighbor_counts,
 )
-from cruncher_spark.plans.registry import register
+from cruncher_spark.plans.registry import QUERIES, register
 from cruncher_spark.session import tune
 from cruncher_spark.sources import Star, fan_out
 
@@ -411,6 +411,43 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "dedup_cluster_star",
+    # SAME oracle as dedup_cluster: both algorithms compute the identical
+    # (doc, min-id cluster, size) labeling; only the iteration scheme
+    # differs, which is exactly what sharing the oracle proves
+    oracle=QUERIES["dedup_cluster"].oracle,
+    doc="dedup_cluster computed with the ADVERSARIAL-SHAPE algorithm: "
+    "alternating large-star/small-star rounds (operators/graph.py "
+    "connected_components_star, Kiveris et al. SoCC'14) instead of "
+    "min-label propagation -- provably O(log^2 n) rounds on any graph, "
+    "including giant near-chain components. Driver-verifying both "
+    "against ONE oracle pins that the algorithms are interchangeable "
+    "end-to-end, not just on the property-test fixtures.",
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cruncher_spark.operators.graph import connected_components_star
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        min_jaccard=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    ).persist()
+    labels = connected_components_star(pairs, "id_a", "id_b")
+    out = labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .alias("n_members"),
+    )
+    pairs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
