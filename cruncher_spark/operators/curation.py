@@ -485,3 +485,106 @@ def fuzzy_contamination(
         )
     )
     return verified.where(F.col("containment") >= min_containment)
+
+
+def bigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_alpha: int = 1,
+) -> DataFrame:
+    """Self-trained bigram-LM negative log-likelihood per document — the
+    perplexity quality filter real pipelines run (CCNet trains a 5-gram
+    KenLM; Gopher/RefinedWeb filter on its perplexity). A corpus-trained
+    add-one bigram model is the engine-native counterpart: documents of
+    fluent, corpus-typical text score LOW; gibberish, boilerplate-soup
+    and wrong-language documents score HIGH. Complements
+    :func:`doc_mean_token_freq` (unigram rarity) with CONTEXT: a doc of
+    common words in improbable ORDER only this scorer flags.
+
+    Model: ``P(w2|w1) = (c(w1,w2) + a) / (c(w1·) + a·V)`` with a =
+    ``vocab_alpha`` and V the corpus unigram vocabulary; per-doc score is
+    the bigram-multiplicity-weighted mean of ``-ln P``. Docs with fewer
+    than two words have no bigrams and are dropped (a length filter owns
+    those).
+
+    Cross-engine float discipline (as tfidf/bm25): all counts are exact
+    longs; each distinct bigram's nll is ONE double division + ln,
+    rounded to 6 decimals, then accumulated exactly — DECIMAL(18,6)
+    weighted by the exact long multiplicity, so the per-doc sum is
+    order-independent; only the final mean is a double, rounded to 6.
+
+    Scale shape (the tfidf lesson, linearized): the per-doc bigram
+    aggregate shuffles once on (doc, w1, w2) — uniform, no hot key. The
+    MODEL is built on the vocabulary-sized bigram table, never the
+    corpus stream: context totals attach as a SUM OVER the w1 window on
+    the (w1, w2)-aggregated table (window partition = distinct
+    successors of w1, vocabulary-bounded — never token- or doc-bounded),
+    and V broadcasts as a one-row aggregate. The model-attach join keys
+    (w1, w2) against per-doc-DISTINCT rows, so a hot bigram ("of the")
+    contributes at most one row per document — the posting-list bound
+    bm25 accepts; AQE splits any residual skew.
+    """
+    from pyspark.sql import Window
+
+    from cruncher_spark.functions.text import words
+
+    w = words(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2")
+
+    # per-doc multiplicities: the only corpus-sized shuffle
+    dg = grams.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+
+    # model tables: vocabulary-sized from here on
+    cb = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    with_ctx = cb.withColumn(
+        "cu", F.sum("cb").over(Window.partitionBy("w1"))
+    )
+    vocab = docs.select(
+        F.explode(w).alias("t")
+    ).agg(F.countDistinct("t").alias("v"))
+
+    a = F.lit(vocab_alpha)
+    model = with_ctx.crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        "w2",
+        F.round(
+            -F.log(
+                (F.col("cb") + a).cast("double")
+                / (F.col("cu") + a * F.col("v"))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("nll"),
+    )
+
+    return (
+        dg.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("nll")).alias("nll_sum"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("nll_sum").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_nll"),
+        )
+    )

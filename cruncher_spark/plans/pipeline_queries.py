@@ -1674,6 +1674,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from cruncher_spark.operators.curation import (  # noqa: E402
+    bigram_nll,
     chunk_documents,
     chunk_documents_oracle_sql,
     doc_mean_token_freq,
@@ -1777,6 +1778,43 @@ def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
     return doc_mean_token_freq(docs)
+
+
+@register(
+    "doc_perplexity",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    g AS (
+      SELECT doc_id, wl[CAST(i AS INT)] AS w1, wl[CAST(i AS INT)+1] AS w2
+      FROM w, unnest(range(1, len(wl))) t(i)
+    ),
+    dg AS (SELECT doc_id, w1, w2, count(*) AS m FROM g GROUP BY doc_id, w1, w2),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM g GROUP BY w1, w2),
+    ctx AS (SELECT w1, w2, cb, sum(cb) OVER (PARTITION BY w1) AS cu FROM cb),
+    v AS (SELECT count(DISTINCT tok) AS v FROM w, unnest(wl) t(tok)),
+    model AS (
+      SELECT w1, w2,
+        CAST(round(-ln(CAST(cb + 1 AS DOUBLE) / (cu + 1 * v)), 6)
+             AS DECIMAL(18,6)) AS nll
+      FROM ctx, v
+    )
+    SELECT dg.doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+      round(CAST(sum(m * nll) AS DOUBLE) / sum(m), 6) AS avg_nll
+    FROM dg JOIN model USING (w1, w2)
+    GROUP BY dg.doc_id
+    """,
+    doc="Self-trained add-one bigram-LM negative log-likelihood per doc — "
+    "the perplexity quality filter (CCNet/Gopher class) next to "
+    "doc_rarity's unigram stand-in: common words in improbable ORDER "
+    "only this flags. Counts exact longs; per-bigram nll rounded to 6 "
+    "then DECIMAL-exact weighted accumulation; model built on the "
+    "vocabulary-sized bigram table (context totals via the w1 window), "
+    "never a second corpus pass.",
+)
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return bigram_nll(docs)
 
 
 _TFIDF_TERMS = ["merge", "hash", "window"]

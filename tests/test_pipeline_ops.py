@@ -656,3 +656,54 @@ def test_prefix_jaccard_exact_threshold_property(spark):
                 for r in prefix_jaccard_pairs(df, "doc_id", tau).collect()
             }
             assert got == want, (case, tau, got ^ want)
+
+
+def test_bigram_nll_matches_bruteforce(spark):
+    """bigram_nll == brute-force add-one bigram LM on a small corpus:
+    exact per-doc weighted-mean nll (rounded-6-then-decimal discipline),
+    sub-2-word docs dropped, repeated bigrams weighted by multiplicity."""
+    import math
+
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cruncher_spark.operators.curation import bigram_nll
+
+    def r6(x: float) -> float:
+        # Spark's round(): HALF_UP over the double's shortest decimal repr
+        # (python round() is half-even and would disagree at .5 digits)
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "mat the on sat cat the"),   # same words, improbable order
+        (4, "solo"),                     # no bigrams -> dropped
+        (5, ""),                         # degenerate -> dropped
+        (6, "go go go go"),              # repeated bigram multiplicity
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    out = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in bigram_nll(docs).collect()}
+
+    toks = {i: t.split(" ") for i, t in rows}
+    grams = {i: list(zip(w, w[1:])) for i, w in toks.items()}
+    cb = Counter(g for gs in grams.values() for g in gs)
+    cu = Counter()
+    for (w1, _), c in cb.items():
+        cu[w1] += c
+    vocab = {w for ws in toks.values() for w in ws}
+    v = len(vocab)
+
+    assert set(out) == {1, 2, 3, 6}
+    for i in out:
+        gs = grams[i]
+        m = Counter(gs)
+        nll = {
+            g: r6(-math.log((cb[g] + 1) / (cu[g[0]] + v))) for g in m
+        }
+        total = sum(m[g] * nll[g] for g in m)
+        exp = r6(total / len(gs))
+        assert out[i][0] == len(gs), i
+        assert abs(out[i][1] - exp) < 1e-9, (i, out[i], exp)
+    # context matters: doc 3 (scrambled) scores strictly above doc 1
+    assert out[3][1] > out[1][1]
