@@ -1206,3 +1206,31 @@ def scd2_asof_lookup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("priority").alias("priority_at_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout statistics (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+from cruncher_spark.sources.layout import (  # noqa: E402
+    binned_zcell_stats,
+    zcell_stats_oracle_sql,
+)
+
+
+@register(
+    "zorder_cells",
+    oracle=zcell_stats_oracle_sql("orders", "o_custkey", "epoch_us(o_orderdate)"),
+    doc="Per-Morton-cell min/max/count over (custkey, order time) — the "
+    "data-skipping evidence of a Z-ordered layout (sources/layout.py "
+    "write_zordered): each cell is one contiguous Z-key file group, and "
+    "its narrow min/max on BOTH dimensions is the parquet footer range "
+    "scans filtered on EITHER column prune against. One broadcast "
+    "bounds aggregate + one narrow projection + one 256-cell grouped "
+    "aggregate; bit-interleave generated identically for both engines.",
+)
+def zorder_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = _star(spark, sf_dir)
+    return binned_zcell_stats(
+        star.orders, F.col("o_custkey"), F.unix_micros("o_orderdate")
+    )

@@ -144,3 +144,87 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def binned_zcell_stats(
+    df: DataFrame,
+    c1: str | Column,
+    c2: str | Column,
+    bits: int = 6,
+    cell_bits: int = 4,
+) -> DataFrame:
+    """Per-Morton-cell min/max/count statistics over two dimensions —
+    the data-skipping evidence a Z-ordered write produces: each cell is
+    a contiguous Z-key range (one file / file group after
+    :func:`write_zordered`), and the narrow per-cell min/max of BOTH
+    raw dimensions is exactly the parquet footer range a scan filtered
+    on either column prunes against.
+
+    Dimensions are fixed-width binned into ``2**bits`` buckets from
+    their own min/max (one broadcast one-row aggregate — the same pass
+    a writer makes anyway); ``cell_bits`` keeps the top ``2*cell_bits``
+    interleaved bits, i.e. a ``2**cell_bits``-square grid. All
+    arithmetic is long-exact except one IEEE double division per
+    dimension (identical on every engine; quotient magnitudes keep it
+    orders of magnitude away from a rounding boundary). Scale shape:
+    one narrow projection + one grouped aggregate on the cell id —
+    map-side combined, cardinality ``4**cell_bits``.
+    """
+    v1 = (F.col(c1) if isinstance(c1, str) else c1).cast("long")
+    v2 = (F.col(c2) if isinstance(c2, str) else c2).cast("long")
+    bounds = df.select(
+        F.min(v1).alias("min1"),
+        F.max(v1).alias("max1"),
+        F.min(v2).alias("min2"),
+        F.max(v2).alias("max2"),
+    )
+    n_bins = F.lit(2**bits)
+    b1 = F.floor(
+        (v1 - F.col("min1")) * n_bins / (F.col("max1") - F.col("min1") + 1)
+    ).cast("long")
+    b2 = F.floor(
+        (v2 - F.col("min2")) * n_bins / (F.col("max2") - F.col("min2") + 1)
+    ).cast("long")
+    z = zorder_key([b1, b2], bits)
+    cell = F.shiftright(z, 2 * (bits - cell_bits))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(cell.alias("zcell"), v1.alias("v1"), v2.alias("v2"))
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v1").alias("min_d1"),
+            F.max("v1").alias("max_d1"),
+            F.min("v2").alias("min_d2"),
+            F.max("v2").alias("max_d2"),
+        )
+    )
+
+
+def zcell_stats_oracle_sql(
+    table: str, e1: str, e2: str, bits: int = 6, cell_bits: int = 4
+) -> str:
+    """DuckDB mirror of :func:`binned_zcell_stats` — the SAME shifts and
+    bins generated as SQL from the same parameters (one definition, two
+    engines, as the MinHash/LSH oracles)."""
+    n_bins = 2**bits
+    interleave = " | ".join(
+        f"(((b{j} >> {i}) & 1) << {i * 2 + j - 1})"
+        for i in range(bits)
+        for j in (1, 2)
+    )
+    return f"""
+    WITH vals AS (SELECT CAST({e1} AS BIGINT) AS v1, CAST({e2} AS BIGINT) AS v2 FROM {table}),
+    bounds AS (SELECT min(v1) AS min1, max(v1) AS max1, min(v2) AS min2, max(v2) AS max2 FROM vals),
+    binned AS (
+      SELECT v1, v2,
+        CAST(floor((v1 - min1) * {n_bins} / (max1 - min1 + 1)) AS BIGINT) AS b1,
+        CAST(floor((v2 - min2) * {n_bins} / (max2 - min2 + 1)) AS BIGINT) AS b2
+      FROM vals, bounds
+    ),
+    cells AS (SELECT v1, v2, ({interleave}) >> {2 * (bits - cell_bits)} AS zcell FROM binned)
+    SELECT zcell, count(*) AS n,
+      min(v1) AS min_d1, max(v1) AS max_d1,
+      min(v2) AS min_d2, max(v2) AS max_d2
+    FROM cells GROUP BY zcell
+    """

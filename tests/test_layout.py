@@ -171,3 +171,24 @@ def test_zorder_key_is_morton_interleave(spark):
     # bits: x0=1->b0, y0=1->b1, x1=1->b2, y1=0->b3, x2=0->b4, y2=1->b5
     expect = 0b100111
     assert df.collect()[0].z == expect
+
+
+def test_binned_zcell_stats_show_locality(spark):
+    """binned_zcell_stats' per-cell min/max really are narrow on BOTH
+    dimensions (the pruning property), cells partition all rows, and the
+    bin arithmetic survives non-zero-based, non-power-of-two domains."""
+    from cruncher_spark.sources.layout import binned_zcell_stats
+
+    n = 5000
+    rows = spark.range(n).select(
+        (F.col("id") * 7919 % 1000 + 100).alias("a"),      # 100..1099
+        (F.col("id") * 104729 % 365 + 2000).alias("b"),    # 2000..2364
+    )
+    stats = binned_zcell_stats(rows, "a", "b", bits=6, cell_bits=3).collect()
+
+    assert sum(r.n for r in stats) == n
+    assert len(stats) <= 64  # 2**(2*cell_bits) cells max
+    # each 8x8-supercell covers 1/8 of each axis plus bin rounding slack
+    for r in stats:
+        assert r.max_d1 - r.min_d1 <= 1000 / 8 + 1000 / 64 + 1, r
+        assert r.max_d2 - r.min_d2 <= 365 / 8 + 365 / 64 + 1, r
