@@ -1,0 +1,261 @@
+"""Streaming near-duplicate ingest filter: continuous MinHash/LSH dedup
+of an incoming document stream against the accumulated historical corpus.
+
+The batch dedup operators (operators/dedup.py) answer "which documents in
+THIS corpus are near-dups"; a 100 TB training-data pipeline also needs the
+ONLINE form — every newly crawled micro-batch checked against everything
+already retained, survivors folded into the index, duplicates tagged with
+what they duplicate. This module is that operator, built on the repo's
+existing primitives:
+
+- **signatures**: the same ``shingle_arrays`` → ``minhash_signatures``
+  pipeline as the batch path (identical hash family, so offline and
+  online decisions agree).
+- **index**: a band-key index directory, hash-partitioned by
+  ``band_bucket = hash(band_key) % B`` with each row carrying the full
+  signature (denormalized so candidate verification needs NO second
+  lookup join). The batch side of the candidate join is micro-batch-sized
+  — Spark broadcasts it, and dynamic partition pruning skips index
+  buckets no batch band hashes into; the per-batch cost is
+  O(batch x matching buckets), never a full-index shuffle.
+- **durability / exactly-once**: survivors land in a ``PointTable``
+  (KEEP policy — signatures are immutable) whose batch-id ledger makes
+  replayed micro-batches no-ops; index and decision appends are gated on
+  the ledger verdict and written idempotently (per-batch overwrite of a
+  batch-scoped subdirectory), so a crash-replay cannot double-index.
+
+Duplicate semantics (pinned by tests/test_streaming_neardup.py): a doc is
+DROPPED iff it shares an LSH band AND agrees on >= ``min_agree`` of the
+minhashes with (a) any RETAINED historical doc, or (b) any smaller-id doc
+of its own micro-batch (chains within a batch collapse to their minimum —
+the batch operators' min-id-survivor convention; a dropped batch peer can
+still absorb its larger neighbors, matching pair-rule rather than greedy
+sequencing, which keeps the in-batch step one distributed self-join).
+Documents too short to shingle have no signature and PASS THROUGH
+unindexed — a length/quality filter owns those, as in the batch path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cruncher_spark.merge.upsert import MergePolicy, PointTable
+from cruncher_spark.operators.dedup import minhash_signatures, shingle_arrays
+from cruncher_spark.streaming.worker import checkpoint_stream_id
+
+
+class NearDupIngest:
+    """Stateful streaming near-dup filter (see module docstring)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        num_hashes: int = 8,
+        band_size: int = 2,
+        min_agree: float = 0.75,
+        shingle_n: int = 3,
+        index_buckets: int = 16,
+        num_buckets: int = 8,
+        exactly_once: bool = True,
+    ):
+        self.spark = spark
+        self.state = Path(state_dir)
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.n_bands = num_hashes // band_size
+        self.min_agree_hashes = int(round(min_agree * num_hashes))
+        self.shingle_n = shingle_n
+        self.index_buckets = index_buckets
+        self.exactly_once = exactly_once
+        self.stream_id: str | None = None
+        mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+        self.survivors = PointTable(
+            spark,
+            str(self.state / "survivors"),
+            key=["doc_id"],
+            policies={c: MergePolicy.KEEP for c in mh_cols},
+            num_buckets=num_buckets,
+        )
+        self.index_dir = self.state / "band_index"
+        self.decisions_dir = self.state / "decisions"
+
+    # -- signature / band construction --------------------------------------
+
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        sh = shingle_arrays(docs, "doc_id", "text", self.shingle_n)
+        return minhash_signatures(sh, "doc_id", num_hashes=self.num_hashes)
+
+    def _bands(self, sigs: DataFrame) -> DataFrame:
+        """(doc_id, mh_*, band_idx, band_key, band_bucket) — one row per
+        (doc, band), signature denormalized onto every band row."""
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"mh_{b * self.band_size + j}")
+                            for j in range(self.band_size)
+                        ],
+                    ).alias("band_key"),
+                )
+                for b in range(self.n_bands)
+            ]
+        )
+        return (
+            sigs.select("*", F.explode(bands).alias("band"))
+            .select("*", "band.band_idx", "band.band_key")
+            .drop("band")
+            .withColumn(
+                "band_bucket",
+                F.pmod(F.xxhash64("band_key"), F.lit(self.index_buckets)),
+            )
+        )
+
+    def _agreement(self, left_prefix: str, right_prefix: str) -> F.Column:
+        return sum(
+            F.when(
+                F.col(f"{left_prefix}mh_{i}") == F.col(f"{right_prefix}mh_{i}"), 1
+            ).otherwise(0)
+            for i in range(self.num_hashes)
+        )
+
+    # -- batch body ----------------------------------------------------------
+
+    def _ledger_id(self, batch_id: int) -> str:
+        sid = self.stream_id or "local"
+        return f"{sid}:{batch_id}"
+
+    def _read_index(self) -> DataFrame | None:
+        if not self.index_dir.exists() or not any(self.index_dir.iterdir()):
+            return None
+        return self.spark.read.parquet(str(self.index_dir))
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        sigs = self._signatures(
+            docs.select("doc_id", "text").dropDuplicates(["doc_id"])
+        ).persist()
+        try:
+            bands = self._bands(sigs)
+
+            # (a) history matches: batch side is micro-batch-sized ->
+            # broadcast; join keys include the index's PARTITION column so
+            # dynamic partition pruning skips untouched index buckets.
+            index = self._read_index()
+            if index is not None:
+                h = index
+                hist_sel = [F.col("doc_id").alias("h_id")] + [
+                    F.col(f"mh_{i}").alias(f"h_mh_{i}")
+                    for i in range(self.num_hashes)
+                ]
+                cand = h.select(
+                    "band_bucket", "band_idx", "band_key", *hist_sel
+                ).join(
+                    F.broadcast(bands),
+                    ["band_bucket", "band_idx", "band_key"],
+                )
+                hist_dups = (
+                    cand.where(
+                        self._agreement("", "h_") >= self.min_agree_hashes
+                    )
+                    .groupBy("doc_id")
+                    .agg(F.min("h_id").alias("dup_of"))
+                    .withColumn("via", F.lit("history"))
+                )
+            else:
+                hist_dups = None
+
+            # (b) in-batch matches: pair rule, min-id survivor
+            a = bands.select(
+                F.col("doc_id").alias("id_a"),
+                "band_idx",
+                "band_key",
+                *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(self.num_hashes)],
+            )
+            b = bands.select(
+                F.col("doc_id").alias("id_b"),
+                "band_idx",
+                "band_key",
+                *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(self.num_hashes)],
+            )
+            batch_dups = (
+                a.join(b, ["band_idx", "band_key"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .where(self._agreement("a_", "b_") >= self.min_agree_hashes)
+                .groupBy(F.col("id_b").alias("doc_id"))
+                .agg(F.min("id_a").alias("dup_of"))
+                .withColumn("via", F.lit("batch"))
+            )
+
+            if hist_dups is None:
+                dropped = batch_dups
+            else:
+                # history verdict wins the decision record when both hit
+                pri = F.when(F.col("via") == "history", 0).otherwise(1)
+                dropped = (
+                    hist_dups.unionByName(batch_dups)
+                    .groupBy("doc_id")
+                    .agg(F.min_by(F.struct("dup_of", "via"), pri).alias("d"))
+                    .select("doc_id", "d.dup_of", "d.via")
+                )
+            kept = sigs.join(dropped.select("doc_id"), "doc_id", "left_anti")
+
+            lid = self._ledger_id(batch_id) if self.exactly_once else None
+            applied = self.survivors.merge(kept, batch_id=lid)
+            if applied:
+                scope = lid or f"noledger:{batch_id}"
+                (
+                    self._bands(kept)
+                    .write.mode("overwrite")
+                    .partitionBy("band_bucket")
+                    .parquet(str(self.index_dir / f"batch={scope}"))
+                )
+                (
+                    dropped.withColumn("batch_id", F.lit(scope))
+                    .write.mode("overwrite")
+                    .parquet(str(self.decisions_dir / f"batch={scope}"))
+                )
+        finally:
+            sigs.unpersist()
+
+    # -- stream wiring -------------------------------------------------------
+
+    def start_file_stream(
+        self,
+        docs_dir: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = False,
+    ):
+        """Consume document parquet files (doc_id long, text string)."""
+        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        if self.stream_id is None:
+            self.stream_id = checkpoint_stream_id(checkpoint_dir)
+        reader = self.spark.readStream.schema("doc_id long, text string").format(
+            "parquet"
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        writer = (
+            reader.load(docs_dir)
+            .writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- state readers -------------------------------------------------------
+
+    def retained(self) -> DataFrame:
+        return self.survivors.read()
+
+    def decisions(self) -> DataFrame:
+        return self.spark.read.parquet(str(self.decisions_dir))

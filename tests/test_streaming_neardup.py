@@ -1,0 +1,197 @@
+"""Streaming near-dup ingest filter vs a sequential reference replay.
+
+The reference implementation below replays the micro-batches in order,
+applying the module's pinned retention rule directly on the SAME
+signatures the operator computes (shared hash family) — so the assertion
+holds wherever each perturbed pair happens to land relative to the
+agreement threshold, while exact copies are guaranteed drops.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+NUM_HASHES = 8
+MIN_AGREE = 6  # 0.75 * 8
+N_BANDS = 4
+BAND_SIZE = 2
+
+def _doc(seed: int, n: int = 30) -> str:
+    # disjoint per-seed vocabulary: cross-doc Jaccard is exactly 0, so
+    # only the PLANTED dups (exact copies + the one perturbation) match
+    return " ".join(f"w{seed}x{j}" for j in range(n))
+
+
+def _batches() -> list[list[tuple[int, str]]]:
+    base = {i: _doc(i) for i in range(8)}
+    perturbed = base[2].split()
+    perturbed[-1] = "CHANGED"
+    b0 = [(0, base[0]), (1, base[1]), (2, base[2]), (3, base[3])]
+    b1 = [
+        (10, base[0]),            # exact dup of history survivor 0
+        (11, base[4]),
+        (12, base[4]),            # exact in-batch dup of 11
+        (13, base[4]),            # chain: also collapses to 11
+        (14, " ".join(perturbed)),  # near-dup of 2 — threshold decides
+    ]
+    b2 = [
+        (20, base[4]),            # dup of retained 11 (12/13 not indexed)
+        (21, base[5]),
+        (22, base[1]),            # dup of history survivor 1
+        (23, "short text"),       # < shingle length: passes through
+    ]
+    return [b0, b1, b2]
+
+
+def _write_batch(docs_dir: Path, name: str, rows: list[tuple[int, str]], mtime: float):
+    p = docs_dir / name
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        p,
+    )
+    os.utime(p, (mtime, mtime))
+
+
+def _signatures(spark, all_rows: list[tuple[int, str]]) -> dict[int, tuple]:
+    """The operator's own signature pipeline, run batch-side."""
+    from cruncher_spark.operators.dedup import minhash_signatures, shingle_arrays
+
+    df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    sigs = minhash_signatures(
+        shingle_arrays(df, "doc_id", "text", 3), "doc_id", num_hashes=NUM_HASHES
+    )
+    return {
+        r.doc_id: tuple(r[f"mh_{i}"] for i in range(NUM_HASHES))
+        for r in sigs.collect()
+    }
+
+
+def _bands_of(sig: tuple) -> set[tuple[int, str]]:
+    return {
+        (b, ":".join(str(sig[b * BAND_SIZE + j]) for j in range(BAND_SIZE)))
+        for b in range(N_BANDS)
+    }
+
+
+def _agree(s1: tuple, s2: tuple) -> int:
+    return sum(a == b for a, b in zip(s1, s2))
+
+
+def _matches(s1: tuple, s2: tuple) -> bool:
+    return bool(_bands_of(s1) & _bands_of(s2)) and _agree(s1, s2) >= MIN_AGREE
+
+
+def _reference(batches, sigs):
+    """Sequential replay of the pinned retention rule."""
+    retained: dict[int, tuple] = {}
+    decisions: dict[int, tuple[int, str]] = {}
+    for batch in batches:
+        in_batch = {i: sigs[i] for i, _ in batch if i in sigs}
+        kept_now = []
+        for i, s in in_batch.items():
+            hist = sorted(r for r, rs in retained.items() if _matches(s, rs))
+            peers = sorted(
+                p for p, ps in in_batch.items() if p < i and _matches(s, ps)
+            )
+            if hist:
+                decisions[i] = (hist[0], "history")
+            elif peers:
+                decisions[i] = (peers[0], "batch")
+            else:
+                kept_now.append(i)
+        retained.update({i: in_batch[i] for i in kept_now})
+    return retained, decisions
+
+
+@pytest.fixture(scope="module")
+def ingest_env(spark, tmp_path_factory):
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    root = tmp_path_factory.mktemp("neardup")
+    docs_dir = root / "incoming"
+    docs_dir.mkdir()
+    batches = _batches()
+    t0 = time.time() - 100
+    for k, b in enumerate(batches):
+        _write_batch(docs_dir, f"b{k}.parquet", b, t0 + k)
+
+    nd = NearDupIngest(spark, str(root / "state"))
+    q = nd.start_file_stream(
+        str(docs_dir),
+        str(root / "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    all_rows = [r for b in batches for r in b]
+    sigs = _signatures(spark, all_rows)
+    ref_retained, ref_decisions = _reference(batches, sigs)
+    return nd, root, docs_dir, batches, sigs, ref_retained, ref_decisions
+
+
+def test_retained_set_matches_sequential_reference(ingest_env):
+    nd, _, _, _, sigs, ref_retained, _ = ingest_env
+    got = {
+        r.doc_id: tuple(r[f"mh_{i}"] for i in range(NUM_HASHES))
+        for r in nd.retained().collect()
+    }
+    assert got == ref_retained
+    # the planted guarantees, independent of threshold luck:
+    assert {0, 1, 2, 3, 11, 21} <= set(got)          # firsts survive
+    assert not {10, 12, 13, 20, 22} & set(got)       # exact dups drop
+    assert 23 not in got                              # shingle-less bypass
+
+
+def test_decisions_match_reference(ingest_env):
+    nd, _, _, _, _, _, ref_decisions = ingest_env
+    got = {
+        r.doc_id: (r.dup_of, r.via) for r in nd.decisions().collect()
+    }
+    assert got == ref_decisions
+    assert got[10] == (0, "history")
+    assert got[12] == (11, "batch") and got[13] == (11, "batch")
+    assert got[20] == (11, "history") and got[22] == (1, "history")
+
+
+def test_replayed_batch_is_ledger_noop(ingest_env, spark):
+    nd, _, _, batches, _, ref_retained, _ = ingest_env
+    before = sorted(r.doc_id for r in nd.retained().collect())
+    df = spark.createDataFrame(batches[1], "doc_id long, text string")
+    nd.process_batch(df, 1)  # same stream-scoped batch id → ledger skip
+    after = sorted(r.doc_id for r in nd.retained().collect())
+    assert before == after == sorted(ref_retained)
+
+
+def test_restart_continues_against_accumulated_index(ingest_env, spark):
+    nd, root, docs_dir, batches, sigs, ref_retained, _ = ingest_env
+    b3 = [(30, _doc(0)), (31, _doc(6))]  # dup-of-0 + fresh doc
+    _write_batch(docs_dir, "b3.parquet", b3, time.time())
+
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    nd2 = NearDupIngest(spark, str(root / "state"))
+    q = nd2.start_file_stream(
+        str(docs_dir),
+        str(root / "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    all_sigs = {**sigs, **_signatures(spark, b3)}
+    ref2, _ = _reference(batches + [b3], all_sigs)
+    got = sorted(r.doc_id for r in nd2.retained().collect())
+    assert got == sorted(ref2)
+    assert 31 in got and 30 not in got
