@@ -1900,3 +1900,133 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, ev, "doc_id",
         min_containment=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + application (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+from cruncher_spark.operators.bpe import (  # noqa: E402
+    EOW,
+    _merge_once,
+    bpe_tokenize,
+    learn_bpe_merges,
+)
+
+_BPE_K = 20
+_BPE_MERGE_CACHE: dict = {}
+
+
+def _docs_cache_key(sf_dir: str) -> tuple:
+    """Dataset fingerprint for documents.parquet (mirrors _ivf_cache_key)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                entries.append((f, st.st_mtime_ns, st.st_size))
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_mtime_ns, st.st_size))
+    return (os.path.abspath(path), tuple(entries))
+
+
+def _bpe_merges_for(docs: DataFrame, sf_dir: str) -> list[tuple[str, str]]:
+    key = _docs_cache_key(sf_dir)
+    merges = _BPE_MERGE_CACHE.get(key)
+    if merges is None:
+        merges = learn_bpe_merges(docs, _BPE_K)
+        _BPE_MERGE_CACHE.clear()
+        _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+def _bpe_oracle(sf_dir: str) -> str:
+    """Oracle-side tokenizer: an INDEPENDENT sequential BPE learner over
+    duckdb word counts (the IVF fitted-literals pattern) — per-word piece
+    counts embedded as SQL literals; any divergence in the Spark learner's
+    merge order or the tokenizer's rank replay shifts the counts."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT w, count(*) FROM (SELECT unnest(string_split_regex(text,"
+        f" '\\s+')) AS w FROM read_parquet('{sf_dir}/documents.parquet')) t"
+        " WHERE w <> '' GROUP BY w"
+    ).fetchall()
+    counts = dict(rows)
+
+    vocab = {tuple(list(w) + [EOW]): n for w, n in counts.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(_BPE_K):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + n
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = {tuple(_merge_once(list(s), a, b)): n for s, n in vocab.items()}
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def n_pieces(word: str) -> int:
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            a, b = merges[min(cands)[0]]
+            syms = _merge_once(syms, a, b)
+        return len(syms)
+
+    values = ",\n      ".join(
+        "('{}', {})".format(w.replace("'", "''"), n_pieces(w))
+        for w in sorted(counts)
+    )
+    return f"""
+    WITH seg(word, nt) AS (VALUES {values}),
+    t AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+      FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words, CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM t JOIN seg USING (word) WHERE word <> ''
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "bpe_token_count",
+    oracle=_bpe_oracle,
+    doc="End-to-end BPE tokenizer gate: Spark LEARNS the merge table from "
+    "the corpus (vocab-sized iterations, one corpus shuffle total — "
+    "operators/bpe.py) and TOKENIZES with it (zero-shuffle mapInPandas); "
+    "the oracle learns independently in sequential python and embeds "
+    "per-word piece counts as literals. Per-doc word and BPE-token "
+    "counts must agree exactly — pinning merge order, tie-breaks, and "
+    "rank-replay segmentation across both implementations.",
+)
+def bpe_token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    merges = _bpe_merges_for(docs, sf_dir)
+    toks = bpe_tokenize(docs, merges)
+    return toks.where(F.size("tokens") > 0).select(
+        "doc_id",
+        F.size(F.filter("tokens", lambda t: t.endswith(EOW)))
+        .cast("long")
+        .alias("n_words"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
