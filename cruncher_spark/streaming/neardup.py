@@ -132,10 +132,26 @@ class NearDupIngest:
         sid = self.stream_id or "local"
         return f"{sid}:{batch_id}"
 
+    def _index_schema(self) -> str:
+        mh = ", ".join(f"mh_{i} long" for i in range(self.num_hashes))
+        # batch/band_bucket are the partition directory columns
+        return (
+            f"doc_id long, {mh}, band_idx int, band_key string,"
+            " band_bucket long, batch string"
+        )
+
     def _read_index(self) -> DataFrame | None:
-        if not self.index_dir.exists() or not any(self.index_dir.iterdir()):
+        # explicit schema: inference would fail on a survivor-less first
+        # batch (its partition dir holds only _SUCCESS)
+        if not self.index_dir.exists() or not any(
+            self.index_dir.rglob("*.parquet")
+        ):
             return None
-        return self.spark.read.parquet(str(self.index_dir))
+        return (
+            self.spark.read.schema(self._index_schema())
+            .option("basePath", str(self.index_dir))
+            .parquet(str(self.index_dir))
+        )
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         sigs = self._signatures(
@@ -258,4 +274,6 @@ class NearDupIngest:
         return self.survivors.read()
 
     def decisions(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.decisions_dir))
+        return self.spark.read.schema(
+            "doc_id long, dup_of long, via string, batch_id string"
+        ).parquet(str(self.decisions_dir))

@@ -195,3 +195,18 @@ def test_restart_continues_against_accumulated_index(ingest_env, spark):
     got = sorted(r.doc_id for r in nd2.retained().collect())
     assert got == sorted(ref2)
     assert 31 in got and 30 not in got
+
+
+def test_survivorless_first_batch_is_safe(spark, tmp_path):
+    """A first batch with no signable docs must not poison index reads
+    (its partition dir holds only _SUCCESS — schema is explicit)."""
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    nd = NearDupIngest(spark, str(tmp_path / "state"))
+    nd.process_batch(
+        spark.createDataFrame([(1, "too short")], "doc_id long, text string"), 0
+    )
+    nd.process_batch(
+        spark.createDataFrame([(2, _doc(9))], "doc_id long, text string"), 1
+    )
+    assert sorted(r.doc_id for r in nd.retained().collect()) == [2]
