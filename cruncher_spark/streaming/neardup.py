@@ -268,6 +268,44 @@ class NearDupIngest:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    # -- housekeeping --------------------------------------------------------
+
+    def compact_index(self) -> int:
+        """Fold the accumulated per-batch index directories into ONE
+        consolidated batch dir — the streaming small-files remedy (a
+        long-lived ingest otherwise accretes a directory per micro-batch
+        and file listings start to dominate the candidate join). Returns
+        the number of batch dirs folded, 0 if there was nothing to do.
+
+        Single-writer by construction (the ingest loop owns the index;
+        call between batches). Crash-safe by idempotence rather than
+        atomicity: a crash after the consolidated write but before the
+        old dirs are removed leaves duplicate band rows, which only
+        produce duplicate CANDIDATES — the per-doc ``min`` aggregates
+        absorb them, and the next compaction removes the redundancy.
+        """
+        import shutil
+        import uuid
+
+        batches = [
+            d
+            for d in (self.index_dir.iterdir() if self.index_dir.exists() else [])
+            if d.is_dir() and d.name.startswith("batch=")
+        ]
+        if len(batches) <= 1:
+            return 0
+        idx = self._read_index()
+        target = self.index_dir / f"batch=compact-{uuid.uuid4().hex[:12]}"
+        (
+            idx.drop("batch")
+            .write.mode("overwrite")
+            .partitionBy("band_bucket")
+            .parquet(str(target))
+        )
+        for d in batches:
+            shutil.rmtree(d)
+        return len(batches)
+
     # -- state readers -------------------------------------------------------
 
     def retained(self) -> DataFrame:

@@ -210,3 +210,36 @@ def test_survivorless_first_batch_is_safe(spark, tmp_path):
         spark.createDataFrame([(2, _doc(9))], "doc_id long, text string"), 1
     )
     assert sorted(r.doc_id for r in nd.retained().collect()) == [2]
+
+
+def test_compact_index_preserves_dedup_behavior(ingest_env, spark):
+    """Compaction folds per-batch index dirs into one, and the filter
+    keeps making the same decisions against the compacted index."""
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    nd, root, _, _, _, _, _ = ingest_env
+    idx_before = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in nd._read_index().collect()
+    }
+    folded = nd.compact_index()
+    assert folded >= 2
+    dirs = [d for d in nd.index_dir.iterdir() if d.name.startswith("batch=")]
+    assert len(dirs) == 1 and dirs[0].name.startswith("batch=compact-")
+    idx_after = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in nd._read_index().collect()
+    }
+    assert idx_after == idx_before
+    assert nd.compact_index() == 0  # already consolidated
+
+    # a post-compaction batch still dedups against the whole history
+    nd2 = NearDupIngest(spark, str(root / "state"))
+    nd2.process_batch(
+        spark.createDataFrame(
+            [(40, _doc(1)), (41, _doc(7))], "doc_id long, text string"
+        ),
+        99,
+    )
+    kept = {r.doc_id for r in nd2.retained().collect()}
+    assert 41 in kept and 40 not in kept  # 40 duplicates survivor 1
