@@ -315,3 +315,227 @@ class NearDupIngest:
         return self.spark.read.schema(
             "doc_id long, dup_of long, via string, batch_id string"
         ).parquet(str(self.decisions_dir))
+
+
+class EmbeddingDedupIngest:
+    """Streaming near-dup filter over an EMBEDDING stream — the vector
+    counterpart of :class:`NearDupIngest` for multimodal/semantic
+    pipelines: each micro-batch of ``(vec_id, embedding array<float>)``
+    rows is random-hyperplane-LSH bucketed (``n_bands`` independent
+    signatures of ``band_planes`` planes — deterministic md5 planes, the
+    same family as operators/similarity.py), candidates against the
+    retained index are verified by EXACT cosine on the vectors stored
+    alongside the bucket rows (no second lookup join), and survivors
+    fold into a KEEP-policy PointTable under the batch-id ledger.
+
+    Same retention semantics as the text filter (pinned by tests): drop
+    iff a shared band bucket AND cosine >= ``min_cos`` against a retained
+    doc or a smaller-id batch peer; in-batch chains collapse to their
+    minimum id. Index layout, idempotent decision writes, and
+    :func:`compact_index` small-files housekeeping mirror NearDupIngest.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        dim: int = 64,
+        n_bands: int = 4,
+        band_planes: int = 8,
+        min_cos: float = 0.98,
+        index_buckets: int = 16,
+        num_buckets: int = 8,
+        exactly_once: bool = True,
+    ):
+        self.spark = spark
+        self.state = Path(state_dir)
+        self.dim = dim
+        self.n_bands = n_bands
+        self.band_planes = band_planes
+        self.min_cos = min_cos
+        self.index_buckets = index_buckets
+        self.exactly_once = exactly_once
+        self.stream_id: str | None = None
+        self.survivors = PointTable(
+            spark,
+            str(self.state / "survivors"),
+            key=["vec_id"],
+            policies={"embedding": MergePolicy.KEEP},
+            num_buckets=num_buckets,
+        )
+        self.index_dir = self.state / "band_index"
+        self.decisions_dir = self.state / "decisions"
+
+    # -- banding -------------------------------------------------------------
+
+    def _band_key(self, vec: F.Column, band: int) -> F.Column:
+        from cruncher_spark.operators.similarity import _hyperplane_signs
+
+        planes = _hyperplane_signs(
+            self.dim, self.n_bands * self.band_planes
+        )[band * self.band_planes : (band + 1) * self.band_planes]
+        key = F.lit(0)
+        for p, signs in enumerate(planes):
+            sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+            proj = F.aggregate(
+                F.zip_with(vec, sign_arr, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            key = key + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return key
+
+    def _bands(self, vecs: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    self._band_key(F.col("embedding"), b).alias("band_key"),
+                )
+                for b in range(self.n_bands)
+            ]
+        )
+        return (
+            vecs.select("vec_id", "embedding", F.explode(bands).alias("band"))
+            .select("vec_id", "embedding", "band.band_idx", "band.band_key")
+            .withColumn(
+                "band_bucket",
+                F.pmod(F.col("band_key"), F.lit(self.index_buckets)),
+            )
+        )
+
+    # -- batch body ----------------------------------------------------------
+
+    def _ledger_id(self, batch_id: int) -> str:
+        sid = self.stream_id or "local"
+        return f"{sid}:{batch_id}"
+
+    def _index_schema(self) -> str:
+        return (
+            "vec_id long, embedding array<float>, band_idx int,"
+            " band_key int, band_bucket long, batch string"
+        )
+
+    def _read_index(self) -> DataFrame | None:
+        if not self.index_dir.exists() or not any(
+            self.index_dir.rglob("*.parquet")
+        ):
+            return None
+        return (
+            self.spark.read.schema(self._index_schema())
+            .option("basePath", str(self.index_dir))
+            .parquet(str(self.index_dir))
+        )
+
+    def process_batch(self, vecs: DataFrame, batch_id: int) -> None:
+        from cruncher_spark.operators.similarity import cosine
+
+        batch = vecs.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+        bands = self._bands(batch)
+
+        index = self._read_index()
+        if index is not None:
+            cand = index.select(
+                "band_bucket",
+                "band_idx",
+                "band_key",
+                F.col("vec_id").alias("h_id"),
+                F.col("embedding").alias("h_emb"),
+            ).join(F.broadcast(bands), ["band_bucket", "band_idx", "band_key"])
+            hist_dups = (
+                cand.where(
+                    cosine(F.col("embedding"), F.col("h_emb")) >= self.min_cos
+                )
+                .groupBy("vec_id")
+                .agg(F.min("h_id").alias("dup_of"))
+                .withColumn("via", F.lit("history"))
+            )
+        else:
+            hist_dups = None
+
+        a = bands.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("emb_a"),
+            "band_idx",
+            "band_key",
+        )
+        b = bands.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("emb_b"),
+            "band_idx",
+            "band_key",
+        )
+        batch_dups = (
+            a.join(b, ["band_idx", "band_key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cosine(F.col("emb_a"), F.col("emb_b")) >= self.min_cos)
+            .groupBy(F.col("id_b").alias("vec_id"))
+            .agg(F.min("id_a").alias("dup_of"))
+            .withColumn("via", F.lit("batch"))
+        )
+
+        if hist_dups is None:
+            dropped = batch_dups
+        else:
+            pri = F.when(F.col("via") == "history", 0).otherwise(1)
+            dropped = (
+                hist_dups.unionByName(batch_dups)
+                .groupBy("vec_id")
+                .agg(F.min_by(F.struct("dup_of", "via"), pri).alias("d"))
+                .select("vec_id", "d.dup_of", "d.via")
+            )
+        kept = batch.join(dropped.select("vec_id"), "vec_id", "left_anti")
+
+        lid = self._ledger_id(batch_id) if self.exactly_once else None
+        applied = self.survivors.merge(kept, batch_id=lid)
+        if applied:
+            scope = lid or f"noledger:{batch_id}"
+            (
+                self._bands(kept)
+                .write.mode("overwrite")
+                .partitionBy("band_bucket")
+                .parquet(str(self.index_dir / f"batch={scope}"))
+            )
+            (
+                dropped.withColumn("batch_id", F.lit(scope))
+                .write.mode("overwrite")
+                .parquet(str(self.decisions_dir / f"batch={scope}"))
+            )
+
+    # -- housekeeping / readers ---------------------------------------------
+
+    compact_index = NearDupIngest.compact_index
+
+    def start_file_stream(
+        self,
+        vecs_dir: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = False,
+    ):
+        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        if self.stream_id is None:
+            self.stream_id = checkpoint_stream_id(checkpoint_dir)
+        reader = self.spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).format("parquet")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        writer = (
+            reader.load(vecs_dir)
+            .writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def retained(self) -> DataFrame:
+        return self.survivors.read()
+
+    def decisions(self) -> DataFrame:
+        return self.spark.read.schema(
+            "vec_id long, dup_of long, via string, batch_id string"
+        ).parquet(str(self.decisions_dir))
