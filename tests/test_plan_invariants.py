@@ -29,6 +29,7 @@ SF_DIR = "/root/testdata/sf0.001"
 #: queries that intentionally cross the Arrow boundary (vectorized numpy
 #: matmul / pure-python codecs) — keep in sync with PLANS.md "python ops"
 PYTHON_ALLOWED = {
+    "bpe_token_count",  # merge-rank replay is sequential-scan semantics
     "embedding_topk",
     "multimodal_decode",
     "multimodal_decode_real",
