@@ -2030,3 +2030,77 @@ def bpe_token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_words"),
         F.size("tokens").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier: hashed-feature logistic regression
+# ---------------------------------------------------------------------------
+
+from cruncher_spark.operators.classifier import (  # noqa: E402
+    hashed_doc_features,
+    train_logreg,
+)
+
+_LR_DIM, _LR_ITERS, _LR_RATE = 64, 3, 0.5
+
+
+def _logreg_round_sql(i: int) -> str:
+    p = i - 1
+    return f"""
+    m{i} AS (SELECT x.doc_id,
+                    CAST(SUM(CAST(w.w * x.x AS DECIMAL(28,14))) AS DOUBLE) AS margin
+             FROM x JOIN w{p} w USING (bucket) GROUP BY x.doc_id),
+    p{i} AS (SELECT doc_id, round(1.0 / (1.0 + exp(-margin)), 9) AS p FROM m{i}),
+    g{i} AS (SELECT x.bucket, SUM(CAST((p{i}.p - y.y) * x.x AS DECIMAL(28,14))) AS g
+             FROM x JOIN p{i} USING (doc_id) JOIN y USING (doc_id)
+             GROUP BY x.bucket),
+    w{i} AS (SELECT w.bucket,
+                    round(w.w - {_LR_RATE} * COALESCE(CAST(g.g AS DOUBLE), 0.0)
+                          / (SELECT n FROM nn), 14) AS w
+             FROM w{p} w LEFT JOIN g{i} g USING (bucket))"""
+
+
+_LOGREG_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    x AS (
+      SELECT doc_id, {_oracle_hash("tok", "lrfeat")} % {_LR_DIM} AS bucket,
+             CAST(count(*) AS BIGINT) AS x
+      FROM tok GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, {_LR_DIM} AS bucket, 1 AS x FROM documents
+    ),
+    y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    w0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0.0 AS DOUBLE) AS w
+           FROM range({_LR_DIM + 1})),
+    {",".join(_logreg_round_sql(i) for i in range(1, _LR_ITERS + 1))}
+    SELECT bucket, w FROM w{_LR_ITERS}
+"""
+
+
+@register(
+    "logreg_quality",
+    oracle=_LOGREG_ORACLE,
+    doc="TRAINED hashed-feature logistic-regression classifier (the "
+    "GPT-3-WebText/CCNet quality-filter stage): full-batch GD from zero "
+    "weights, fixed 3 rounds at lr=0.5 over 64 hashed buckets + bias, "
+    "labels = (lang == 'en'). Margin terms and gradient contributions "
+    "sum as DECIMAL(28,14) (exact, order-independent), sigmoid rounds "
+    "to 9, weights to 14 per round — the oracle unrolls the same rounds "
+    "as chained CTEs and matches every weight bit-for-bit. One corpus "
+    "feature pass; each round is a broadcast join + two bounded "
+    "aggregates — nothing corpus-sized ever collects.",
+)
+def logreg_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    return train_logreg(
+        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE
+    )
