@@ -514,16 +514,18 @@ def bigram_nll(
     weighted by the exact long multiplicity, so the per-doc sum is
     order-independent; only the final mean is a double, rounded to 6.
 
-    Scale shape (the tfidf lesson, linearized): the per-doc bigram
-    aggregate shuffles once on (doc, w1, w2) — uniform, no hot key. The
-    MODEL is built on the vocabulary-sized bigram table, never the
-    corpus stream: context totals attach as a SUM OVER the w1 window on
-    the (w1, w2)-aggregated table (window partition = distinct
-    successors of w1, vocabulary-bounded — never token- or doc-bounded),
-    and V broadcasts as a one-row aggregate. The model-attach join keys
-    (w1, w2) against per-doc-DISTINCT rows, so a hot bigram ("of the")
-    contributes at most one row per document — the posting-list bound
-    bm25 accepts; AQE splits any residual skew.
+    Scale shape (the tfidf lesson): the corpus bigram explode feeds two
+    map-side-combined aggregates — per-doc multiplicities shuffling once
+    on (doc, w1, w2) (uniform, no hot key) and the (w1, w2) model
+    counts. Everything DOWNSTREAM of those is vocabulary-sized: context
+    totals attach as a SUM OVER the w1 window on the aggregated bigram
+    table (window partition = distinct successors of w1, vocabulary-
+    bounded — never token- or doc-bounded), and V broadcasts as a
+    one-row aggregate, so the smoothing denominators never re-aggregate
+    the corpus. The model-attach join keys (w1, w2) against
+    per-doc-DISTINCT rows, so a hot bigram ("of the") contributes at
+    most one row per document — the posting-list bound bm25 accepts;
+    AQE splits any residual skew.
     """
     from pyspark.sql import Window
 

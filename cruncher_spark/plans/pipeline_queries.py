@@ -1807,9 +1807,9 @@ def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the perplexity quality filter (CCNet/Gopher class) next to "
     "doc_rarity's unigram stand-in: common words in improbable ORDER "
     "only this flags. Counts exact longs; per-bigram nll rounded to 6 "
-    "then DECIMAL-exact weighted accumulation; model built on the "
-    "vocabulary-sized bigram table (context totals via the w1 window), "
-    "never a second corpus pass.",
+    "then DECIMAL-exact weighted accumulation; context totals attach as "
+    "the w1 window on the vocabulary-sized bigram table, so smoothing "
+    "denominators never re-aggregate the corpus.",
 )
 def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
