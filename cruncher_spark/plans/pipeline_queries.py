@@ -32,7 +32,7 @@ from cruncher_spark.operators.similarity import (
     score_topk_arrow,
     threshold_neighbor_counts,
 )
-from cruncher_spark.plans.registry import QUERIES, register
+from cruncher_spark.plans.registry import QUERIES, register, register_audit_form
 from cruncher_spark.session import tune
 from cruncher_spark.sources import Star, fan_out
 
@@ -2103,4 +2103,21 @@ def logreg_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return train_logreg(
         feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE
+    )
+
+
+@register_audit_form("logreg_quality")
+def logreg_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy unrolled-GD plan (checkpoint=False) — what plan audits
+    inspect instead of the eager form's checkpoint-scan plan; value-
+    identical by tests/test_classifier.py."""
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    return train_logreg(
+        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE,
+        checkpoint=False,
     )

@@ -62,3 +62,18 @@ def test_scores_are_probabilities(labeled_docs):
     ).collect()[0]
     assert 0.0 <= s.lo <= s.hi <= 1.0
     assert s.n == labeled_docs.count()
+
+
+def test_lazy_form_equals_checkpointed(labeled_docs):
+    labels = labeled_docs.select("doc_id", "y")
+    feats = hashed_doc_features(labeled_docs, dim=64)
+    eager = {
+        r.bucket: r.w for r in train_logreg(feats, labels, dim=64, iters=3).collect()
+    }
+    lazy = {
+        r.bucket: r.w
+        for r in train_logreg(
+            feats, labels, dim=64, iters=3, checkpoint=False
+        ).collect()
+    }
+    assert eager == lazy
