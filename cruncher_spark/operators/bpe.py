@@ -9,7 +9,9 @@ Scale shape — the part that matters at 100 TB: BPE learning never
 iterates over the corpus. One corpus-sized shuffle builds the WORD
 FREQUENCY table (distinct words + counts — vocabulary-sized, bounded by
 language, not data volume); every one of the K merge rounds then runs on
-that vocab-sized table: explode adjacent symbol pairs weighted by word
+that vocab-sized table — driver-side when it fits under
+``driver_vocab_cap`` (the bounded-collect fit pattern), distributed above
+it: explode adjacent symbol pairs weighted by word
 count, one map-side-combined aggregate, and a single-ROW driver collect
 of the argmax pair (count desc, pair lexicographic — pinned so learning
 is deterministic under any partitioning). Applying the chosen merge
