@@ -20,9 +20,11 @@ existing primitives:
   O(batch x matching buckets), never a full-index shuffle.
 - **durability / exactly-once**: survivors land in a ``PointTable``
   (KEEP policy — signatures are immutable) whose batch-id ledger makes
-  replayed micro-batches no-ops; index and decision appends are gated on
-  the ledger verdict and written idempotently (per-batch overwrite of a
-  batch-scoped subdirectory), so a crash-replay cannot double-index.
+  replayed micro-batches no-ops. Derived state (index + decisions)
+  writes FIRST as idempotent per-batch-scope overwrites and the ledger
+  merge commits LAST (outbox ordering), so every crash window replays
+  into convergence: recomputation against an index already holding the
+  batch is idempotent because self-matches are excluded.
 
 Duplicate semantics (pinned by tests/test_streaming_neardup.py): a doc is
 DROPPED iff it shares an LSH band AND agrees on >= ``min_agree`` of the
@@ -45,6 +47,17 @@ from pyspark.sql import functions as F
 from cruncher_spark.merge.upsert import MergePolicy, PointTable
 from cruncher_spark.operators.dedup import minhash_signatures, shingle_arrays
 from cruncher_spark.streaming.worker import checkpoint_stream_id
+
+
+def _scope_dirname(scope: str) -> str:
+    """Filesystem-safe form of a ledger scope for ``batch=<scope>`` state
+    dirs. Ledger ids are ``<stream_id>:<epoch>`` and Hadoop's Path parser
+    treats a colon in a path segment as a URI scheme separator
+    (URISyntaxException: Relative path in absolute URI); the dir name is
+    only an idempotent-overwrite scope, never parsed back, so a lossy
+    substitution is safe. The canonical (colon) scope is still what lands
+    in the decisions ``batch_id`` column and the merge ledger."""
+    return "".join(c if c.isalnum() or c in "._-" else "-" for c in scope)
 
 
 class NearDupIngest:
@@ -177,7 +190,8 @@ class NearDupIngest:
                     ["band_bucket", "band_idx", "band_key"],
                 )
                 hist_dups = (
-                    cand.where(
+                    cand.where(F.col("h_id") != F.col("doc_id"))
+                    .where(
                         self._agreement("", "h_") >= self.min_agree_hashes
                     )
                     .groupBy("doc_id")
@@ -220,23 +234,44 @@ class NearDupIngest:
                     .agg(F.min_by(F.struct("dup_of", "via"), pri).alias("d"))
                     .select("doc_id", "d.dup_of", "d.via")
                 )
+            # Eagerly materialize the (micro-batch-sized) verdicts. This
+            # severs every downstream plan's lineage to the lazy index
+            # read — required on a ledger REPLAY, where the index write
+            # below overwrites the very ``batch=<scope>`` dir the
+            # candidate join's stale file listing still points at
+            # (FAILED_READ_FILE otherwise) — and computes the candidate
+            # join once instead of re-running it for each of the three
+            # consumers (index write, decisions write, survivor merge).
+            dropped = dropped.localCheckpoint(eager=True)
             kept = sigs.join(dropped.select("doc_id"), "doc_id", "left_anti")
 
+            # outbox ordering: derived state (index + decisions) lands
+            # FIRST, the ledger-gated survivor merge commits LAST — a
+            # crash in between replays the batch, and recomputation
+            # against an index that already contains this batch's docs is
+            # idempotent because self-matches are excluded above (kept
+            # set identical; a kept doc's in-batch absorber may re-label
+            # via='history', same dup_of). The old order had a permanent
+            # landing hole: merge committed, index write crashed, replay
+            # saw the ledger hit and skipped the index forever. Recovery
+            # contract: Structured Streaming replays only the last
+            # uncommitted epoch, so the index is at most ONE batch ahead
+            # of the retained table and converges on replay.
             lid = self._ledger_id(batch_id) if self.exactly_once else None
-            applied = self.survivors.merge(kept, batch_id=lid)
-            if applied:
-                scope = lid or f"noledger:{batch_id}"
-                (
-                    self._bands(kept)
-                    .write.mode("overwrite")
-                    .partitionBy("band_bucket")
-                    .parquet(str(self.index_dir / f"batch={scope}"))
-                )
-                (
-                    dropped.withColumn("batch_id", F.lit(scope))
-                    .write.mode("overwrite")
-                    .parquet(str(self.decisions_dir / f"batch={scope}"))
-                )
+            scope = lid or f"noledger:{batch_id}"
+            sdir = _scope_dirname(scope)
+            (
+                self._bands(kept)
+                .write.mode("overwrite")
+                .partitionBy("band_bucket")
+                .parquet(str(self.index_dir / f"batch={sdir}"))
+            )
+            (
+                dropped.withColumn("batch_id", F.lit(scope))
+                .write.mode("overwrite")
+                .parquet(str(self.decisions_dir / f"batch={sdir}"))
+            )
+            self.survivors.merge(kept, batch_id=lid)
         finally:
             sigs.unpersist()
 
@@ -444,7 +479,8 @@ class EmbeddingDedupIngest:
                 F.col("embedding").alias("h_emb"),
             ).join(F.broadcast(bands), ["band_bucket", "band_idx", "band_key"])
             hist_dups = (
-                cand.where(
+                cand.where(F.col("h_id") != F.col("vec_id"))
+                .where(
                     cosine(F.col("embedding"), F.col("h_emb")) >= self.min_cos
                 )
                 .groupBy("vec_id")
@@ -485,23 +521,28 @@ class EmbeddingDedupIngest:
                 .agg(F.min_by(F.struct("dup_of", "via"), pri).alias("d"))
                 .select("vec_id", "d.dup_of", "d.via")
             )
+        # eager checkpoint: severs lineage to the lazy index read so the
+        # replay-time self-overwrite below is safe, and computes the
+        # candidate join once — see NearDupIngest.process_batch
+        dropped = dropped.localCheckpoint(eager=True)
         kept = batch.join(dropped.select("vec_id"), "vec_id", "left_anti")
 
+        # outbox ordering + self-match guard: see NearDupIngest.process_batch
         lid = self._ledger_id(batch_id) if self.exactly_once else None
-        applied = self.survivors.merge(kept, batch_id=lid)
-        if applied:
-            scope = lid or f"noledger:{batch_id}"
-            (
-                self._bands(kept)
-                .write.mode("overwrite")
-                .partitionBy("band_bucket")
-                .parquet(str(self.index_dir / f"batch={scope}"))
-            )
-            (
-                dropped.withColumn("batch_id", F.lit(scope))
-                .write.mode("overwrite")
-                .parquet(str(self.decisions_dir / f"batch={scope}"))
-            )
+        scope = lid or f"noledger:{batch_id}"
+        sdir = _scope_dirname(scope)
+        (
+            self._bands(kept)
+            .write.mode("overwrite")
+            .partitionBy("band_bucket")
+            .parquet(str(self.index_dir / f"batch={sdir}"))
+        )
+        (
+            dropped.withColumn("batch_id", F.lit(scope))
+            .write.mode("overwrite")
+            .parquet(str(self.decisions_dir / f"batch={sdir}"))
+        )
+        self.survivors.merge(kept, batch_id=lid)
 
     # -- housekeeping / readers ---------------------------------------------
 

@@ -243,3 +243,44 @@ def test_compact_index_preserves_dedup_behavior(ingest_env, spark):
     )
     kept = {r.doc_id for r in nd2.retained().collect()}
     assert 41 in kept and 40 not in kept  # 40 duplicates survivor 1
+
+
+def test_crash_between_index_write_and_ledger_commit_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Outbox ordering: index/decisions land first, the ledger merge
+    commits last. A crash in between replays the batch — recomputation
+    against an index that already holds the batch's docs must reach the
+    same verdicts (self-matches excluded) and land the survivors once."""
+    import pytest as _pytest
+
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    nd = NearDupIngest(spark, str(tmp_path / "state"))
+    nd.process_batch(
+        spark.createDataFrame(
+            [(0, _doc(0)), (1, _doc(1))], "doc_id long, text string"
+        ),
+        0,
+    )
+
+    b1 = [(10, _doc(2)), (11, _doc(2)), (12, _doc(0)), (13, _doc(3))]
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    real_merge = nd.survivors.merge
+
+    def crashing(delta, batch_id=None):
+        raise RuntimeError("crash before ledger commit")
+
+    monkeypatch.setattr(nd.survivors, "merge", crashing)
+    with _pytest.raises(RuntimeError):
+        nd.process_batch(df1, 1)  # index written, merge never committed
+    monkeypatch.setattr(nd.survivors, "merge", real_merge)
+
+    nd.process_batch(df1, 1)  # replay into the crash window
+    kept = sorted(r.doc_id for r in nd.retained().collect())
+    assert kept == [0, 1, 10, 13]  # 11 dups 10 in-batch, 12 dups history 0
+    dec = {r.doc_id: r.dup_of for r in nd.decisions().collect()}
+    assert dec[11] == 10 and dec[12] == 0
+    # survivor 10 was already in the index during the replay — the
+    # self-match guard kept it retained rather than dropping it
+    assert 10 in kept
