@@ -590,3 +590,129 @@ def bigram_nll(
             ).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency boilerplate removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 5,
+    max_docs: int = 3,
+) -> DataFrame:
+    """Remove corpus-frequent chunks from EVERY document, then rebuild.
+
+    The CCNet/RefinedWeb boilerplate pass: a chunk ("line" on a real
+    corpus; a fixed ``chunk_words``-word window on this single-line
+    fixture, same stand-in as paragraph_dedup) that occurs in more than
+    ``max_docs`` DISTINCT documents is navigation/footer/template noise
+    and is stripped from all of them — unlike paragraph_dedup, which
+    keeps the first occurrence. Returns (id, n_chunks, n_kept,
+    clean_digest) with clean_digest the md5 of the reconstruction from
+    surviving chunks in document order.
+
+    Scale shape (mirrors paragraph_dedup's audited one):
+
+    1. hot-chunk detection is ``groupBy(chunk).count_distinct(doc)`` —
+       partial aggregation combines map-side, so a chunk in half the
+       corpus still reduces per map task before the exchange;
+    2. the hot table has one row per distinct FREQUENT chunk (orders of
+       magnitude smaller than the corpus); occurrences LEFT-join it on
+       the chunk text — a hot boilerplate chunk is exactly the skew AQE
+       skew-join splits, same as paragraph_dedup's winners join;
+    3. reconstruction regroups per document, bounded by document length.
+    """
+    from cruncher_spark.operators.dedup import paragraph_table
+
+    paras = paragraph_table(docs, id_col, text_col, chunk_words)
+    hot = (
+        paras.groupBy("para")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") > max_docs)
+        .select("para", F.lit(True).alias("hot"))
+    )
+    flagged = paras.join(hot, "para", "left")
+    kept = F.col("hot").isNull()
+    # when() with no otherwise -> NULL for stripped rows; collect_list
+    # skips NULLs, so only surviving chunks are gathered
+    kept_struct = F.when(kept, F.struct("pos", "para"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept.cast("int")).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["para"],
+                ),
+            )
+        ).alias("clean_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps'-law checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 1.0),
+) -> DataFrame:
+    """Vocabulary size at document-id checkpoints — the Heaps'-law curve.
+
+    Corpus-diversity analytics: how fast does the distinct-term count
+    grow as the corpus grows? A flattening curve means new documents are
+    re-treading existing vocabulary (template/boilerplate-heavy crawl); a
+    near-linear one means high novelty. Checkpoints are
+    ``floor(max(id) * f)`` for each fraction, so the SAME query shape
+    works at every scale factor without data-dependent literals.
+
+    Returns (cp, n_docs, vocab_size): documents with id <= cp and
+    distinct terms FIRST SEEN at or before cp.
+
+    Scale shape — the curve costs one corpus tokenize plus small aggs:
+
+    - per-term first-seen is ``groupBy(term).min(id)`` (map-side
+      combined, vocabulary-sized output);
+    - each checkpoint count is a conditional aggregate over a
+      broadcast-replicated |fractions|-row checkpoint table: the
+      replicated rows collapse to |fractions| groups in the partial agg
+      before any exchange, so no pass over the corpus is repeated and
+      nothing is collected to the driver.
+    """
+    mx = docs.agg(F.max(F.col(id_col)).alias("mx"))
+    cps = (
+        mx.select(
+            F.explode(F.array([F.lit(f) for f in fractions])).alias("f"), "mx"
+        )
+        .select(F.floor(F.col("mx") * F.col("f")).cast("long").alias("cp"))
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    first = toks.groupBy("term").agg(F.min(F.col(id_col)).alias("first_seen"))
+    vocab = (
+        first.crossJoin(F.broadcast(cps))
+        .where(F.col("first_seen") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    ndocs = (
+        docs.select(F.col(id_col))
+        .crossJoin(F.broadcast(cps))
+        .where(F.col(id_col) <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return ndocs.join(vocab, "cp")

@@ -253,3 +253,84 @@ def tfidf_oracle_sql(
     WHERE dot IS NOT NULL
     ORDER BY score DESC, {id_col} LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search: zero-shuffle positional scan
+# ---------------------------------------------------------------------------
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrase: list[str] | str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word-boundary-exact phrase occurrence counts per document.
+
+    Beyond-reference surface: the "find every training document that
+    contains this exact phrase" primitive (contamination forensics,
+    memorization probes, targeted corpus ablation). For a single ad-hoc
+    phrase at 100 TB the RIGHT Spark plan is not an inverted-index build
+    but a narrow scan: the whole match is ONE whole-stage-codegen'd
+    expression over the split word array (``filter(sequence(1, n-k+1),
+    i -> words[i]=t0 AND words[i+1]=t1 ...)``), so the operator is
+    embarrassingly parallel — zero shuffles, zero joins, no
+    aggregation; per-doc counts fall straight out of the scan and
+    non-matching documents are filtered before anything leaves the map
+    side. (Standing query workloads over a static corpus would amortize
+    a positional-postings index instead; that shape is bm25_topk's
+    postings exchange with a ``pos`` column.)
+
+    Word-boundary-exact: terms match whole space-delimited tokens only
+    ("low hash" never matches inside "slow hash"), the semantics a SQL
+    ``LIKE '%…%'`` scan gets wrong at both ends.
+
+    Returns (id, n_matches) for documents with >= 1 occurrence;
+    overlapping occurrences each count.
+    """
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    k = len(terms)
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+
+    def _match_at(i):  # i is the 1-based start position
+        cond = F.lit(True)
+        for j, t in enumerate(terms):
+            cond = cond & (F.element_at(ws, i + F.lit(j)) == F.lit(t))
+        return cond
+
+    # n >= k guard BEFORE sequence(): sequence(1, n-k+1) with an upper
+    # bound < 1 runs DESCENDING (same pitfall as paragraph_table), so
+    # short documents must never reach the expression
+    counts = F.size(F.filter(F.sequence(F.lit(1), n - F.lit(k - 1)), _match_at))
+    return (
+        docs.where(n >= F.lit(k))
+        .select(F.col(id_col), counts.cast("long").alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )
+
+
+def phrase_oracle_sql(
+    terms: list[str], *, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`phrase_match_counts` — the same 1-based
+    positional-window semantics via lateral ``unnest(range(...))``."""
+    k = len(terms)
+    preds = " AND ".join(
+        f"ws[CAST(i AS INT)+{j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return f"""
+    WITH w AS (
+      SELECT {id_col}, string_split(text, ' ') AS ws FROM {table}
+    ),
+    hits AS (
+      SELECT {id_col}
+      FROM w, unnest(range(1, len(ws) - {k} + 2)) t(i)
+      WHERE {preds}
+    )
+    SELECT {id_col}, count(*) AS n_matches FROM hits GROUP BY {id_col}
+    """

@@ -2121,3 +2121,100 @@ def logreg_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE,
         checkpoint=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search / boilerplate strip / vocabulary growth (round 6)
+# ---------------------------------------------------------------------------
+
+from cruncher_spark.operators.curation import (  # noqa: E402
+    boilerplate_strip,
+    vocab_growth,
+)
+from cruncher_spark.operators.retrieval import (  # noqa: E402
+    phrase_match_counts,
+    phrase_oracle_sql,
+)
+
+_PHRASE = ["slow", "hash", "batch"]
+
+
+@register(
+    "phrase_search",
+    oracle=phrase_oracle_sql(_PHRASE),
+    doc="Word-boundary-exact phrase occurrence counts (contamination "
+    "forensics / memorization probes): the whole match is one "
+    "whole-stage-codegen'd array expression over the split words — "
+    "zero shuffles, zero joins; non-matching documents never leave the "
+    "map side. Overlapping occurrences each count; LIKE-scan boundary "
+    "bugs ('low hash' inside 'slow hash') are structurally impossible.",
+)
+def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return phrase_match_counts(docs, _PHRASE)
+
+
+@register(
+    "boilerplate_strip",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    p AS (
+      SELECT doc_id, CAST(g AS INT) AS pos,
+        array_to_string(wl[(CAST(g AS INT)*5+1):(CAST(g AS INT)*5+5)], ' ') AS para
+      FROM w, unnest(range(0, CAST(ceil(len(wl)/5.0) AS BIGINT))) t(g)
+      WHERE len(wl) > 0
+    ),
+    hot AS (
+      SELECT para AS hpara FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) > 3
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+      CAST(sum(CASE WHEN hpara IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      md5(coalesce(string_agg(para, ' ' ORDER BY pos)
+                   FILTER (WHERE hpara IS NULL), '')) AS clean_digest
+    FROM p LEFT JOIN hot ON p.para = hot.hpara
+    GROUP BY doc_id
+    """,
+    doc="CCNet-class boilerplate removal: a 5-word chunk occurring in >3 "
+    "DISTINCT documents is template noise and is stripped from EVERY "
+    "document (paragraph_dedup keeps the first occurrence; this keeps "
+    "none). Hot-chunk detection is a map-side-combined count_distinct; "
+    "the hot table is one row per distinct frequent chunk, left-joined "
+    "back — the same AQE-skew-splittable shape as paragraph_dedup's "
+    "winners join — then documents rebuild from surviving chunks in "
+    "order.",
+)
+def boilerplate_strip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return boilerplate_strip(docs, chunk_words=5, max_docs=3)
+
+
+@register(
+    "vocab_growth",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    fs AS (SELECT term, min(doc_id) AS first_seen FROM t GROUP BY 1),
+    m AS (SELECT max(doc_id) AS mx FROM documents),
+    cps AS (
+      SELECT DISTINCT CAST(floor(mx * f) AS BIGINT) AS cp
+      FROM m, (VALUES (0.1), (0.25), (0.5), (0.75), (1.0)) v(f)
+    )
+    SELECT cp,
+      (SELECT count(*) FROM documents d WHERE d.doc_id <= cp) AS n_docs,
+      (SELECT count(*) FROM fs WHERE first_seen <= cp) AS vocab_size
+    FROM cps
+    """,
+    doc="Heaps'-law vocabulary-growth checkpoints (corpus-diversity "
+    "analytics): distinct terms first seen at or before floor(max_id*f) "
+    "for 5 fractions. One corpus tokenize; per-term first-seen is a "
+    "map-side-combined min; checkpoint counts are conditional aggregates "
+    "over a broadcast 5-row checkpoint table — replicated rows collapse "
+    "in the partial agg, nothing collects to the driver.",
+)
+def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return vocab_growth(docs)

@@ -707,3 +707,76 @@ def test_bigram_nll_matches_bruteforce(spark):
         assert abs(out[i][1] - exp) < 1e-9, (i, out[i], exp)
     # context matters: doc 3 (scrambled) scores strictly above doc 1
     assert out[3][1] > out[1][1]
+
+
+# ---------------------------------------------------------------------------
+# boilerplate strip + vocabulary growth (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_strips_hot_chunk_from_every_doc(spark):
+    from cruncher_spark.operators.curation import boilerplate_strip
+
+    # chunk_words=2: "nav bar" is chunk 0 of docs 1-4 (> max_docs=3 docs);
+    # doc 5 has no hot chunk
+    rows = [
+        (1, "nav bar alpha beta"),
+        (2, "nav bar gamma delta"),
+        (3, "nav bar epsilon zeta"),
+        (4, "nav bar eta theta"),
+        (5, "iota kappa lam mu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(docs, chunk_words=2, max_docs=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}  # stripped docs still present
+    for d in (1, 2, 3, 4):
+        assert got[d]["n_chunks"] == 2 and got[d]["n_kept"] == 1
+    assert got[5]["n_kept"] == 2
+    # doc 1's reconstruction is exactly its tail chunk
+    import hashlib
+
+    assert got[1]["clean_digest"] == hashlib.md5(b"alpha beta").hexdigest()
+    assert got[5]["clean_digest"] == hashlib.md5(b"iota kappa lam mu").hexdigest()
+
+
+def test_boilerplate_threshold_is_distinct_docs_not_occurrences(spark):
+    from cruncher_spark.operators.curation import boilerplate_strip
+
+    # "x y" occurs 4 times but in only 2 DISTINCT docs -> not hot at
+    # max_docs=3
+    rows = [(1, "x y x y x y"), (2, "x y pad pad"), (3, "a b c d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in boilerplate_strip(docs, chunk_words=2, max_docs=3).collect()}
+    assert all(r["n_kept"] == r["n_chunks"] for r in got.values())
+
+
+def test_vocab_growth_monotonic_and_total(spark):
+    from cruncher_spark.operators.curation import vocab_growth
+
+    rows = [
+        (0, "a b"),
+        (1, "a c"),
+        (2, "a b"),   # no new terms
+        (3, "d e f"),
+        (4, "a"),
+        (5, "g"),
+        (6, "a b c"),
+        (7, "h"),
+        (8, "a"),
+        (9, "i j"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["cp"], r["n_docs"], r["vocab_size"])
+        for r in vocab_growth(docs).collect()
+    )
+    # checkpoints floor(9*f): 0, 2, 4, 6, 9
+    assert [c for c, _, _ in got] == [0, 2, 4, 6, 9]
+    assert [n for _, n, _ in got] == [1, 3, 5, 7, 10]
+    assert [v for _, _, v in got] == [2, 3, 6, 7, 10]
+    # monotone non-decreasing, final = full vocabulary
+    vs = [v for _, _, v in got]
+    assert vs == sorted(vs) and vs[-1] == 10

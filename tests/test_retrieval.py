@@ -62,3 +62,51 @@ def test_bm25_length_normalization(spark):
     )
     got = [r["doc_id"] for r in bm25_topk(docs, ["cat"], k=2).collect()]
     assert got == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_counts_overlapping_occurrences(spark):
+    from cruncher_spark.operators.retrieval import phrase_match_counts
+
+    docs = _docs(spark, [(1, "a a a a"), (2, "a b a a"), (3, "b b b b")])
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_counts(docs, ["a", "a"]).collect()
+    }
+    assert got == {1: 3, 2: 1}  # overlapping starts each count; 3 absent
+
+
+def test_phrase_is_word_boundary_exact(spark):
+    from cruncher_spark.operators.retrieval import phrase_match_counts
+
+    # 'low hash' must NOT match inside 'slow hash'
+    docs = _docs(spark, [(1, "slow hash batch"), (2, "low hash batch")])
+    got = [r["doc_id"] for r in phrase_match_counts(docs, ["low", "hash"]).collect()]
+    assert got == [2]
+
+
+def test_phrase_longer_than_doc_and_single_term(spark):
+    from cruncher_spark.operators.retrieval import phrase_match_counts
+
+    docs = _docs(spark, [(1, "x y"), (2, "x y z w")])
+    # phrase longer than doc 1: doc 1 must be excluded before sequence()
+    got = [r["doc_id"] for r in phrase_match_counts(docs, ["x", "y", "z"]).collect()]
+    assert got == [2]
+    # k=1 degenerates to term counting
+    one = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match_counts(docs, ["x"]).collect()
+    }
+    assert one == {1: 1, 2: 1}
+
+
+def test_phrase_plan_has_no_shuffle(spark):
+    from cruncher_spark.operators.retrieval import phrase_match_counts
+
+    docs = _docs(spark, [(1, "a b c")])
+    plan = phrase_match_counts(docs, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle narrow scan
