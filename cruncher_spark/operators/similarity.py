@@ -835,3 +835,108 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# domain fingerprints: per-group centroid similarity matrix
+# ---------------------------------------------------------------------------
+
+#: exact accumulator for centroid components rounded to 6 decimals
+_CENT_DEC = "decimal(18,6)"
+#: exact accumulator for products of 9-decimal centroid components
+_PROD_DEC = "decimal(38,18)"
+
+
+def source_centroid_similarity(
+    docs: DataFrame,
+    vectors: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    group_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding centroids.
+
+    Mixture-design analytics: before choosing domain sampling weights, a
+    pipeline wants to know which sources are semantically redundant
+    (near-parallel centroids) and which add diversity. Output is the
+    strict upper triangle (group_a < group_b, cos) of the centroid
+    similarity matrix.
+
+    Scale shape — everything after the id join is tiny:
+
+    - vectors ⋈ docs is a co-partitioned equi shuffle join on the id
+      (the one corpus-sized exchange);
+    - per-(group, dim) centroid means are a map-side-combined aggregate
+      whose output is |groups| x dim rows;
+    - the pairwise matrix is a self-join of that small table — never a
+      row-level all-pairs.
+
+    Cross-engine exactness (the logreg discipline): components round to
+    6 then accumulate as DECIMAL(18,6) (order-independent); centroid
+    means round to 9; dot/norm terms accumulate as DECIMAL(38,18); one
+    final double division + round(6).
+    """
+    joined = vectors.join(
+        docs.select(F.col(doc_id_col).alias(vec_id_col), group_col),
+        vec_id_col,
+    )
+    comps = joined.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    cent = (
+        comps.groupBy("grp", "dim")
+        .agg(
+            F.sum(
+                F.round(F.col("v").cast("double"), 6).cast(_CENT_DEC)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "grp",
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("c"),
+        )
+    )
+    norms = (
+        cent.select("grp", (F.col("c") * F.col("c")).cast(_PROD_DEC).alias("c2"))
+        .groupBy("grp")
+        .agg(F.sum("c2").alias("n2"))
+    )
+    a = cent.select(
+        F.col("grp").alias("group_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("grp").alias("group_b"), "dim", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            (F.col("ca") * F.col("cb")).cast(_PROD_DEC).alias("t"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.sum("t").alias("dp"))
+    )
+    na = norms.select(F.col("grp").alias("group_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("grp").alias("group_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(F.broadcast(na), "group_a")
+        .join(F.broadcast(nb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.round(
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )

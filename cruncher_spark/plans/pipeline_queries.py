@@ -2218,3 +2218,60 @@ def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
     return vocab_growth(docs)
+
+
+from cruncher_spark.operators.similarity import (  # noqa: E402
+    source_centroid_similarity,
+)
+
+
+@register(
+    "source_centroid_sim",
+    oracle="""
+    WITH j AS (
+      SELECT d.source AS grp, e.embedding
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    comp AS (
+      SELECT grp,
+        unnest(range(1, len(embedding) + 1)) AS dim,
+        unnest(embedding) AS v
+      FROM j
+    ),
+    cent AS (
+      SELECT grp, dim,
+        round(CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE) / count(*), 9) AS c
+      FROM comp GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT grp, SUM(CAST(c * c AS DECIMAL(38,18))) AS n2
+      FROM cent GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.grp AS group_a, b.grp AS group_b,
+        SUM(CAST(a.c * b.c AS DECIMAL(38,18))) AS dp
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b,
+      round(CAST(dp AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+            6) AS cos
+    FROM dots
+    JOIN norms na ON na.grp = dots.group_a
+    JOIN norms nb ON nb.grp = dots.group_b
+    """,
+    doc="Per-source embedding-centroid cosine matrix (strict upper "
+    "triangle) — the mixture-design 'which domains are semantically "
+    "redundant' analytics. One corpus-sized id equi-join; centroids are "
+    "a map-side-combined (group, dim) aggregate; the pairwise matrix is "
+    "a self-join of that |groups|x|dim| table, never row-level "
+    "all-pairs. Cross-engine exact via the logreg decimal discipline "
+    "(6-decimal components in DECIMAL(18,6), 9-decimal centroids, "
+    "DECIMAL(38,18) dot/norm accumulation, one final rounded division).",
+)
+def source_centroid_sim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    star = Star(spark, sf_dir)
+    return source_centroid_similarity(star.documents, star.embeddings)

@@ -780,3 +780,29 @@ def test_vocab_growth_monotonic_and_total(spark):
     # monotone non-decreasing, final = full vocabulary
     vs = [v for _, _, v in got]
     assert vs == sorted(vs) and vs[-1] == 10
+
+
+def test_source_centroid_similarity_geometry(spark):
+    from cruncher_spark.operators.similarity import source_centroid_similarity
+
+    # sources a/b have parallel centroids (cos 1), c is orthogonal (cos 0)
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "c")],
+        "doc_id long, source string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [3.0, 0.0]),
+            (2, [2.0, 0.0]),
+            (3, [0.0, 5.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r["cos"]
+        for r in source_centroid_similarity(docs, emb).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}  # upper triangle
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == 0.0 and got[("b", "c")] == 0.0
