@@ -2275,3 +2275,89 @@ def source_centroid_sim_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     star = Star(spark, sf_dir)
     return source_centroid_similarity(star.documents, star.embeddings)
+
+
+# ---------------------------------------------------------------------------
+# classifier-calibrated acceptance sampling
+# ---------------------------------------------------------------------------
+
+from cruncher_spark.functions.text import portable_hash64  # noqa: E402
+from cruncher_spark.operators.classifier import score_logreg  # noqa: E402
+
+_QWS_SALT = "qws"
+_QWS_DENOM = 1_000_000
+#: target sampling rate: E[|sample|] ~= rate * N when the cap rarely binds
+_QWS_RATE = 0.5
+
+# reuse the trained-weights CTE chain of the logreg oracle; append the
+# scoring + normalization + acceptance tail
+_QWS_ORACLE = (
+    _LOGREG_ORACLE.rsplit("SELECT bucket, w FROM", 1)[0]
+    + f""", margin AS (
+      SELECT x.doc_id,
+        CAST(SUM(CAST(w.w * x.x AS DECIMAL(28,14))) AS DOUBLE) AS m
+      FROM x JOIN w{_LR_ITERS} w USING (bucket) GROUP BY 1
+    ),
+    p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 9) AS score FROM margin),
+    st AS (
+      SELECT CAST(SUM(CAST(score AS DECIMAL(28,9))) AS DOUBLE) / count(*)
+             AS ms
+      FROM p
+    )
+    SELECT doc_id, score,
+      least(1.0, round(score * {_QWS_RATE} / ms, 9)) AS p_accept
+    FROM p, st
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{_QWS_SALT}'), 1, 15) AS BIGINT)
+          % {_QWS_DENOM}
+          < CAST(floor(least(1.0, round(score * {_QWS_RATE} / ms, 9))
+                       * {_QWS_DENOM}) AS BIGINT)
+"""
+)
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=_QWS_ORACLE,
+    doc="Classifier-calibrated importance resampling to a target budget "
+    "(the GPT-3-WebText recipe): each document's acceptance probability "
+    "is min(1, score * rate / mean_score) under the TRAINED logreg "
+    "sigmoid scores, decided by the deterministic portable hash — "
+    "acceptance is a pure function of the row plus one corpus scalar, "
+    "so the sample reproduces across runs, partitionings, and engines, "
+    "while its composition is importance-weighted by the model. The "
+    "mean normalizer accumulates DECIMAL-exact (order-independent); "
+    "scoring is one broadcast weight join + per-doc decimal sum; the "
+    "filter is map-side against a broadcast one-row aggregate.",
+)
+def quality_weighted_sample_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    w = train_logreg(feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE)
+    scores = score_logreg(feats, w)
+    st = scores.agg(
+        (
+            F.sum(F.col("score").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ms")
+    )
+    p_accept = F.least(
+        F.lit(1.0),
+        F.round(F.col("score") * F.lit(_QWS_RATE) / F.col("ms"), 9),
+    )
+    accept = (
+        portable_hash64(F.col("doc_id").cast("string"), _QWS_SALT)
+        % F.lit(_QWS_DENOM)
+        < F.floor(p_accept * _QWS_DENOM).cast("long")
+    )
+    return (
+        scores.crossJoin(F.broadcast(st))
+        .withColumn("p_accept", p_accept)
+        .where(accept)
+        .select("doc_id", "score", "p_accept")
+    )
