@@ -716,3 +716,84 @@ def vocab_growth(
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return ndocs.join(vocab, "cp")
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope: log-log rank-frequency regression
+# ---------------------------------------------------------------------------
+
+#: exact accumulator for products of 9-decimal log coordinates
+_ZIPF_DEC = "decimal(38,18)"
+
+
+def zipf_slope(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Least-squares slope of ln(freq) vs ln(rank) over the vocabulary.
+
+    The Zipf diagnostic next to :func:`vocab_growth`: natural corpora
+    fit slope ~ -1; a much flatter slope flags synthetic/templated text,
+    a much steeper one a degenerate vocabulary. Returns one row
+    (n_terms, slope, intercept).
+
+    Scale shape — no global single-partition window anywhere:
+
+    - term frequencies are one map-side-combined corpus aggregate;
+    - the global rank is built WITHOUT a total-order window over the
+      vocabulary: the cumulative count of strictly-higher frequencies
+      runs over the DISTINCT-frequency table (heavy-tailed corpora have
+      far fewer distinct frequencies than terms — the one unpartitioned
+      window here is bounded by that small table), then ties rank by a
+      window PARTITIONED on the frequency;
+    - the regression sums accumulate DECIMAL(38,18)-exact over rounded
+      9-decimal log coordinates (order-independent, engine-portable),
+      and the closed-form slope/intercept is one final double step.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    fc = tf.groupBy("f").agg(F.count(F.lit(1)).alias("nt"))
+    higher = (
+        F.sum("nt")
+        .over(
+            Window.orderBy(F.col("f").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+    )
+    fc = fc.withColumn("higher", F.coalesce(higher, F.lit(0)))
+    rank = F.col("higher") + F.row_number().over(
+        Window.partitionBy("f").orderBy("term")
+    )
+    xy = (
+        tf.join(fc.select("f", "higher"), "f")
+        .withColumn("r", rank)
+        .select(
+            F.round(F.log(F.col("r").cast("double")), 9).alias("x"),
+            F.round(F.log(F.col("f").cast("double")), 9).alias("y"),
+        )
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_ZIPF_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_ZIPF_DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_ZIPF_DEC)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_ZIPF_DEC)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - F.round(slope, 6) * sx) / n, 6).alias("intercept"),
+    )

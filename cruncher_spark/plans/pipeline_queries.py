@@ -2361,3 +2361,61 @@ def quality_weighted_sample_query(
         .where(accept)
         .select("doc_id", "score", "p_accept")
     )
+
+
+from cruncher_spark.operators.curation import zipf_slope  # noqa: E402
+
+_ZIPF_SLOPE_EXPR = (
+    "round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+)
+
+
+@register(
+    "zipf_slope",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS f FROM t GROUP BY 1),
+    fc AS (SELECT f, count(*) AS nt FROM tf GROUP BY 1),
+    fc2 AS (
+      SELECT f, coalesce(SUM(nt) OVER (ORDER BY f DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS higher
+      FROM fc
+    ),
+    rk AS (
+      SELECT tf.f,
+        higher + row_number() OVER (PARTITION BY tf.f ORDER BY term) AS r
+      FROM tf JOIN fc2 ON tf.f = fc2.f
+    ),
+    xy AS (
+      SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x,
+             round(ln(CAST(f AS DOUBLE)), 9) AS y
+      FROM rk
+    ),
+    s AS (
+      SELECT count(*) AS n,
+        SUM(CAST(x AS DECIMAL(38,18))) AS sx,
+        SUM(CAST(y AS DECIMAL(38,18))) AS sy,
+        SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+        SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx
+      FROM s_base
+    )
+    SELECT n AS n_terms, {_ZIPF_SLOPE_EXPR} AS slope,
+      round((CAST(sy AS DOUBLE) - {_ZIPF_SLOPE_EXPR} * CAST(sx AS DOUBLE))
+            / n, 6) AS intercept
+    FROM s
+    """.replace("FROM s_base", "FROM xy"),
+    doc="Zipf rank-frequency diagnostic (one row: n_terms, slope, "
+    "intercept of ln f vs ln rank): natural corpora fit slope ~ -1; "
+    "flat flags templated text. Global rank built WITHOUT a "
+    "vocabulary-wide total-order window — cumulative higher-frequency "
+    "counts run over the small DISTINCT-frequency table, ties rank in "
+    "a frequency-PARTITIONED window; regression sums accumulate "
+    "DECIMAL(38,18)-exact over 9-decimal log coordinates.",
+)
+def zipf_slope_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return zipf_slope(docs)

@@ -806,3 +806,43 @@ def test_source_centroid_similarity_geometry(spark):
     assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}  # upper triangle
     assert got[("a", "b")] == 1.0
     assert got[("a", "c")] == 0.0 and got[("b", "c")] == 0.0
+
+
+def test_zipf_slope_exact_small_corpus(spark):
+    """Perfect Zipf data (f = 60/r for ranks 1..4) must recover slope -1.
+    Terms are chosen so frequency order != lexical order."""
+    import math
+
+    from cruncher_spark.operators.curation import zipf_slope
+
+    words = {"zz": 60, "mm": 30, "aa": 20, "qq": 15}
+    text = " ".join(w for w, f in words.items() for _ in range(f))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_slope(docs).collect()[0]
+    assert row["n_terms"] == 4
+    assert abs(row["slope"] - (-1.0)) < 1e-3
+    # intercept ~ ln 60
+    assert abs(row["intercept"] - math.log(60)) < 1e-2
+
+
+def test_zipf_rank_ties_break_lexically(spark):
+    from cruncher_spark.operators.curation import zipf_slope
+
+    # b and a tie at f=2 -> ranks 2,3 by term order under rank 1 (c, f=3);
+    # exact ranks only matter through the regression, so pin via slope
+    docs = spark.createDataFrame(
+        [(1, "c c c b b a a d")], "doc_id long, text string"
+    )
+    row = zipf_slope(docs).collect()[0]
+    assert row["n_terms"] == 4
+    # hand-computed least squares on (ln r, ln f) with ranks c=1,a=2,b=3,d=4
+    import math
+
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(f) for f in (3, 2, 2, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row["slope"] - slope) < 1e-5
