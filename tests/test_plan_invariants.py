@@ -181,3 +181,25 @@ def test_audit_forms_match_registered_queries(spark):
         real = sorted(map(tuple, qmap[name](spark, SF_DIR).collect()))
         lazy = sorted(map(tuple, fn(spark, SF_DIR).collect()))
         assert lazy == real, name
+
+
+def test_metrics_audit_reads_executed_sqlmetrics(spark):
+    """tools/metrics_audit.py extracts real SQLMetric values: a grouped
+    aggregate must report nonzero shuffle bytes, zero spill at test
+    scale, and the true output row count."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from metrics_audit import audit_one
+
+    from cruncher_spark.plans import query_map
+
+    got = audit_one(
+        "dedup_exact", query_map()["dedup_exact"], spark,
+        "/root/testdata/sf0.001",
+    )
+    assert got["rows"] > 0
+    assert got["shuffle_bytes"] > 0  # groupBy must have exchanged bytes
+    assert got["spill_bytes"] == 0
+    assert got["peak_mem_bytes"] > 0
