@@ -2097,7 +2097,13 @@ _LOGREG_ORACLE = f"""
 def logreg_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
-    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
+    # eager checkpoint: training re-reads the feature table once per GD
+    # round plus once for scoring consumers; materializing the (docs x
+    # buckets)-sized table once cuts the repeated tokenize+hash passes
+    # (~20% wall at sf0.1). The AUDIT form stays lazy for plan audits.
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat").localCheckpoint(
+        eager=True
+    )
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("long").alias("y")
     )
@@ -2334,7 +2340,10 @@ def quality_weighted_sample_query(
 ) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
-    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
+    # eager feats checkpoint: see logreg_quality_query (4 consumers here)
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat").localCheckpoint(
+        eager=True
+    )
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("long").alias("y")
     )

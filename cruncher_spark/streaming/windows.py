@@ -442,6 +442,101 @@ def cms_probe(
     )
 
 
+def windowed_quantile_sketch(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-(window, group) fixed-histogram quantile sketch as a STREAMING
+    aggregation — the distribution-tracking member of the sketch family
+    (HLL: distinct, CMS: frequency, this: quantiles).
+
+    Values bin into the SAME 256 fixed-width buckets as the batch gate
+    (plans/analytics_queries.py quantile_sketch), so state per (window,
+    group) is bounded at 256 counter rows regardless of stream volume —
+    exact streaming percentiles would buffer every value. Append mode
+    emits a window's histogram when the watermark closes it; estimates
+    come from the separate batch probe (:func:`quantile_probe`), and
+    emitted histograms MERGE by summing counts per bin (union several
+    days' output, probe once), the externalized-state discipline of the
+    other sketches.
+    """
+    from cruncher_spark.plans.analytics_queries import _QS_BIN_W, _QS_BINS
+
+    bin_col = F.least(
+        F.floor(F.col(value_col) / _QS_BIN_W).cast("int"),
+        F.lit(_QS_BINS - 1),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col(group_col),
+            bin_col.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            group_col,
+            "bin",
+            "cnt",
+        )
+    )
+
+
+def quantile_probe(
+    sketch: DataFrame,
+    group_col: str = "event_type",
+    qs: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Quantile estimates per (window, group) from emitted histogram rows
+    (:func:`windowed_quantile_sketch` output or any union of them —
+    same-width histograms merge by summing counts per bin first, which
+    the leading aggregate does implicitly).
+
+    Same integer-exact estimator as the batch gate: the lower edge of
+    the first bin whose cumulative count reaches ceil(q*n). The
+    cumulative window partitions on (window, group) — bounded at 256
+    rows per partition by construction, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    from cruncher_spark.plans.analytics_queries import _QS_BIN_W
+
+    merged = sketch.groupBy("window_start", "window_end", group_col, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w_cum = Window.partitionBy("window_start", "window_end", group_col).orderBy(
+        "bin"
+    )
+    w_all = Window.partitionBy("window_start", "window_end", group_col)
+    ranked = merged.select(
+        "window_start",
+        "window_end",
+        group_col,
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def q_est(q: float) -> F.Column:
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin")
+        )
+        return (F.min(hit) * _QS_BIN_W).cast("long")
+
+    return ranked.groupBy("window_start", "window_end", group_col).agg(
+        F.max("n").alias("n"),
+        *[
+            q_est(q).alias(f"p{int(q * 100)}_est")
+            for q in qs
+        ],
+    )
+
+
 TOPK_OUT_SCHEMA = "shard long, key long, est long, err long, n_seen long"
 
 

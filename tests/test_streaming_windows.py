@@ -549,3 +549,78 @@ def test_streaming_topk_tracker_never_misses_heavy_keys(spark, tmp_path):
             assert (sh, u) in cands, (u, c, shard_n[sh])
     for (sh, u), (est, err) in cands.items():
         assert est <= freq[u] <= est + err, (u, est, err, freq[u])
+
+
+def test_windowed_quantile_sketch_matches_batch_estimates(spark, tmp_path):
+    """The streaming per-window histogram, probed offline, must reproduce
+    the batch fixed-histogram quantile estimates bit-for-bit for every
+    CLOSED window (shared bin width/count), with late-but-in-horizon
+    rows landing in their window. State per (window, group) is <= 256
+    bin rows, never per-value."""
+    from cruncher_spark.plans.analytics_queries import _QS_BIN_W, _QS_BINS
+    from cruncher_spark.streaming.windows import (
+        quantile_probe,
+        windowed_quantile_sketch,
+    )
+
+    rows = []
+    for i in range(400):
+        et = "click" if i % 2 == 0 else "view"
+        rows.append(((i % 50) + 100, _ts(i % 110), et, float((i * 7) % 300)))
+    b1, b2 = rows[:250], rows[250:] + [(999, _ts(600), "click", 5.0)]
+    d = tmp_path / "qs_in"
+    d.mkdir()
+    for i, rs in enumerate([b1, b2]):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*.parquet")
+    )
+    sketch_rows = _run_stream(
+        spark,
+        windowed_quantile_sketch(stream, watermark="3 hours"),
+        "qs_sketch_sink",
+        tmp_path / "ckpt_qs",
+    )
+    closed = sketch_rows.where(F.col("window_start") < _ts(300))
+    assert closed.count() > 0
+    per_wg = {
+        (r.window_start, r.event_type): r.n
+        for r in closed.groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(n <= _QS_BINS for n in per_wg.values())
+
+    # batch truth: same histogram math over all rows, per window
+    batch = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    bin_col = F.least(
+        F.floor(F.col("value") / _QS_BIN_W).cast("int"), F.lit(_QS_BINS - 1)
+    )
+    batch_sketch = (
+        batch.select(
+            F.window("ts", "1 hour").alias("w"), "event_type",
+            bin_col.alias("bin"),
+        )
+        .groupBy(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "bin",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, r.p50_est, r.p95_est)
+        for r in quantile_probe(batch_sketch).collect()
+        if r.window_start < _ts(300)
+    }
+    got = {
+        (r.window_start, r.event_type): (r.n, r.p50_est, r.p95_est)
+        for r in quantile_probe(closed).collect()
+    }
+    assert want and got == want
