@@ -797,3 +797,54 @@ def zipf_slope(
         F.round(slope, 6).alias("slope"),
         F.round((sy - F.round(slope, 6) * sx) / n, 6).alias("intercept"),
     )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "wres",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per key —
+    Efraimidis-Spirakis A-Res with the hash standing in for randomness.
+
+    Each row draws the deterministic uniform
+    ``u = (portable_hash64(id, salt) % D + 1) / (D + 1)`` and ranks by
+    the exponential key ``-ln(u) / w`` ascending (the strictly monotone
+    equivalent of A-Res's ``u^(1/w)`` descending, chosen because it does
+    not compress toward 1.0 for large weights); the k smallest win. The
+    inclusion law is exactly weighted sampling without replacement —
+    P(row first) = w_i / sum(w) — yet the draw is a pure function of the
+    row, so the sample reproduces across runs, partitionings, and
+    engines (the same property :func:`reservoir_per_key` gives the
+    unweighted case).
+
+    Sort keys round to 9 decimals before ranking (ln is not
+    correctly-rounded across libms; the logreg gates pin this discipline
+    at 9 for exp) with the id as tie-break, so cross-engine ordering is
+    exact. Scale shape: identical to reservoir_per_key — one shuffle +
+    per-key partition sort; the same two-phase bucket fallback applies
+    if one key dominates (rank within (key, bucket) first, then re-rank
+    the <= B*k survivors).
+
+    Weights must be positive; rows with NULL or non-positive weight are
+    excluded (they have zero inclusion probability).
+    """
+    from pyspark.sql import Window
+
+    d = SAMPLE_DENOM * 100  # 1e6: finer than the rate grid, same family
+    u = (
+        (portable_hash64(F.col(id_col).cast("string"), salt) % d + 1)
+        / F.lit(float(d + 1))
+    )
+    skey = F.round(-F.log(u) / F.col(weight_col), 9)
+    w = Window.partitionBy(key_col).orderBy(skey.asc(), F.col(id_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(key_col), F.col(id_col), F.col(weight_col))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

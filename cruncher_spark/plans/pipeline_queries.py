@@ -2428,3 +2428,44 @@ def zipf_slope_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
     return zipf_slope(docs)
+
+
+from cruncher_spark.operators.curation import weighted_sample_per_key  # noqa: E402
+
+
+@register(
+    "weighted_sample",
+    oracle="""
+    WITH u AS (
+      SELECT source, doc_id, n_chars,
+        (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wres'), 1, 15)
+              AS BIGINT) % 1000000 + 1) / 1000001.0 AS uu
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY round(-ln(uu) / n_chars, 9) ASC, doc_id
+        ) AS rk
+      FROM u
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk
+    FROM r WHERE rk <= 5
+    """,
+    doc="Deterministic weighted sampling without replacement, 5 per "
+    "source, weight = document length (Efraimidis-Spirakis A-Res with "
+    "the portable hash as the uniform draw, exponential-key "
+    "formulation): inclusion probability proportional to weight, yet a "
+    "pure function of the row — reproducible across runs/partitionings/"
+    "engines. One shuffle + per-key partition sort, same shape and "
+    "two-phase fallback as reservoir_per_key.",
+)
+def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    out = weighted_sample_per_key(docs, "source", "doc_id", "n_chars", k=5)
+    return out.select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("rk").cast("int").alias("rk"),
+    )

@@ -846,3 +846,43 @@ def test_zipf_rank_ties_break_lexically(spark):
     sxx = sum(x * x for x in xs)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert abs(row["slope"] - slope) < 1e-5
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Statistical pin of the A-Res inclusion law: with one row 50x the
+    weight of its 9 peers across 200 independent keys, the heavy row
+    must be sampled (k=1) in the large majority of keys — and the
+    selection must be deterministic."""
+    from cruncher_spark.operators.curation import weighted_sample_per_key
+
+    rows = []
+    for key in range(200):
+        for j in range(10):
+            w = 500 if j == 0 else 10
+            rows.append((f"k{key}", key * 100 + j, w))
+    df = spark.createDataFrame(rows, "src string, id long, w long")
+    got = weighted_sample_per_key(df, "src", "id", "w", k=1)
+    picks = {r["src"]: r["id"] for r in got.collect()}
+    assert len(picks) == 200
+    heavy = sum(1 for k, v in picks.items() if v % 100 == 0)
+    # P(heavy) = 500/590 ~ 0.85; 200 trials -> well above half
+    assert heavy > 140, heavy
+    # deterministic across invocations and partitionings
+    again = {
+        r["src"]: r["id"]
+        for r in weighted_sample_per_key(
+            df.repartition(7), "src", "id", "w", k=1
+        ).collect()
+    }
+    assert again == picks
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from cruncher_spark.operators.curation import weighted_sample_per_key
+
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, -5), ("a", 3, None), ("a", 4, 7)],
+        "src string, id long, w int",
+    )
+    got = weighted_sample_per_key(df, "src", "id", "w", k=10).collect()
+    assert [r["id"] for r in got] == [4]
