@@ -2469,3 +2469,65 @@ def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+_MIXW_ALPHA = 0.7
+
+
+@register(
+    "mixture_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+        CAST(round(power(CAST(n_tokens AS DOUBLE), {_MIXW_ALPHA}), 6)
+             AS DECIMAL(28,6)) AS pw
+      FROM t
+    ),
+    s AS (SELECT SUM(pw) AS spw, SUM(n_tokens) AS tot FROM p)
+    SELECT source, n_docs, n_tokens,
+      round(CAST(pw AS DOUBLE) / CAST(spw AS DOUBLE), 9) AS weight,
+      round(round(CAST(pw AS DOUBLE) / CAST(spw AS DOUBLE), 9)
+            * tot / n_tokens, 6) AS effective_epochs
+    FROM p CROSS JOIN s
+    """,
+    doc="Temperature-scaled mixture-design table (alpha = 0.7, the "
+    "multilingual sampling standard): per-source token counts, "
+    "normalized sampling weight n_tokens^alpha / sum, and the effective "
+    "epochs each source is traversed when the budget equals one corpus "
+    "pass — the actual numbers a training-mix design reads off. One "
+    "map-side-combined aggregate to |sources| rows; powers rounded to 6 "
+    "then summed DECIMAL-exact; weights rounded to 9 before the epochs "
+    "product so both engines agree bit-for-bit.",
+)
+def mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    p = t.withColumn(
+        "pw",
+        F.round(F.pow(F.col("n_tokens").cast("double"), _MIXW_ALPHA), 6).cast(
+            "decimal(28,6)"
+        ),
+    )
+    s = p.agg(F.sum("pw").alias("spw"), F.sum("n_tokens").alias("tot"))
+    weight = F.round(F.col("pw").cast("double") / F.col("spw").cast("double"), 9)
+    return (
+        p.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            weight.alias("weight"),
+            F.round(
+                weight * F.col("tot") / F.col("n_tokens"), 6
+            ).alias("effective_epochs"),
+        )
+    )
