@@ -56,6 +56,15 @@ _NOTES = {
         "per-stage bound is min(edges, parts×|V|) — cluster-layout-"
         "bounded, not data-superlinear (edges themselves grew ×10.2)"
     ),
+    "quality_weighted_sample": (
+        "the margin aggregate's doc-keyed map-side partials: at sf0.01 the "
+        "eagerly-checkpointed feature table lands in ~3 partitions so the "
+        "combine nearly collapses to |docs| rows (measured 1,499 records), "
+        "at sf0.1 it emits per-partition partials (59,264 ≤ parts×|docs|); "
+        "the per-stage bound is min(feature_rows, parts×|docs|) — layout-"
+        "bounded and linear in the (doc,bucket) feature rows, not data-"
+        "superlinear (docs themselves grew exactly ×10)"
+    ),
     "triangle_count": (
         "same partial-agg fill effect on the degree/orientation "
         "exchanges (3,395 → 180,067 rows ≤ parts×|V| bound), plus the "
