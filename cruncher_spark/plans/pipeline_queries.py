@@ -2531,3 +2531,186 @@ def mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("effective_epochs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset split + cross-split leakage audit
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "split"
+
+
+@register(
+    "split_leakage",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS k,
+        CASE WHEN h < 90 THEN 'train'
+             WHEN h < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, text,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                  || '#{_SPLIT_SALT}'), 1, 15)
+               AS BIGINT) % 100 AS h
+        FROM documents
+      )
+    ),
+    g AS (SELECT k FROM d GROUP BY k HAVING count(DISTINCT split) > 1),
+    l AS (SELECT d.split, d.k FROM d JOIN g USING (k)),
+    tot AS (SELECT split, count(*) AS docs FROM d GROUP BY 1),
+    lk AS (
+      SELECT split, count(*) AS leaked_docs,
+        count(DISTINCT k) AS leaked_groups
+      FROM l GROUP BY 1
+    )
+    SELECT split, docs,
+      coalesce(leaked_docs, 0) AS leaked_docs,
+      coalesce(leaked_groups, 0) AS leaked_groups
+    FROM tot LEFT JOIN lk USING (split)
+    """,
+    doc="Deterministic 90/5/5 train/val/test split plus the leakage "
+    "audit every eval pipeline needs: split assignment is the portable "
+    "hash of doc_id (a pure function of the row — any engine, any "
+    "partitioning, any run reproduces the same split, and adding "
+    "documents never reassigns existing ones), then exact-duplicate "
+    "text groups (md5 content key) that span more than one split are "
+    "counted per split — the train->test contamination that inflates "
+    "benchmark scores. One content-keyed aggregate finds crossing "
+    "groups (map-side combined), the usually-tiny crossing-key set "
+    "joins back (AQE broadcasts it), and two split-keyed aggregates "
+    "produce the 3-row report. Near-dup (paraphrased) leakage is the "
+    "contamination_fuzzy gate; this is the exact tier.",
+)
+def split_leakage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    h = portable_hash64(F.col("doc_id").cast("string"), _SPLIT_SALT) % 100
+    split = (
+        F.when(h < 90, F.lit("train"))
+        .when(h < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d = docs.select(
+        "doc_id", split.alias("split"), F.md5(F.col("text")).alias("k")
+    )
+    crossing = (
+        d.groupBy("k")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("k")
+    )
+    leaked = d.join(crossing, "k")
+    tot = d.groupBy("split").agg(F.count(F.lit(1)).alias("docs"))
+    lk = leaked.groupBy("split").agg(
+        F.count(F.lit(1)).alias("leaked_docs"),
+        F.countDistinct("k").alias("leaked_groups"),
+    )
+    return tot.join(lk, "split", "left").select(
+        "split",
+        "docs",
+        F.coalesce("leaked_docs", F.lit(0)).alias("leaked_docs"),
+        F.coalesce("leaked_groups", F.lit(0)).alias("leaked_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fully distributed k-means clustering
+# ---------------------------------------------------------------------------
+
+from cruncher_spark.operators.clustering import kmeans_assign  # noqa: E402
+
+_KM_K = 4
+_KM_ITERS = 2
+
+#: one Lloyd round as chained CTEs (the logreg unrolling discipline):
+#: d{r} = exact squared distances to c{r-1}, a{r} = argmin assignment,
+#: m{r} = new means, c{r} = means with empty clusters keeping the old
+#: centroid. Decimal widths mirror operators/clustering.py exactly.
+_KM_DIST = (
+    "SUM(CAST(CAST(CAST(comp.v AS DECIMAL(28,9)) - c.c AS DECIMAL(18,9))"
+    " * CAST(CAST(comp.v AS DECIMAL(28,9)) - c.c AS DECIMAL(18,9))"
+    " AS DECIMAL(38,18)))"
+)
+
+
+def _km_round(r: int) -> str:
+    return f"""
+    d{r} AS (
+      SELECT comp.vec_id, c.cluster, {_KM_DIST} AS d2
+      FROM comp JOIN c{r - 1} c ON comp.dim = c.dim GROUP BY 1, 2
+    ),
+    a{r} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        FROM d{r}) WHERE rk = 1
+    ),
+    m{r} AS (
+      SELECT a.cluster, comp.dim,
+        CAST(round(CAST(SUM(comp.v) AS DOUBLE) / count(*), 9)
+             AS DECIMAL(28,9)) AS cm
+      FROM comp JOIN a{r} a USING (vec_id) GROUP BY 1, 2
+    ),
+    c{r} AS (
+      SELECT p.cluster, p.dim, coalesce(m.cm, p.c) AS c
+      FROM c{r - 1} p
+      LEFT JOIN m{r} m ON p.cluster = m.cluster AND p.dim = m.dim
+    ),"""
+
+
+_KM_ORACLE = (
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+        CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+             AS DECIMAL(18,6)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id,
+        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    c0 AS (
+      SELECT s.cluster, comp.dim, CAST(comp.v AS DECIMAL(28,9)) AS c
+      FROM comp JOIN seeds s USING (vec_id)
+    ),"""
+    + "".join(_km_round(r) for r in range(1, _KM_ITERS + 1))
+    + f"""
+    dfin AS (
+      SELECT comp.vec_id, c.cluster, {_KM_DIST} AS d2
+      FROM comp JOIN c{_KM_ITERS} c ON comp.dim = c.dim GROUP BY 1, 2
+    )
+    SELECT vec_id, cluster, round(CAST(d2 AS DOUBLE), 6) AS d2r
+    FROM (
+      SELECT vec_id, cluster, d2,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      FROM dfin)
+    WHERE rk = 1
+    """
+)
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_KM_ORACLE,
+    doc="Fully distributed Lloyd's k-means (K = 4, 2 update rounds + "
+    "final assignment) — the third in-engine ML tier beside the "
+    "trained logreg (distributed GD) and the driver-fit IVF quantizer: "
+    "here neither the fit nor the assignment ever visits the driver, "
+    "so the identical plan runs when the corpus is 100 TB. Per round: "
+    "assignment = explode join the K x dim centroid table on dim "
+    "(broadcast) + two keyed aggregates (map-side combined to N x K); "
+    "update = one vec_id-keyed shuffle join + a bounded (cluster, dim) "
+    "aggregate; empty clusters keep their centroid. The oracle unrolls "
+    "the same rounds as chained CTEs with the shared decimal "
+    "discipline (6-decimal components, 9-decimal centroid means, "
+    "DECIMAL(18,9) diffs so squares are exact at scale 18, aggregate "
+    "SUM for scale-preserving accumulation), so every assignment and "
+    "distance is bit-identical across engines.",
+)
+def kmeans_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = fan_out(Star(spark, sf_dir).embeddings)
+    return kmeans_assign(emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS)
