@@ -1,0 +1,137 @@
+"""Perceptual image dedup: difference hash (dHash) + banded Hamming join.
+
+The image-column counterpart of the text near-dup family
+(`operators/dedup.py`): a 56-bit dHash per image — resample to an
+(GRID_W+1) x GRID_H grid by nearest-neighbor integer indexing, bit j set
+iff the right neighbor is brighter — then exact-duplicate grouping on
+the hash and SimHash-style band-joined Hamming neighbors between
+DISTINCT hashes. dHash is deliberately integer-exact end to end (pure
+indexing and uint8 comparisons, no float DCT), so any engine — and the
+DuckDB oracle, which re-derives the hash in plain SQL from the
+fixtures' analytic pixel formula without touching the PNG codec —
+reproduces it bit-for-bit. A float pHash would hang cross-engine
+equality on last-bit DCT rounding; dHash has no such edge.
+
+Scale shape (mirrors `dedup.py simhash_dup_pairs`):
+
+- hashing is a zero-shuffle ``mapInPandas`` decode pass (the one
+  unavoidable Python boundary — the codec);
+- identical images collapse FIRST (hash group-by, map-side combined) so
+  a million copies of one logo cost one row downstream;
+- near-dup candidates come from an equi-join on ``N_BANDS`` hash chunks
+  over the DISTINCT-hash table (pigeonhole: Hamming <= N_BANDS-1
+  guarantees a shared chunk — banded recall is COMPLETE at the
+  ``max_hamming`` this module fixes), verified by exact
+  ``bit_count(xor)``; nothing all-pairs, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: dHash grid: GRID_W difference bits per row x GRID_H rows = 56 bits —
+#: bit 63 stays clear so the hash lives in a BIGINT without sign games
+GRID_W = 8
+GRID_H = 7
+
+#: banding: 8 chunks x 7 bits; pigeonhole-complete through Hamming 7
+N_BANDS = 8
+BAND_BITS = 7
+MAX_HAMMING = N_BANDS - 1
+
+DHASH_SCHEMA = "media_id long, dhash long"
+
+
+def dhash_bits(pixels) -> int:
+    """56-bit dHash of an (H, W) uint8 array. Pure integer ops."""
+    h, w = pixels.shape
+    v = 0
+    for gy in range(GRID_H):
+        iy = gy * h // GRID_H
+        row = pixels[iy]
+        for gx in range(GRID_W):
+            a = row[gx * w // (GRID_W + 1)]
+            b = row[(gx + 1) * w // (GRID_W + 1)]
+            if b > a:
+                v |= 1 << (gy * GRID_W + gx)
+    return v
+
+
+def dhash_images(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, dhash) via one Arrow-batched decode+hash pass."""
+
+    def hash_batches(batches):
+        import pandas as pd
+
+        from cruncher_spark.functions.codecs import png_decode
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                ids.append(int(getattr(r, id_col)))
+                hashes.append(
+                    dhash_bits(png_decode(bytes(getattr(r, payload_col))))
+                )
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        hash_batches, DHASH_SCHEMA
+    )
+
+
+def _chunks(col: Column) -> Column:
+    mask = (1 << BAND_BITS) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(col, b * BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def dhash_dedup_groups(hashes: DataFrame) -> DataFrame:
+    """Exact-dup groups + banded near-dup neighbor counts.
+
+    Output one row per DISTINCT hash: (rep, n_members, n_neighbors,
+    dhash) — ``rep`` the smallest member id, ``n_neighbors`` the number
+    of other distinct hashes within Hamming ``MAX_HAMMING`` (complete
+    by pigeonhole over the band join).
+    """
+    g = hashes.groupBy("dhash").agg(
+        F.min("media_id").alias("rep"), F.count(F.lit(1)).alias("n_members")
+    )
+    banded = g.select("dhash", F.explode(_chunks(F.col("dhash"))).alias("c")).select(
+        "dhash",
+        F.col("c.band_idx").alias("band_idx"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    a = banded.select(F.col("dhash").alias("ha"), "band_idx", "chunk")
+    b = banded.select(F.col("dhash").alias("hb"), "band_idx", "chunk")
+    # hamming filter BEFORE the multi-band pair dedup: far pairs (the
+    # bulk of candidate volume) never reach the distinct shuffle — the
+    # ordering simhash_dup_pairs pins for the same reason
+    near = (
+        a.join(b, ["band_idx", "chunk"])
+        .where(F.col("ha") != F.col("hb"))
+        .where(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= MAX_HAMMING
+        )
+        .groupBy("ha", "hb")
+        .agg(F.first(F.lit(1)))
+        .groupBy("ha")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return g.join(near, g.dhash == near.ha, "left").select(
+        "rep",
+        "n_members",
+        F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+        "dhash",
+    )

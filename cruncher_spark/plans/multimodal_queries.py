@@ -263,3 +263,74 @@ def multimodal_mjpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_media(Star(spark, sf_dir).documents)
     return mjpeg_roundtrip(media)
+
+
+@register(
+    "image_dhash_dedup",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+        16 + (doc_id % 24) * 16 AS w,
+        16 + (doc_id % 18) * 16 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    cell AS (
+      SELECT media_id, gy.range AS gy, gx.range AS gx,
+        (media_id + ((gx.range * w) // 9) + ((gy.range * h) // 7)) % 256
+          AS pa,
+        (media_id + (((gx.range + 1) * w) // 9) + ((gy.range * h) // 7))
+          % 256 AS pb
+      FROM img, range(7) gy, range(8) gx
+    ),
+    bits AS (
+      SELECT media_id,
+        CAST(SUM(CASE WHEN pb > pa
+                      THEN CAST(1 AS BIGINT) << (gy * 8 + gx)
+                      ELSE 0 END) AS BIGINT) AS dhash
+      FROM cell GROUP BY 1
+    ),
+    g AS (
+      SELECT dhash, min(media_id) AS rep, count(*) AS n_members
+      FROM bits GROUP BY 1
+    ),
+    band AS (
+      SELECT dhash, b.range AS band_idx,
+        (dhash >> (b.range * 7)) & 127 AS chunk
+      FROM g, range(8) b
+    ),
+    pair AS (
+      SELECT DISTINCT a.dhash AS ha, c.dhash AS hb
+      FROM band a JOIN band c
+        ON a.band_idx = c.band_idx AND a.chunk = c.chunk
+      WHERE a.dhash <> c.dhash
+        AND bit_count(xor(a.dhash, c.dhash)) <= 7
+    ),
+    near AS (SELECT ha, count(*) AS n_neighbors FROM pair GROUP BY 1)
+    SELECT g.rep, g.n_members,
+      coalesce(near.n_neighbors, 0) AS n_neighbors, g.dhash
+    FROM g LEFT JOIN near ON near.ha = g.dhash
+    """,
+    doc="Perceptual image dedup over REAL PNG payloads: a 56-bit "
+    "integer-exact difference hash per image (one zero-shuffle "
+    "mapInPandas decode+hash pass — the codec is the only Python "
+    "boundary), identical images collapsed first on the hash "
+    "(map-side combined), then SimHash-style banded Hamming "
+    "neighbors between DISTINCT hashes (8 chunks x 7 bits — "
+    "pigeonhole-complete through Hamming 7, verified by exact "
+    "bit_count(xor)). The oracle re-derives every hash in plain SQL "
+    "from the fixtures' analytic pixel formula WITHOUT the PNG codec, "
+    "so the whole pipeline — encoder, decoder, grid sampling, "
+    "banding, verification — is checked end to end. dHash over a "
+    "float DCT pHash is deliberate: integer comparisons make the "
+    "hash bit-identical across engines; a DCT hash would hinge "
+    "cross-engine equality on last-bit float rounding.",
+)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.imagehash import (
+        dhash_dedup_groups,
+        dhash_images,
+    )
+
+    docs = Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 0)
+    media = attach_media(docs, real_payloads=True)
+    return dhash_dedup_groups(dhash_images(media))

@@ -1,0 +1,104 @@
+"""dHash image dedup: hand-verifiable bits, grouping, Hamming recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cruncher_spark.functions.codecs import png_encode
+from cruncher_spark.operators.imagehash import (
+    GRID_H,
+    GRID_W,
+    MAX_HAMMING,
+    dhash_bits,
+    dhash_dedup_groups,
+    dhash_images,
+)
+
+
+def test_dhash_bits_known_patterns():
+    # strictly increasing rows: every difference bit set
+    grad = np.tile(np.arange(16, dtype=np.uint8) * 10, (14, 1))
+    assert dhash_bits(grad) == (1 << (GRID_W * GRID_H)) - 1
+    # constant image: no difference bit set
+    assert dhash_bits(np.full((14, 16), 7, dtype=np.uint8)) == 0
+    # strictly decreasing rows: no bit set (strict > comparison)
+    assert dhash_bits(grad[:, ::-1].copy()) == 0
+
+
+def test_dhash_bits_single_row_flip():
+    # brighten one sampled cell of one grid row; only that row's two
+    # adjacent difference bits can change
+    base = np.tile(np.arange(18, dtype=np.uint8) * 5, (14, 1))
+    a = dhash_bits(base)
+    mod = base.copy()
+    iy = 3 * 14 // GRID_H  # grid row 3's sampled scanline
+    mod[iy, :] = base[iy, ::-1]  # reverse that scanline only
+    b = dhash_bits(mod)
+    changed = a ^ b
+    row_mask = ((1 << GRID_W) - 1) << (3 * GRID_W)
+    assert changed != 0 and changed & ~row_mask == 0
+
+
+def _media(spark, arrays):
+    rows = [(i, bytearray(png_encode(a))) for i, a in enumerate(arrays)]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_spark_hash_matches_local(spark):
+    rng = np.random.RandomState(3)
+    arrays = [
+        rng.randint(0, 256, size=(20, 30)).astype(np.uint8) for _ in range(6)
+    ]
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_images(_media(spark, arrays)).collect()
+    }
+    assert got == {i: dhash_bits(a) for i, a in enumerate(arrays)}
+
+
+def test_groups_and_neighbors(spark):
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    twin = base.copy()  # identical -> same hash, same group
+    h0 = dhash_bits(base)
+    # build a true 1-bit Hamming neighbor by brightening one sampled cell
+    near = base.copy()
+    tries = 0
+    while True:
+        cand = near.copy()
+        iy = 0
+        ix = tries * 32 // (GRID_W + 1)
+        cand[iy, ix] = 255 if cand[iy, ix] < 128 else 0
+        if 0 < bin(dhash_bits(cand) ^ h0).count("1") <= MAX_HAMMING:
+            near = cand
+            break
+        tries += 1
+        assert tries <= GRID_W
+    far = 255 - base  # inverted: far away in Hamming space
+    out = dhash_dedup_groups(
+        dhash_images(_media(spark, [base, twin, near, far]))
+    ).collect()
+    rows = {r["rep"]: r for r in out}
+    assert rows[0]["n_members"] == 2  # base + twin collapsed
+    assert rows[0]["n_neighbors"] >= 1  # near found via banding
+    assert rows[2]["n_neighbors"] >= 1  # symmetric
+    assert rows[3]["n_members"] == 1
+
+
+def test_pigeonhole_recall_property(spark):
+    # any pair within MAX_HAMMING must be counted — flip exactly
+    # MAX_HAMMING random bit positions via direct hash manipulation
+    import pandas as pd
+
+    rng = np.random.RandomState(17)
+    h = int(rng.randint(0, 2**56, dtype=np.int64))
+    flips = rng.choice(GRID_W * GRID_H, size=MAX_HAMMING, replace=False)
+    h2 = h
+    for j in flips:
+        h2 ^= 1 << int(j)
+    hashes = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "dhash": [h, h2]})
+    )
+    out = {r["rep"]: r["n_neighbors"] for r in dhash_dedup_groups(hashes).collect()}
+    assert out == {1: 1, 2: 1}
