@@ -1,6 +1,14 @@
-"""Perceptual image dedup: difference hash (dHash) + banded Hamming join.
+"""Perceptual media dedup: integer-exact fingerprints + banded Hamming join.
 
-The image-column counterpart of the text near-dup family
+Two fingerprint families share one dedup tail
+(:func:`dhash_dedup_groups`): image dHash and an audio energy-delta
+fingerprint (:func:`audio_energy_bits` — per-frame energy, bit f set
+iff frame f+1 is louder than frame f; the sign-of-delta skeleton of
+Shazam-class audio fingerprinting, kept integer-exact the same way
+dHash is). Video frame-level dedup composes the image path over
+sampled frames.
+
+The image half is the image-column counterpart of the text near-dup family
 (`operators/dedup.py`): a 56-bit dHash per image — resample to an
 (GRID_W+1) x GRID_H grid by nearest-neighbor integer indexing, bit j set
 iff the right neighbor is brighter — then exact-duplicate grouping on
@@ -56,6 +64,65 @@ def dhash_bits(pixels) -> int:
             if b > a:
                 v |= 1 << (gy * GRID_W + gx)
     return v
+
+
+#: target frame count for the audio fingerprint: frame width w =
+#: max(1, n_samples // AUDIO_FRAMES) gives >= AUDIO_FRAMES frames (so a
+#: full 56-bit hash) whenever the clip has at least that many samples
+AUDIO_FRAMES = 57
+
+
+def audio_energy_bits(samples) -> int:
+    """56-bit audio fingerprint: bit f set iff frame f is louder than
+    the clip mean (aHash-style, compared by exact integer
+    cross-multiplication ``e[f] * n_frames > total_energy`` — no
+    division, no floats).
+
+    Frame energy is a sum of squared int16 samples, accumulated in
+    Python ints so it cannot overflow at any clip length — exact, so
+    any engine reproduces the hash bit-for-bit (the property the
+    DuckDB oracle leans on). The energy-vs-MEAN comparison (not
+    energy-vs-next-frame) keeps the bits informative on monotonically
+    decaying clips, where every delta sign is identical. Trailing
+    samples that do not fill a frame are dropped, mirroring the SQL's
+    ``i < (n // w) * w`` guard.
+    """
+    import numpy as np
+
+    n = int(samples.shape[0])
+    w = max(1, n // AUDIO_FRAMES)
+    nf = n // w
+    s = samples[: nf * w].astype(np.int64)
+    e = [int(x) for x in (s * s).reshape(nf, w).sum(axis=1)]
+    total = sum(e)
+    v = 0
+    for f in range(min(nf, GRID_W * GRID_H)):
+        if e[f] * nf > total:
+            v |= 1 << f
+    return v
+
+
+def audio_fingerprints(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, dhash) via one Arrow-batched WAV decode+hash pass."""
+
+    def hash_batches(batches):
+        import pandas as pd
+
+        from cruncher_spark.functions.codecs import wav_decode
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                ids.append(int(getattr(r, id_col)))
+                _, samples = wav_decode(bytes(getattr(r, payload_col)))
+                hashes.append(audio_energy_bits(samples))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        hash_batches, DHASH_SCHEMA
+    )
 
 
 def dhash_images(

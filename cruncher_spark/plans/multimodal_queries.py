@@ -265,6 +265,34 @@ def multimodal_mjpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mjpeg_roundtrip(media)
 
 
+#: shared oracle tail for the perceptual-hash gates: exact-dup groups
+#: over a `bits(media_id, dhash)` CTE + banded Hamming neighbor counts
+#: (8 chunks x 7 bits, pigeonhole-complete through Hamming 7) — the SQL
+#: mirror of operators/imagehash.py dhash_dedup_groups
+_DHASH_GROUP_TAIL = """
+    g AS (
+      SELECT dhash, min(media_id) AS rep, count(*) AS n_members
+      FROM bits GROUP BY 1
+    ),
+    band AS (
+      SELECT dhash, b.range AS band_idx,
+        (dhash >> (b.range * 7)) & 127 AS chunk
+      FROM g, range(8) b
+    ),
+    pair AS (
+      SELECT DISTINCT a.dhash AS ha, c.dhash AS hb
+      FROM band a JOIN band c
+        ON a.band_idx = c.band_idx AND a.chunk = c.chunk
+      WHERE a.dhash <> c.dhash
+        AND bit_count(xor(a.dhash, c.dhash)) <= 7
+    ),
+    near AS (SELECT ha, count(*) AS n_neighbors FROM pair GROUP BY 1)
+    SELECT g.rep, g.n_members,
+      coalesce(near.n_neighbors, 0) AS n_neighbors, g.dhash
+    FROM g LEFT JOIN near ON near.ha = g.dhash
+"""
+
+
 @register(
     "image_dhash_dedup",
     """
@@ -289,27 +317,8 @@ def multimodal_mjpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE 0 END) AS BIGINT) AS dhash
       FROM cell GROUP BY 1
     ),
-    g AS (
-      SELECT dhash, min(media_id) AS rep, count(*) AS n_members
-      FROM bits GROUP BY 1
-    ),
-    band AS (
-      SELECT dhash, b.range AS band_idx,
-        (dhash >> (b.range * 7)) & 127 AS chunk
-      FROM g, range(8) b
-    ),
-    pair AS (
-      SELECT DISTINCT a.dhash AS ha, c.dhash AS hb
-      FROM band a JOIN band c
-        ON a.band_idx = c.band_idx AND a.chunk = c.chunk
-      WHERE a.dhash <> c.dhash
-        AND bit_count(xor(a.dhash, c.dhash)) <= 7
-    ),
-    near AS (SELECT ha, count(*) AS n_neighbors FROM pair GROUP BY 1)
-    SELECT g.rep, g.n_members,
-      coalesce(near.n_neighbors, 0) AS n_neighbors, g.dhash
-    FROM g LEFT JOIN near ON near.ha = g.dhash
-    """,
+    """
+    + _DHASH_GROUP_TAIL,
     doc="Perceptual image dedup over REAL PNG payloads: a 56-bit "
     "integer-exact difference hash per image (one zero-shuffle "
     "mapInPandas decode+hash pass — the codec is the only Python "
@@ -334,3 +343,59 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 0)
     media = attach_media(docs, real_payloads=True)
     return dhash_dedup_groups(dhash_images(media))
+
+
+@register(
+    "audio_fingerprint_dedup",
+    """
+    WITH aud AS (
+      SELECT doc_id AS media_id, n_chars AS n,
+        greatest(1, n_chars // 57) AS w
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    samp AS (
+      SELECT media_id, n, w, unnest(range(n)) AS i FROM aud
+    ),
+    fe AS (
+      SELECT media_id, i // w AS f,
+        CAST(SUM(CAST((media_id * 31 + i * 7) % 65536 - 32768 AS BIGINT)
+                 * CAST((media_id * 31 + i * 7) % 65536 - 32768 AS BIGINT))
+             AS BIGINT) AS e
+      FROM samp WHERE i < (n // w) * w
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT media_id, count(*) AS nf, CAST(SUM(e) AS BIGINT) AS te
+      FROM fe GROUP BY 1
+    ),
+    bits AS (
+      SELECT fe.media_id,
+        CAST(SUM(CASE WHEN fe.e * t.nf > t.te AND f <= 55
+                      THEN CAST(1 AS BIGINT) << f ELSE 0 END)
+             AS BIGINT) AS dhash
+      FROM fe JOIN tot t ON fe.media_id = t.media_id GROUP BY 1
+    ),
+    """
+    + _DHASH_GROUP_TAIL,
+    doc="Perceptual audio dedup over REAL WAV payloads: a 56-bit "
+    "loudness-profile fingerprint per clip (bit f set iff frame f is "
+    "louder than the clip mean, compared by exact integer "
+    "cross-multiplication — aHash for audio; energy-DELTA signs would "
+    "be constant on these monotonically decaying clips), frame width "
+    "max(1, n//57) so every clip with >= 57 samples fills all 56 "
+    "bits, then the SAME exact-group + banded Hamming tail as "
+    "image_dhash_dedup — one dedup machinery, two modalities. One "
+    "zero-shuffle mapInPandas decode+hash pass; the oracle re-derives "
+    "every fingerprint in plain SQL from the fixtures' analytic "
+    "sample formula without the WAV codec, checking encoder, decoder, "
+    "framing, and banding end to end.",
+)
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.imagehash import (
+        audio_fingerprints,
+        dhash_dedup_groups,
+    )
+
+    docs = Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 1)
+    media = attach_media(docs, real_payloads=True)
+    return dhash_dedup_groups(audio_fingerprints(media))

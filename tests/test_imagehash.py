@@ -102,3 +102,40 @@ def test_pigeonhole_recall_property(spark):
     )
     out = {r["rep"]: r["n_neighbors"] for r in dhash_dedup_groups(hashes).collect()}
     assert out == {1: 1, 2: 1}
+
+
+def test_audio_energy_bits_profiles():
+    from cruncher_spark.operators.imagehash import audio_energy_bits
+
+    # loud first half, quiet second half: first-half bits set
+    loud = np.concatenate(
+        [np.full(570, 1000, np.int16), np.full(570, 10, np.int16)]
+    )
+    h = audio_energy_bits(loud)
+    assert h != 0
+    assert all((h >> f) & 1 for f in range(25))  # early frames above mean
+    assert not any((h >> f) & 1 for f in range(31, 56))  # late below
+    # constant clip: no frame exceeds the mean strictly
+    assert audio_energy_bits(np.full(570, 123, np.int16)) == 0
+
+
+def test_audio_fingerprints_spark_matches_local(spark):
+    from cruncher_spark.functions.codecs import wav_encode
+    from cruncher_spark.operators.imagehash import (
+        audio_energy_bits,
+        audio_fingerprints,
+    )
+
+    rng = np.random.RandomState(5)
+    clips = [
+        rng.randint(-3000, 3000, size=n).astype(np.int16)
+        for n in (57, 300, 1024)
+    ]
+    rows = [
+        (i, bytearray(wav_encode(c, 8000))) for i, c in enumerate(clips)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r["dhash"] for r in audio_fingerprints(media).collect()
+    }
+    assert got == {i: audio_energy_bits(c) for i, c in enumerate(clips)}
