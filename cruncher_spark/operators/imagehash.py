@@ -149,6 +149,81 @@ def dhash_images(
     )
 
 
+VIDEO_FRAME_SCHEMA = "media_id long, frame_no int, fhash long"
+
+
+def video_frame_hashes(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, frame_no, fhash): dHash of EVERY decoded video frame.
+
+    One Arrow-batched AVI decode pass; each frame is hashed with the
+    same :func:`dhash_bits` grid as still images, so a video frame and
+    a still image of the same content collide — which is exactly what
+    cross-modal reuse detection wants.
+    """
+
+    def hash_batches(batches):
+        import pandas as pd
+
+        from cruncher_spark.functions.codecs import avi_decode
+
+        for pdf in batches:
+            ids, fnos, hashes = [], [], []
+            for r in pdf.itertuples(index=False):
+                _, frames = avi_decode(bytes(getattr(r, payload_col)))
+                for fno, frame in enumerate(frames):
+                    ids.append(int(getattr(r, id_col)))
+                    fnos.append(fno)
+                    hashes.append(dhash_bits(frame))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": fnos, "fhash": hashes}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        hash_batches, VIDEO_FRAME_SCHEMA
+    )
+
+
+def video_overlap_report(frame_hashes: DataFrame) -> DataFrame:
+    """Per video: frame counts + how many OTHER videos share a frame.
+
+    Shared-frame detection is an equi-join on the distinct
+    (video, frame-hash) table — the containment skeleton of video
+    dedup (two videos sharing any exact frame hash are re-encodes,
+    clips, or concatenations of common footage). Output: (media_id,
+    n_frames, n_distinct_hashes, n_overlapping_videos).
+    """
+    nf = frame_hashes.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    vf = frame_hashes.select("media_id", "fhash").distinct()
+    nd = vf.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_hashes")
+    )
+    other = vf.select(
+        F.col("media_id").alias("other_id"), F.col("fhash")
+    )
+    ov = (
+        vf.join(other, "fhash")
+        .where(F.col("media_id") != F.col("other_id"))
+        .groupBy("media_id")
+        .agg(F.countDistinct("other_id").alias("n_overlapping_videos"))
+    )
+    return (
+        nf.join(nd, "media_id")
+        .join(ov, "media_id", "left")
+        .select(
+            "media_id",
+            "n_frames",
+            "n_distinct_hashes",
+            F.coalesce("n_overlapping_videos", F.lit(0)).alias(
+                "n_overlapping_videos"
+            ),
+        )
+    )
+
+
 def _chunks(col: Column) -> Column:
     mask = (1 << BAND_BITS) - 1
     return F.array(

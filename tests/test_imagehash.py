@@ -139,3 +139,31 @@ def test_audio_fingerprints_spark_matches_local(spark):
         r["media_id"]: r["dhash"] for r in audio_fingerprints(media).collect()
     }
     assert got == {i: audio_energy_bits(c) for i, c in enumerate(clips)}
+
+
+def test_video_frame_hashes_and_overlap(spark):
+    from cruncher_spark.functions.codecs import avi_encode
+    from cruncher_spark.operators.imagehash import (
+        video_frame_hashes,
+        video_overlap_report,
+    )
+
+    rng = np.random.RandomState(11)
+    shared = rng.randint(0, 256, size=(12, 16)).astype(np.uint8)
+    a = np.stack([shared, rng.randint(0, 256, (12, 16)).astype(np.uint8)])
+    b = np.stack([rng.randint(0, 256, (12, 16)).astype(np.uint8), shared])
+    c = rng.randint(0, 256, size=(3, 12, 16)).astype(np.uint8)  # disjoint
+    rows = [
+        (i, bytearray(avi_encode(frames, 10)))
+        for i, frames in enumerate([a, b, c])
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fh = video_frame_hashes(media)
+    per = {
+        (r["media_id"], r["frame_no"]): r["fhash"] for r in fh.collect()
+    }
+    assert per[(0, 0)] == dhash_bits(shared) == per[(1, 1)]
+    out = {r["media_id"]: r for r in video_overlap_report(fh).collect()}
+    assert out[0]["n_frames"] == 2 and out[2]["n_frames"] == 3
+    assert out[0]["n_overlapping_videos"] >= 1  # shares `shared` with b
+    assert out[1]["n_overlapping_videos"] >= 1
