@@ -580,3 +580,118 @@ class EmbeddingDedupIngest:
         return self.spark.read.schema(
             "vec_id long, dup_of long, via string, batch_id string"
         ).parquet(str(self.decisions_dir))
+
+
+class PerceptualDedupIngest(EmbeddingDedupIngest):
+    """Streaming perceptual IMAGE dedup: a continuous dHash filter, the
+    third modality of the ingest family (text MinHash, embeddings,
+    now pixels).
+
+    Each micro-batch of ``(media_id, payload)`` PNG rows is
+    fingerprinted with the integer-exact 56-bit dHash
+    (`operators/imagehash.py`) and dedup then runs on the hash's +-1
+    BIT VECTOR through the inherited embedding machinery — a change of
+    representation, not a re-implementation:
+
+    - cosine of two +-1 vectors is ``(56 - 2*hamming) / 56``, so the
+      inherited exact-cosine verification with ``min_cos = 0.74`` is
+      PRECISELY ``hamming <= 7`` (h=7 -> 0.75, h=8 -> ~0.714; 0.74
+      sits between the two attainable values, immune to the sqrt
+      rounding in the cosine's norm product);
+    - the band keys override the random-hyperplane family with ONE-HOT
+      planes selecting 7 consecutive bits per band — the same 8x7
+      chunk banding as the batch ``image_dhash_dedup`` gate, so recall
+      is pigeonhole-COMPLETE through hamming 7 (random hyperplanes
+      would only be probabilistically complete);
+    - index layout, broadcast candidate join, outbox ordering,
+      batch-id ledger, crash-replay convergence, and
+      ``compact_index()`` inherit unchanged.
+    """
+
+    #: 8 bands x 7 bits, hamming bound = n_bands - 1 (pigeonhole)
+    _BITS = 56
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        index_buckets: int = 16,
+        num_buckets: int = 8,
+        exactly_once: bool = True,
+    ):
+        super().__init__(
+            spark,
+            state_dir,
+            dim=self._BITS,
+            n_bands=8,
+            band_planes=7,
+            min_cos=0.74,
+            index_buckets=index_buckets,
+            num_buckets=num_buckets,
+            exactly_once=exactly_once,
+        )
+
+    def _band_key(self, vec: F.Column, band: int) -> F.Column:
+        # one-hot "planes": key bit p is just bit (band*7 + p) of the
+        # hash — chunk banding expressed in the inherited band shape
+        key = F.lit(0)
+        for p in range(self.band_planes):
+            j = band * self.band_planes + p
+            key = key + F.when(
+                F.element_at(vec, j + 1) > 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        return key
+
+    def fingerprint(
+        self,
+        media: DataFrame,
+        id_col: str = "media_id",
+        payload_col: str = "payload",
+    ) -> DataFrame:
+        """(vec_id, embedding): dHash each image, expand to +-1 bits."""
+        from cruncher_spark.operators.imagehash import dhash_images
+
+        hashes = dhash_images(media, id_col, payload_col)
+        bits = F.array(
+            *[
+                F.when(
+                    F.shiftright(F.col("dhash"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                )
+                .otherwise(F.lit(-1.0))
+                .cast("float")
+                for j in range(self._BITS)
+            ]
+        )
+        return hashes.select(
+            F.col("media_id").alias("vec_id"), bits.alias("embedding")
+        )
+
+    def process_image_batch(self, media: DataFrame, batch_id: int) -> None:
+        self.process_batch(self.fingerprint(media), batch_id)
+
+    def start_file_stream(
+        self,
+        media_dir: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = False,
+    ):
+        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        if self.stream_id is None:
+            self.stream_id = checkpoint_stream_id(checkpoint_dir)
+        reader = self.spark.readStream.schema(
+            "media_id long, payload binary"
+        ).format("parquet")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        writer = (
+            reader.load(media_dir)
+            .writeStream.foreachBatch(self.process_image_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
