@@ -643,16 +643,22 @@ class PerceptualDedupIngest(EmbeddingDedupIngest):
             ).otherwise(F.lit(0))
         return key
 
+    def _hashes(
+        self, media: DataFrame, id_col: str, payload_col: str
+    ) -> DataFrame:
+        """(media_id, dhash) — the modality hook subclasses override."""
+        from cruncher_spark.operators.imagehash import dhash_images
+
+        return dhash_images(media, id_col, payload_col)
+
     def fingerprint(
         self,
         media: DataFrame,
         id_col: str = "media_id",
         payload_col: str = "payload",
     ) -> DataFrame:
-        """(vec_id, embedding): dHash each image, expand to +-1 bits."""
-        from cruncher_spark.operators.imagehash import dhash_images
-
-        hashes = dhash_images(media, id_col, payload_col)
+        """(vec_id, embedding): hash each payload, expand to +-1 bits."""
+        hashes = self._hashes(media, id_col, payload_col)
         bits = F.array(
             *[
                 F.when(
@@ -695,3 +701,19 @@ class PerceptualDedupIngest(EmbeddingDedupIngest):
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class AudioDedupIngest(PerceptualDedupIngest):
+    """Streaming perceptual AUDIO dedup: the loudness-profile
+    fingerprint (`operators/imagehash.py audio_energy_bits`) through
+    the same +-1 bit-vector machinery as the image filter — only the
+    modality hook differs; banding, hamming<->cosine verification,
+    ledger, and crash-replay semantics are shared (and shared tests:
+    the image suite pins them; the audio suite pins only the hook)."""
+
+    def _hashes(
+        self, media: DataFrame, id_col: str, payload_col: str
+    ) -> DataFrame:
+        from cruncher_spark.operators.imagehash import audio_fingerprints
+
+        return audio_fingerprints(media, id_col, payload_col)

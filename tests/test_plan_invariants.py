@@ -31,6 +31,9 @@ SF_DIR = "/root/testdata/sf0.001"
 PYTHON_ALLOWED = {
     "bpe_token_count",  # merge-rank replay is sequential-scan semantics
     "embedding_topk",
+    "image_dhash_dedup",  # perceptual hashes: the codec IS the boundary
+    "audio_fingerprint_dedup",
+    "video_frame_dedup",
     "multimodal_decode",
     "multimodal_decode_real",
     "multimodal_frames_real",

@@ -145,3 +145,28 @@ def test_bit_vector_cosine_is_hamming(spark):
         dot = sum(x * y for x, y in zip(a, b))
         cos = dot / BITS
         assert (cos >= 0.74) is want
+
+
+def test_audio_ingest_hook(spark, tmp_path):
+    # only the modality hook differs from the image filter (whose suite
+    # pins the shared semantics); pin the hook: an exact-copy clip drops
+    # against history, a distinct clip survives
+    from cruncher_spark.functions.codecs import wav_encode
+    from cruncher_spark.streaming.neardup import AudioDedupIngest
+
+    rng = np.random.RandomState(21)
+    a = rng.randint(-20000, 20000, size=600).astype(np.int16)
+    b = rng.randint(-20000, 20000, size=800).astype(np.int16)
+    ingest = AudioDedupIngest(spark, str(tmp_path / "audiostate"))
+    m1 = spark.createDataFrame(
+        [(1, bytearray(wav_encode(a, 8000))), (2, bytearray(wav_encode(b, 8000)))],
+        "media_id long, payload binary",
+    )
+    ingest.process_image_batch(m1, 0)
+    m2 = spark.createDataFrame(
+        [(3, bytearray(wav_encode(a, 8000)))], "media_id long, payload binary"
+    )
+    ingest.process_image_batch(m2, 1)
+    assert {r["vec_id"] for r in ingest.retained().collect()} == {1, 2}
+    dec = {r["vec_id"]: (r["dup_of"], r["via"]) for r in ingest.decisions().collect()}
+    assert dec == {3: (1, "history")}
