@@ -100,6 +100,14 @@ _NOTES = {
         "(458 rows) before anything shuffles; wall grows linearly with "
         "the decode pass"
     ),
+    "ann_ivf_topk": (
+        "wall grows faster than the corpus because this GATE derives its "
+        "query set from the corpus, so x100 data also means x100 queries "
+        "— scored pairs are Q x N x (n_probe/cells); shuffle bytes stay "
+        "linear (x83.9) because each query's candidates are cell-bounded; "
+        "in production the query set is driver-sized by contract "
+        "(operators/similarity.py ann_ivf_topk docstring)"
+    ),
 }
 
 
@@ -186,7 +194,7 @@ def main() -> None:
     lines = [
         "# STRESS — measured x10 / x100 scale blow-up (derived data)\n\n",
         "Generated by `tools/scale_stress.py`: the driver's sf0.1\n",
-        "documents/embeddings/events replicated with id offsets (value\n",
+        "documents/embeddings/events/orders replicated with id offsets (value\n",
         "distributions preserved, id domains grown linearly) to x10 and\n",
         "x100, then a representative query set re-measured. Shuffle\n",
         "bytes are the jitter-free signal; wall clock is local[32].\n",
