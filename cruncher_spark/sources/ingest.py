@@ -26,7 +26,10 @@ Scale decisions:
   typed columns make a DLQ row triageable). Two passes is the honest
   cost of a DLQ without caching the raw corpus; the malformed set of
   both passes is identical because both use the same parser and
-  schema. Streaming ingestion gets the single-pass version via the
+  schema. The DLQ write is mode=append — re-reading the same source
+  with the same quarantine path appends the same bad rows again, so
+  give each ingestion run its own quarantine directory (the streaming
+  worker's per-batch scoping is the pattern). Streaming ingestion gets the single-pass version via the
   worker's quarantine branch.
 - **Compression is transparent.** ``.jsonl.gz`` / ``.csv.gz`` decode by
   file extension inside the scan; gzip is not splittable, so at scale
