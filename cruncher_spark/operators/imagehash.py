@@ -185,7 +185,9 @@ def video_frame_hashes(
     )
 
 
-def video_overlap_report(frame_hashes: DataFrame) -> DataFrame:
+def video_overlap_report(
+    frame_hashes: DataFrame, df_cap: int = 1000
+) -> DataFrame:
     """Per video: frame counts + how many OTHER videos share a frame.
 
     Shared-frame detection is an equi-join on the distinct
@@ -193,6 +195,16 @@ def video_overlap_report(frame_hashes: DataFrame) -> DataFrame:
     dedup (two videos sharing any exact frame hash are re-encodes,
     clips, or concatenations of common footage). Output: (media_id,
     n_frames, n_distinct_hashes, n_overlapping_videos).
+
+    The join expands each hash group to its pair set, so a frame hash
+    shared by h videos costs h² — for a viral intro/logo frame shared
+    by a million videos that is a 10^12-pair scale-killer. Hashes
+    shared by MORE than ``df_cap`` videos are therefore excluded from
+    the overlap count (the posting-list df-cap of
+    `operators/dedup.py fingerprint_span_pairs`): footage that common
+    is boilerplate, not a re-encode signal, exactly like a stopword in
+    text retrieval. The per-hash group-size aggregate that enforces
+    the cap is itself map-side combined and hash-keyed — bounded.
     """
     nf = frame_hashes.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames")
@@ -201,11 +213,20 @@ def video_overlap_report(frame_hashes: DataFrame) -> DataFrame:
     nd = vf.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_distinct_hashes")
     )
-    other = vf.select(
+    hot = (
+        vf.groupBy("fhash")
+        .agg(F.count(F.lit(1)).alias("nv"))
+        .where(F.col("nv") > df_cap)
+        .select("fhash")
+    )
+    # no broadcast hint: hot is bounded by |vf|/df_cap but that can
+    # still be big at 100 TB — AQE picks broadcast when it fits
+    joinable = vf.join(hot, "fhash", "left_anti")
+    other = joinable.select(
         F.col("media_id").alias("other_id"), F.col("fhash")
     )
     ov = (
-        vf.join(other, "fhash")
+        joinable.join(other, "fhash")
         .where(F.col("media_id") != F.col("other_id"))
         .groupBy("media_id")
         .agg(F.countDistinct("other_id").alias("n_overlapping_videos"))

@@ -430,9 +430,11 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cell GROUP BY 1, 2
     ),
     vf AS (SELECT DISTINCT media_id, fh FROM fbits),
+    hot AS (SELECT fh FROM vf GROUP BY fh HAVING count(*) > 1000),
+    jf AS (SELECT vf.* FROM vf ANTI JOIN hot USING (fh)),
     ov AS (
       SELECT a.media_id, count(DISTINCT b.media_id) AS n_overlapping
-      FROM vf a JOIN vf b ON a.fh = b.fh AND a.media_id <> b.media_id
+      FROM jf a JOIN jf b ON a.fh = b.fh AND a.media_id <> b.media_id
       GROUP BY 1
     )
     SELECT v.media_id, v.nframes AS n_frames,
@@ -451,10 +453,14 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shared-footage detection is an equi-join on the distinct "
     "(video, frame-hash) table — the containment skeleton of video "
     "dedup; videos sharing any exact frame hash are re-encodes or "
-    "clips of common footage. One zero-shuffle decode+hash pass, "
+    "clips of common footage. A hash shared by more than df_cap=1000 "
+    "videos is boilerplate (a viral logo frame shared by a million "
+    "videos would cost 10^12 pairs) and is capped out of the overlap "
+    "count — the posting-list df-cap pattern of "
+    "dedup_substring_fingerprint. One zero-shuffle decode+hash pass, "
     "hash-keyed join, per-video aggregates. The oracle re-derives "
     "every frame hash in plain SQL from the analytic frame formula "
-    "without the AVI codec.",
+    "without the AVI codec and mirrors the cap.",
 )
 def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.imagehash import (

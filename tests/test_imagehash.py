@@ -167,3 +167,20 @@ def test_video_frame_hashes_and_overlap(spark):
     assert out[0]["n_frames"] == 2 and out[2]["n_frames"] == 3
     assert out[0]["n_overlapping_videos"] >= 1  # shares `shared` with b
     assert out[1]["n_overlapping_videos"] >= 1
+
+
+def test_video_overlap_df_cap(spark):
+    import pandas as pd
+    from cruncher_spark.operators.imagehash import video_overlap_report
+
+    # hash 7 shared by 3 videos (> cap=2: boilerplate, capped out),
+    # hash 9 shared by videos 1 and 2 only (a real re-encode signal)
+    rows = [(1, 0, 7), (2, 0, 7), (3, 0, 7), (1, 1, 9), (2, 1, 9), (4, 0, 5)]
+    fh = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "frame_no", "fhash"])
+    )
+    out = {
+        r["media_id"]: r["n_overlapping_videos"]
+        for r in video_overlap_report(fh, df_cap=2).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 0, 4: 0}
