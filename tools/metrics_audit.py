@@ -65,16 +65,6 @@ _NOTES = {
         "bounded and linear in the (doc,bucket) feature rows, not data-"
         "superlinear (docs themselves grew exactly ×10)"
     ),
-    "video_frame_dedup": (
-        "the overlap join's pair volume is Σ h² over frame-hash group "
-        "sizes h — on the synthetic gradient videos every hash group "
-        "grows with the corpus (all videos are near-identical patterns), "
-        "so pairs grow quadratically IN THIS DATA; real corpora share "
-        "frames only between true re-encodes. The df_cap=1000 guard "
-        "bounds the worst case (a viral frame shared by 10^6 videos is "
-        "capped out as boilerplate) — the cap does not bind at bench "
-        "scale, which is why the flag remains"
-    ),
     "triangle_count": (
         "same partial-agg fill effect on the degree/orientation "
         "exchanges (3,395 → 180,067 rows ≤ parts×|V| bound), plus the "
