@@ -245,6 +245,43 @@ def video_overlap_report(
     )
 
 
+def cross_modal_matches(
+    image_hashes: DataFrame, frame_hashes: DataFrame
+) -> DataFrame:
+    """Stills that appear as video frames: the cross-modal reuse join.
+
+    Both modalities hash with the same dHash grid, so a still image and
+    a video frame of the same content produce the same 56-bit value —
+    detection is then a GROUP-LEVEL equi-join: each side collapses to
+    its distinct-hash table first (hash-keyed counts + min-id
+    representative, map-side combined), and the join output is one row
+    per SHARED hash value. No pair expansion ever happens — a hash
+    shared by a million images and a million videos still costs two
+    aggregate rows and one joined row — so unlike
+    :func:`video_overlap_report` this needs no df-cap.
+
+    Output: (dhash, n_images, img_rep, n_videos, vid_rep).
+    """
+    ig = image_hashes.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("media_id").alias("img_rep"),
+    )
+    vg = (
+        frame_hashes.select(
+            F.col("media_id").alias("video_id"), F.col("fhash").alias("dhash")
+        )
+        .distinct()
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.min("video_id").alias("vid_rep"),
+        )
+    )
+    return ig.join(vg, "dhash").select(
+        "dhash", "n_images", "img_rep", "n_videos", "vid_rep"
+    )
+
+
 def _chunks(col: Column) -> Column:
     mask = (1 << BAND_BITS) - 1
     return F.array(

@@ -471,3 +471,95 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 2)
     media = attach_media(docs, real_payloads=True)
     return video_overlap_report(video_frame_hashes(media))
+
+
+@register(
+    "cross_modal_reuse",
+    f"""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+        16 + (doc_id % 24) * 16 AS w,
+        16 + (doc_id % 18) * 16 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    icell AS (
+      SELECT media_id, gy.range AS gy, gx.range AS gx,
+        (media_id + ((gx.range * w) // 9) + ((gy.range * h) // 7)) % 256
+          AS pa,
+        (media_id + (((gx.range + 1) * w) // 9) + ((gy.range * h) // 7))
+          % 256 AS pb
+      FROM img, range(7) gy, range(8) gx
+    ),
+    ibits AS (
+      SELECT media_id,
+        CAST(SUM(CASE WHEN pb > pa
+                      THEN CAST(1 AS BIGINT) << (gy * 8 + gx)
+                      ELSE 0 END) AS BIGINT) AS dhash
+      FROM icell GROUP BY 1
+    ),
+    vid AS (
+      SELECT doc_id AS media_id,
+        CAST({_VW} AS BIGINT) AS w,
+        CAST({_VH} AS BIGINT) AS h,
+        CAST({_NFRAMES} AS BIGINT) AS nframes
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+      SELECT media_id, w, h, unnest(range(nframes)) AS fno FROM vid
+    ),
+    vcell AS (
+      SELECT media_id, fno, gy.range AS gy, gx.range AS gx,
+        (media_id + 7 * fno + ((gx.range * w) // 9)
+         + ((gy.range * h) // 7)) % 256 AS pa,
+        (media_id + 7 * fno + (((gx.range + 1) * w) // 9)
+         + ((gy.range * h) // 7)) % 256 AS pb
+      FROM fr, range(7) gy, range(8) gx
+    ),
+    fbits AS (
+      SELECT media_id, fno,
+        CAST(SUM(CASE WHEN pb > pa
+                      THEN CAST(1 AS BIGINT) << (gy * 8 + gx)
+                      ELSE 0 END) AS BIGINT) AS fh
+      FROM vcell GROUP BY 1, 2
+    ),
+    ig AS (
+      SELECT dhash, count(*) AS n_images, min(media_id) AS img_rep
+      FROM ibits GROUP BY 1
+    ),
+    vg AS (
+      SELECT fh AS dhash, count(*) AS n_videos, min(media_id) AS vid_rep
+      FROM (SELECT DISTINCT media_id, fh FROM fbits) GROUP BY 1
+    )
+    SELECT ig.dhash, ig.n_images, ig.img_rep, vg.n_videos, vg.vid_rep
+    FROM ig JOIN vg USING (dhash)
+    """,
+    doc="Cross-modal reuse detection — stills that appear as video "
+    "frames: both modalities hash with the SAME integer-exact dHash "
+    "grid (a deliberate property of the perceptual suite), so "
+    "detection is a GROUP-LEVEL equi-join of the two distinct-hash "
+    "tables (hash-keyed counts + min-id representative, map-side "
+    "combined), one output row per shared hash value. No pair "
+    "expansion ever happens — a hash shared by 10^6 images and 10^6 "
+    "videos costs two aggregate rows and one joined row — so unlike "
+    "video_frame_dedup this needs no df-cap. Two zero-shuffle "
+    "decode+hash passes, two bounded aggregates, one hash join; the "
+    "oracle re-derives every hash on both sides in plain SQL from "
+    "the analytic payload formulas without either codec.",
+)
+def cross_modal_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.imagehash import (
+        cross_modal_matches,
+        dhash_images,
+        video_frame_hashes,
+    )
+
+    docs = Star(spark, sf_dir).documents
+    images = attach_media(
+        docs.where(F.col("doc_id") % 3 == 0), real_payloads=True
+    )
+    videos = attach_media(
+        docs.where(F.col("doc_id") % 3 == 2), real_payloads=True
+    )
+    return cross_modal_matches(
+        dhash_images(images), video_frame_hashes(videos)
+    )

@@ -184,3 +184,33 @@ def test_video_overlap_df_cap(spark):
         for r in video_overlap_report(fh, df_cap=2).collect()
     }
     assert out == {1: 1, 2: 1, 3: 0, 4: 0}
+
+
+def test_cross_modal_match(spark):
+    from cruncher_spark.functions.codecs import avi_encode, png_encode
+    from cruncher_spark.operators.imagehash import (
+        cross_modal_matches,
+        dhash_images,
+        video_frame_hashes,
+    )
+
+    rng = np.random.RandomState(33)
+    still = rng.randint(0, 256, size=(24, 32)).astype(np.uint8)
+    other = rng.randint(0, 256, size=(24, 32)).astype(np.uint8)
+    video = np.stack([other, still])  # frame 1 reuses the still
+    images = spark.createDataFrame(
+        [(100, bytearray(png_encode(still))), (101, bytearray(png_encode(255 - still)))],
+        "media_id long, payload binary",
+    )
+    videos = spark.createDataFrame(
+        [(200, bytearray(avi_encode(video, 10)))], "media_id long, payload binary"
+    )
+    out = cross_modal_matches(
+        dhash_images(images), video_frame_hashes(videos)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["dhash"] == dhash_bits(still)
+    assert (r["img_rep"], r["vid_rep"], r["n_images"], r["n_videos"]) == (
+        100, 200, 1, 1,
+    )

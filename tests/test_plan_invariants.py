@@ -34,6 +34,7 @@ PYTHON_ALLOWED = {
     "image_dhash_dedup",  # perceptual hashes: the codec IS the boundary
     "audio_fingerprint_dedup",
     "video_frame_dedup",
+    "cross_modal_reuse",
     "multimodal_decode",
     "multimodal_decode_real",
     "multimodal_frames_real",
