@@ -214,3 +214,34 @@ def test_cross_modal_match(spark):
     assert (r["img_rep"], r["vid_rep"], r["n_images"], r["n_videos"]) == (
         100, 200, 1, 1,
     )
+
+
+def test_dhash_single_pixel_locality_property():
+    # a single-pixel change can affect at most the two adjacent
+    # difference comparisons that sample that pixel on its grid row —
+    # so the hash moves by at most 2 bits (the locality that makes
+    # dHash a PERCEPTUAL hash rather than a checksum)
+    rng = np.random.RandomState(41)
+    for _ in range(50):
+        h_, w_ = rng.randint(8, 40), rng.randint(9, 60)
+        img = rng.randint(0, 256, size=(h_, w_)).astype(np.uint8)
+        a = dhash_bits(img)
+        y, x = rng.randint(0, h_), rng.randint(0, w_)
+        mod = img.copy()
+        mod[y, x] = rng.randint(0, 256)
+        assert bin(a ^ dhash_bits(mod)).count("1") <= 2
+
+
+def test_audio_hash_negation_invariance_property():
+    # energy is sign-invariant: negating every sample leaves all frame
+    # energies — and therefore the fingerprint — unchanged
+    from cruncher_spark.operators.imagehash import audio_energy_bits
+
+    rng = np.random.RandomState(43)
+    for n in (57, 130, 999):
+        s = rng.randint(-30000, 30000, size=n).astype(np.int16)
+        neg = (-s.astype(np.int32)).clip(-32768, 32767).astype(np.int16)
+        # avoid the one asymmetric int16 value so negation is exact
+        s[s == -32768] = -32767
+        neg = (-s).astype(np.int16)
+        assert audio_energy_bits(s) == audio_energy_bits(neg)
