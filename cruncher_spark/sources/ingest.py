@@ -25,12 +25,19 @@ Scale decisions:
   column is non-null are written out with their partial parse (the
   typed columns make a DLQ row triageable). Two passes is the honest
   cost of a DLQ without caching the raw corpus; the malformed set of
-  both passes is identical because both use the same parser and
-  schema. The DLQ write is mode=append — re-reading the same source
-  with the same quarantine path appends the same bad rows again, so
-  give each ingestion run its own quarantine directory (the streaming
-  worker's per-batch scoping is the pattern). Streaming ingestion gets the single-pass version via the
-  worker's quarantine branch.
+  both passes is identical because both use the same parser and schema
+  AND (ADVICE r6 ingest.py:90) both read a file list SNAPSHOTTED once
+  at call time — the quarantine write is eager but the returned clean
+  DataFrame is lazy, so without the snapshot a file appended to the
+  source directory between the DLQ write and the clean plan's
+  execution would be read clean-side without ever being
+  quarantine-scanned. With the snapshot, late-arriving files are in
+  NEITHER pass (re-invoke to ingest them). The DLQ write is
+  mode=append — re-reading the same source with the same quarantine
+  path appends the same bad rows again, so give each ingestion run its
+  own quarantine directory (the streaming worker's per-batch scoping
+  is the pattern). Streaming ingestion gets the single-pass version
+  via the worker's quarantine branch.
 - **Compression is transparent.** ``.jsonl.gz`` / ``.csv.gz`` decode by
   file extension inside the scan; gzip is not splittable, so at scale
   the unit of parallelism is the FILE — many medium gz members (the
@@ -53,6 +60,36 @@ def _with_corrupt(schema: T.StructType) -> T.StructType:
     return T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
+
+
+def _snapshot_files(spark: SparkSession, path: str) -> list[str]:
+    """Resolve ``path`` (a file, directory, or glob — any Hadoop-visible
+    scheme) to the concrete file list ONCE, so the quarantine pass and
+    the lazily-executed clean pass read the identical set even if the
+    source directory keeps receiving files (ADVICE r6 ingest.py:90).
+    Hidden files (``_``/``.`` prefixes) are skipped exactly as Spark's
+    own file listing would."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files: list[str] = []
+
+    def walk(status):
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            return
+        if status.isDirectory():
+            for child in fs.listStatus(status.getPath()):
+                walk(child)
+        else:
+            files.append(status.getPath().toString())
+
+    matched = fs.globStatus(hpath)
+    if matched is None:
+        raise FileNotFoundError(path)
+    for status in matched:
+        walk(status)
+    return sorted(files)
 
 
 def _reader(spark: SparkSession, schema: T.StructType, mode: str, **opts):
@@ -84,11 +121,15 @@ def read_jsonl(
     not corrupt — missing fields are NULL (schema evolution tolerance,
     same contract as `sources/tables.py load_evolving`).
     """
+    _with_corrupt(schema)  # validate before touching the filesystem
+    files = _snapshot_files(spark, path)
+    if not files:
+        return spark.createDataFrame([], schema)
     if quarantine_path is not None:
-        _reader(spark, schema, "PERMISSIVE").json(path).where(
+        _reader(spark, schema, "PERMISSIVE").json(files).where(
             F.col(CORRUPT_COL).isNotNull()
         ).write.mode("append").parquet(quarantine_path)
-    return _reader(spark, schema, "DROPMALFORMED").json(path)
+    return _reader(spark, schema, "DROPMALFORMED").json(files)
 
 
 def read_csv(
@@ -106,8 +147,12 @@ def read_csv(
     separators follow RFC 4180 (Spark's univocity parser).
     """
     opts = {"header": str(header).lower(), "sep": sep, "enforceSchema": "false"}
+    _with_corrupt(schema)  # validate before touching the filesystem
+    files = _snapshot_files(spark, path)
+    if not files:
+        return spark.createDataFrame([], schema)
     if quarantine_path is not None:
-        _reader(spark, schema, "PERMISSIVE", **opts).csv(path).where(
+        _reader(spark, schema, "PERMISSIVE", **opts).csv(files).where(
             F.col(CORRUPT_COL).isNotNull()
         ).write.mode("append").parquet(quarantine_path)
-    return _reader(spark, schema, "DROPMALFORMED", **opts).csv(path)
+    return _reader(spark, schema, "DROPMALFORMED", **opts).csv(files)

@@ -354,7 +354,7 @@ def drain_to_landing_dir(
     batch_size: int = 1000,
     max_batches: int | None = None,
     timeout_s: float | None = None,
-    dedupe_redelivered: bool = True,
+    dedupe_redelivered: bool = False,
 ) -> int:
     """Drain ``queue`` into the file-stream landing dir: one text file of
     message bodies (one id per line) per batch of up to ``batch_size`` —
@@ -367,9 +367,10 @@ def drain_to_landing_dir(
     (ack-after-durable). A crash between rename and ack redelivers the
     batch.
 
-    Redelivery dedup (r6): batches land under their CONTENT hash
-    (``batch-<sha256[:24]>.txt``), and the landing dir itself is the
-    durable occurrence ledger:
+    Redelivery dedup (r6, OPT-IN since r7): batches land under their
+    CONTENT hash (``batch-<sha256[:24]>.txt``), and with
+    ``dedupe_redelivered=True`` the landing dir itself is the durable
+    occurrence ledger:
 
     - a batch whose messages are ALL broker-flagged ``redelivered`` and
       whose content file already exists is the crash-between-rename-
@@ -387,17 +388,22 @@ def drain_to_landing_dir(
       degrades to at-least-once — exactly the reference's semantics
       (worker.js ACKs after commit and double-crunches on replay).
 
-    Residual corner (r6 review): content alone cannot distinguish WHICH
-    occurrence a replay belongs to. If a batch's content is legitimately
-    re-published LATER, the drainer crashes between consume and rename
-    of that second occurrence (nothing landed for it), and the broker
-    redelivers it flagged — the skip branch misattributes it to the
-    FIRST occurrence's landing and drops it (at-most-once for that one
-    batch). This needs three coincidences: byte-identical full-batch
-    content, a crash inside the sub-millisecond consume→rename window,
-    and flagged redelivery of the whole batch. Deployments that would
-    rather keep the reference's at-least-once double-count than accept
-    that corner pass ``dedupe_redelivered=False``.
+    Residual corner (r6 review; the reason the flag DEFAULTS OFF since
+    r7): content alone cannot distinguish WHICH occurrence a replay
+    belongs to. If a batch's content is legitimately re-published LATER,
+    the drainer crashes between consume and rename of that second
+    occurrence (nothing landed for it), and the broker redelivers it
+    flagged — the skip branch misattributes it to the FIRST occurrence's
+    landing and drops it (at-most-once for that one batch). It takes
+    three coincidences (byte-identical full-batch content, a crash
+    inside the sub-millisecond consume→rename window, flagged
+    redelivery of the whole batch), but a silent drop is worse than the
+    reference's at-least-once double-count — so the DEFAULT preserves
+    the reference's at-least-once contract (worker.js ACKs after commit
+    and double-crunches on replay; downstream the batch-id ledger or the
+    crunch views' idempotent recompute absorb the duplicate). Deployments
+    whose downstream is NOT replay-tolerant opt in to the exactly-once
+    window dedup with ``dedupe_redelivered=True``, accepting the corner.
 
     Returns the number of messages landed (acked replays included).
     """

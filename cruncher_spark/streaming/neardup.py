@@ -312,34 +312,48 @@ class NearDupIngest:
         and file listings start to dominate the candidate join). Returns
         the number of batch dirs folded, 0 if there was nothing to do.
 
-        Single-writer by construction (the ingest loop owns the index;
-        call between batches). Crash-safe by idempotence rather than
-        atomicity: a crash after the consolidated write but before the
-        old dirs are removed leaves duplicate band rows, which only
-        produce duplicate CANDIDATES — the per-doc ``min`` aggregates
-        absorb them, and the next compaction removes the redundancy.
+        Concurrency (ADVICE r6 neardup.py:341): serializes on the
+        survivor table's WRITER.lock — the same advisory flock every
+        ``process_batch`` holds across its merge — so a second ingest
+        instance on the same ``state_dir`` can never run its candidate
+        join against a file listing this compaction's ``rmtree`` is
+        deleting out from under it (FAILED_READ_FILE), mirroring the r6
+        rebucket/merge serialization fix in merge/upsert.py. Within one
+        process the ingest loop already owns the index between batches;
+        the lock makes the single-writer claim hold ACROSS processes.
+        Crash-safe by idempotence rather than atomicity: a crash after
+        the consolidated write but before the old dirs are removed
+        leaves duplicate band rows, which only produce duplicate
+        CANDIDATES — the per-doc ``min`` aggregates absorb them, and
+        the next compaction removes the redundancy.
         """
+        import fcntl
         import shutil
         import uuid
 
-        batches = [
-            d
-            for d in (self.index_dir.iterdir() if self.index_dir.exists() else [])
-            if d.is_dir() and d.name.startswith("batch=")
-        ]
-        if len(batches) <= 1:
-            return 0
-        idx = self._read_index()
-        target = self.index_dir / f"batch=compact-{uuid.uuid4().hex[:12]}"
-        (
-            idx.drop("batch")
-            .write.mode("overwrite")
-            .partitionBy("band_bucket")
-            .parquet(str(target))
-        )
-        for d in batches:
-            shutil.rmtree(d)
-        return len(batches)
+        self.survivors.path.mkdir(parents=True, exist_ok=True)
+        with open(self.survivors.path / "WRITER.lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            batches = [
+                d
+                for d in (
+                    self.index_dir.iterdir() if self.index_dir.exists() else []
+                )
+                if d.is_dir() and d.name.startswith("batch=")
+            ]
+            if len(batches) <= 1:
+                return 0
+            idx = self._read_index()
+            target = self.index_dir / f"batch=compact-{uuid.uuid4().hex[:12]}"
+            (
+                idx.drop("batch")
+                .write.mode("overwrite")
+                .partitionBy("band_bucket")
+                .parquet(str(target))
+            )
+            for d in batches:
+                shutil.rmtree(d)
+            return len(batches)
 
     # -- state readers -------------------------------------------------------
 

@@ -415,7 +415,8 @@ def test_broker_stall_mid_frame_resumes_or_fails_loudly():
 
 
 def test_crash_before_ack_redelivery_lands_exactly_once(tmp_path):
-    """The full crash-replay cycle: the bridge lands a batch, the broker
+    """The full crash-replay cycle under OPT-IN window dedup
+    (``dedupe_redelivered=True``): the bridge lands a batch, the broker
     dies before processing acks, the batch is redelivered (flagged) on
     reconnect — drain again: NO second landing file (content-addressed
     rename over the original), so Spark's file source sees the batch
@@ -428,7 +429,7 @@ def test_crash_before_ack_redelivery_lands_exactly_once(tmp_path):
     b1.start()
     c1 = AmqpClient(port=b1.port).connect()
     n1 = drain_to_landing_dir(c1, "crunch", str(land), batch_size=10,
-                              timeout_s=0.5)
+                              timeout_s=0.5, dedupe_redelivered=True)
     assert n1 == 3
     files1 = sorted(p.name for p in land.glob("batch-*.txt"))
     assert len(files1) == 1
@@ -441,7 +442,7 @@ def test_crash_before_ack_redelivery_lands_exactly_once(tmp_path):
     b2.start()
     c2 = AmqpClient(port=b2.port).connect()
     n2 = drain_to_landing_dir(c2, "crunch", str(land), batch_size=10,
-                              timeout_s=0.5)
+                              timeout_s=0.5, dedupe_redelivered=True)
     assert n2 == 3  # acked (and absorbed), not re-landed
     files2 = sorted(p.name for p in land.glob("batch-*.txt"))
     assert files2 == files1  # STILL one file -- exactly-once
@@ -453,13 +454,46 @@ def test_crash_before_ack_redelivery_lands_exactly_once(tmp_path):
     b3.start()
     c3 = AmqpClient(port=b3.port).connect()
     n3 = drain_to_landing_dir(c3, "crunch", str(land), batch_size=10,
-                              timeout_s=0.5)
+                              timeout_s=0.5, dedupe_redelivered=True)
     assert n3 == 3
     files3 = sorted(p.name for p in land.glob("batch-*.txt"))
     assert len(files3) == 2 and files1[0] in files3
     # the repeat is uniquified off the same content stem
     stem = files1[0].removesuffix(".txt")
     assert any(f.startswith(stem + "-") for f in files3)
+
+
+def test_default_drain_is_at_least_once(tmp_path):
+    """ADVICE r6 amqp.py:357: the DEFAULT preserves the reference's
+    at-least-once contract — a flagged redelivery of already-landed
+    content lands AGAIN (uniquified name, downstream dedups via the
+    batch-id ledger), never a silent at-most-once drop."""
+    land = tmp_path / "landing"
+    msgs = [b"id-1", b"id-2"]
+
+    b1 = ChaosBroker(list(msgs), die_on_ack=True)
+    b1.start()
+    c1 = AmqpClient(port=b1.port).connect()
+    assert drain_to_landing_dir(
+        c1, "crunch", str(land), batch_size=10, timeout_s=0.5
+    ) == 2
+    files1 = sorted(p.name for p in land.glob("batch-*.txt"))
+    assert len(files1) == 1
+    b1.join(timeout=10)
+
+    # flagged redelivery of the identical batch: default = land again
+    b2 = ChaosBroker(list(msgs), redeliver_all=True)
+    b2.start()
+    c2 = AmqpClient(port=b2.port).connect()
+    assert drain_to_landing_dir(
+        c2, "crunch", str(land), batch_size=10, timeout_s=0.5
+    ) == 2
+    files2 = sorted(p.name for p in land.glob("batch-*.txt"))
+    assert len(files2) == 2  # at-least-once: replay re-lands
+    stem = files1[0].removesuffix(".txt")
+    assert any(f.startswith(stem + "-") for f in files2)
+    b2.join(timeout=10)
+    assert sorted(b2.acked) == [1, 2]
 
 
 class DieAfterConsumeBroker(FakeBroker):

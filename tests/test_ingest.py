@@ -87,3 +87,36 @@ def test_csv_wrong_column_count_quarantined(spark, tmp_path):
     clean = read_csv(spark, str(src), SCHEMA, quarantine_path=dlq)
     assert [r["doc_id"] for r in clean.collect()] == [1]
     assert spark.read.parquet(dlq).count() == 1
+
+
+def test_file_list_snapshotted_at_call_time(spark, tmp_path):
+    """ADVICE r6 ingest.py:90: the quarantine pass is eager but the
+    clean DataFrame is lazy — a file dropped into the source directory
+    AFTER read_jsonl returns must be invisible to the clean plan too
+    (identical malformed sets by construction), not read clean-side
+    without ever being quarantine-scanned."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(GOOD) + "\n")
+    dlq = str(tmp_path / "dlq_snap")
+    clean = read_jsonl(spark, str(src), SCHEMA, quarantine_path=dlq)
+
+    # a late file with one clean and one corrupt row arrives before the
+    # clean plan executes
+    (src / "b.jsonl").write_text(
+        '{"doc_id": 9, "text": "late", "lang": "en"}\n' + BAD_JSON + "\n"
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert spark.read.parquet(dlq).count() == 0  # nothing was corrupt
+
+    # re-invoking picks the late file up in BOTH passes
+    clean2 = read_jsonl(spark, str(src), SCHEMA, quarantine_path=dlq)
+    assert sorted(r["doc_id"] for r in clean2.collect()) == [1, 2, 9]
+    assert spark.read.parquet(dlq).count() == 1
+
+
+def test_empty_source_dir_returns_empty_typed_frame(spark, tmp_path):
+    src = tmp_path / "empty"
+    src.mkdir()
+    df = read_jsonl(spark, str(src), SCHEMA)
+    assert df.count() == 0 and df.schema == SCHEMA

@@ -245,6 +245,46 @@ def test_compact_index_preserves_dedup_behavior(ingest_env, spark):
     assert 41 in kept and 40 not in kept  # 40 duplicates survivor 1
 
 
+def test_compact_index_serializes_on_writer_lock(spark, tmp_path):
+    """ADVICE r6 neardup.py:341: compact_index takes the survivor
+    table's WRITER.lock, so a concurrent writer holding it (another
+    ingest instance mid-merge on the same state_dir) blocks the
+    compaction's rmtree instead of racing it."""
+    import fcntl
+    import threading
+    import time
+
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    nd = NearDupIngest(spark, str(tmp_path / "state"))
+    for i, bid in ((0, 0), (20, 1)):
+        nd.process_batch(
+            spark.createDataFrame(
+                [(i + 1, _doc(9 + i)), (i + 2, _doc(10 + i))],
+                "doc_id long, text string",
+            ),
+            bid,
+        )
+    hold_s = 0.8
+    lockf = open(nd.survivors.path / "WRITER.lock", "w")
+    fcntl.flock(lockf, fcntl.LOCK_EX)
+    released_at = [0.0]
+
+    def release():
+        time.sleep(hold_s)
+        released_at[0] = time.monotonic()
+        fcntl.flock(lockf, fcntl.LOCK_UN)
+        lockf.close()
+
+    t = threading.Thread(target=release)
+    t.start()
+    assert nd.compact_index() >= 2
+    done_at = time.monotonic()
+    t.join()
+    # compaction could only finish after the lock was released
+    assert done_at >= released_at[0] > 0
+
+
 def test_crash_between_index_write_and_ledger_commit_recovers(
     spark, tmp_path, monkeypatch
 ):
