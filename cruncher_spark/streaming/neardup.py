@@ -717,6 +717,282 @@ class PerceptualDedupIngest(EmbeddingDedupIngest):
         return writer.start()
 
 
+class VideoDedupIngest:
+    """Streaming VIDEO dedup: frame-level containment filtering, the
+    fourth modality of the ingest family (text MinHash, embeddings,
+    image/audio dHash — the reference's streaming posture,
+    worker.js:128-149, says new modalities land in the online path too).
+
+    Video dedup is NOT a single-fingerprint problem: a re-encode, clip,
+    or concatenation shares exact FRAME hashes with its source (the
+    batch ``video_frame_dedup`` gate's containment skeleton,
+    `operators/imagehash.py video_overlap_report`), so the unit of
+    state is the (video, frame-hash) pair and the inherited
+    one-vector-per-item embedding machinery doesn't apply. This class
+    mirrors :class:`NearDupIngest`'s architecture on that multi-hash
+    shape:
+
+    - **fingerprints**: every micro-batch AVI is frame-hashed with the
+      batch path's `video_frame_hashes` (same dHash grid as stills),
+      collapsed to DISTINCT (media_id, fhash);
+    - **index**: retained (media_id, fhash) rows partitioned by
+      ``band_bucket = pmod(fhash, index_buckets)`` — the batch side of
+      the candidate join is micro-batch-sized and broadcasts, and the
+      join keys include the partition column so pruning skips
+      untouched buckets (per-batch cost O(batch x matching buckets));
+    - **df-cap, before ANY pair expansion**: history matching never
+      builds video pairs at all — matching index rows aggregate to
+      per-hash (count, min retained id) FIRST, a frame hash shared by
+      more than ``df_cap`` videos (index + batch combined, the viral
+      logo/intro frame) is discarded as boilerplate exactly like the
+      batch gate, and only then do per-hash representatives join back
+      to batch videos. The in-batch pair join runs on the capped hash
+      set, bounding it at df_cap² per hash;
+    - **retention rule** (pinned by tests): a video is DROPPED iff it
+      shares >= ``min_shared`` un-capped frame hashes with a retained
+      video (dup_of = min such id, via='history') or with a smaller-id
+      batch peer (min-id chains, via='batch'); history wins the
+      decision record. At the default ``min_shared=1`` (the batch
+      gate's any-shared-frame signal) history semantics are EXACT;
+      with ``min_shared > 1`` history sharing is counted against each
+      hash's min-id retained representative — the per-hash aggregation
+      that keeps the path pair-free cannot attribute a hash to every
+      retained video holding it (in-batch counts are per-pair and stay
+      exact). Videos whose frames decode empty pass through unindexed
+      (a length filter owns those, as in the text path);
+    - **durability**: outbox ordering + batch-id ledger + crash-replay
+      convergence as NearDupIngest — index/decisions land first as
+      idempotent per-batch-scope overwrites, the KEEP-policy survivor
+      merge commits last. Replay correctness requires excluding the
+      batch's OWN videos from the history side (they are already in
+      the index on replay); that exclusion is a broadcast anti-join on
+      the micro-batch id set, which also makes the df-cap count
+      replay-stable.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        df_cap: int = 1000,
+        min_shared: int = 1,
+        index_buckets: int = 16,
+        num_buckets: int = 8,
+        exactly_once: bool = True,
+    ):
+        self.spark = spark
+        self.state = Path(state_dir)
+        self.df_cap = df_cap
+        self.min_shared = min_shared
+        self.index_buckets = index_buckets
+        self.exactly_once = exactly_once
+        self.stream_id: str | None = None
+        self.survivors = PointTable(
+            spark,
+            str(self.state / "survivors"),
+            key=["media_id"],
+            policies={
+                "n_frames": MergePolicy.KEEP,
+                "n_distinct_hashes": MergePolicy.KEEP,
+            },
+            num_buckets=num_buckets,
+        )
+        self.index_dir = self.state / "band_index"
+        self.decisions_dir = self.state / "decisions"
+
+    # -- fingerprints ----------------------------------------------------------
+
+    def _frame_rows(self, media: DataFrame) -> DataFrame:
+        """DISTINCT (media_id, fhash, band_bucket) + per-video counts."""
+        from cruncher_spark.operators.imagehash import video_frame_hashes
+
+        return video_frame_hashes(media, "media_id", "payload")
+
+    # -- batch body ------------------------------------------------------------
+
+    def _ledger_id(self, batch_id: int) -> str:
+        sid = self.stream_id or "local"
+        return f"{sid}:{batch_id}"
+
+    def _index_schema(self) -> str:
+        return "media_id long, fhash long, band_bucket long, batch string"
+
+    def _read_index(self) -> DataFrame | None:
+        if not self.index_dir.exists() or not any(
+            self.index_dir.rglob("*.parquet")
+        ):
+            return None
+        return (
+            self.spark.read.schema(self._index_schema())
+            .option("basePath", str(self.index_dir))
+            .parquet(str(self.index_dir))
+        )
+
+    def process_batch(self, media: DataFrame, batch_id: int) -> None:
+        media = media.select("media_id", "payload").dropDuplicates(
+            ["media_id"]
+        )
+        # ONE decode pass: the frame rows are micro-batch-sized, every
+        # consumer below (stats, distinct working set, index write)
+        # reads the checkpointed rows instead of re-decoding the AVIs
+        frames = self._frame_rows(media).localCheckpoint(eager=True)
+        # per-video stats ride to the survivor table; vf is the distinct
+        # (video, hash) working set
+        stats = frames.groupBy("media_id").agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("fhash").alias("n_distinct_hashes"),
+        )
+        vf = (
+            frames.select("media_id", "fhash")
+            .distinct()
+            .withColumn(
+                "band_bucket",
+                F.pmod(F.col("fhash"), F.lit(self.index_buckets)),
+            )
+        )
+        batch_ids = vf.select("media_id").distinct()
+
+        # per-hash batch frequency (for the combined df-cap)
+        bstat = vf.groupBy("band_bucket", "fhash").agg(
+            F.count(F.lit(1)).alias("nv_b")
+        )
+
+        index = self._read_index()
+        if index is not None:
+            # index rows whose hash appears in the batch: broadcast the
+            # batch hash set (join includes the partition column ->
+            # pruning), then EXCLUDE the batch's own videos so a ledger
+            # replay recomputes against exactly the pre-batch history.
+            match = index.join(
+                F.broadcast(bstat.select("band_bucket", "fhash")),
+                ["band_bucket", "fhash"],
+            ).join(
+                F.broadcast(batch_ids),
+                "media_id",
+                "left_anti",
+            )
+            # aggregate BEFORE any pairing: per-hash retained count +
+            # min retained id — a hot hash never expands to pairs
+            hstat = match.groupBy("band_bucket", "fhash").agg(
+                F.count(F.lit(1)).alias("nv_h"),
+                F.min("media_id").alias("h_rep"),
+            )
+            hashes = bstat.join(hstat, ["band_bucket", "fhash"], "left")
+        else:
+            hashes = bstat.select(
+                "band_bucket",
+                "fhash",
+                "nv_b",
+                F.lit(None).cast("long").alias("nv_h"),
+                F.lit(None).cast("long").alias("h_rep"),
+            )
+        ok = hashes.where(
+            F.col("nv_b") + F.coalesce(F.col("nv_h"), F.lit(0))
+            <= F.lit(self.df_cap)
+        )
+
+        hist_dups = (
+            vf.join(
+                ok.where(F.col("h_rep").isNotNull()).select(
+                    "band_bucket", "fhash", "h_rep"
+                ),
+                ["band_bucket", "fhash"],
+            )
+            .groupBy("media_id", "h_rep")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= self.min_shared)
+            .groupBy("media_id")
+            .agg(F.min("h_rep").alias("dup_of"))
+            .withColumn("via", F.lit("history"))
+        )
+
+        okb = vf.join(
+            ok.select("band_bucket", "fhash"), ["band_bucket", "fhash"]
+        )
+        a = okb.select(F.col("media_id").alias("id_a"), "fhash")
+        b = okb.select(F.col("media_id").alias("id_b"), "fhash")
+        batch_dups = (
+            a.join(b, "fhash")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_b", "id_a")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= self.min_shared)
+            .groupBy(F.col("id_b").alias("media_id"))
+            .agg(F.min("id_a").alias("dup_of"))
+            .withColumn("via", F.lit("batch"))
+        )
+
+        pri = F.when(F.col("via") == "history", 0).otherwise(1)
+        dropped = (
+            hist_dups.unionByName(batch_dups)
+            .groupBy("media_id")
+            .agg(F.min_by(F.struct("dup_of", "via"), pri).alias("d"))
+            .select("media_id", "d.dup_of", "d.via")
+        )
+        # eager checkpoint: severs lineage to the lazy index read so the
+        # replay-time self-overwrite below is safe, and computes the
+        # candidate join once — see NearDupIngest.process_batch
+        dropped = dropped.localCheckpoint(eager=True)
+        kept_ids = vf.select("media_id").distinct().join(
+            dropped.select("media_id"), "media_id", "left_anti"
+        )
+
+        # outbox ordering: see NearDupIngest.process_batch
+        lid = self._ledger_id(batch_id) if self.exactly_once else None
+        scope = lid or f"noledger:{batch_id}"
+        sdir = _scope_dirname(scope)
+        (
+            vf.join(kept_ids, "media_id")
+            .write.mode("overwrite")
+            .partitionBy("band_bucket")
+            .parquet(str(self.index_dir / f"batch={sdir}"))
+        )
+        (
+            dropped.withColumn("batch_id", F.lit(scope))
+            .write.mode("overwrite")
+            .parquet(str(self.decisions_dir / f"batch={sdir}"))
+        )
+        self.survivors.merge(stats.join(kept_ids, "media_id"), batch_id=lid)
+
+    # -- housekeeping / stream wiring / readers --------------------------------
+
+    compact_index = NearDupIngest.compact_index
+
+    def start_file_stream(
+        self,
+        media_dir: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = False,
+    ):
+        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        if self.stream_id is None:
+            self.stream_id = checkpoint_stream_id(checkpoint_dir)
+        reader = self.spark.readStream.schema(
+            "media_id long, payload binary"
+        ).format("parquet")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        writer = (
+            reader.load(media_dir)
+            .writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def retained(self) -> DataFrame:
+        return self.survivors.read()
+
+    def decisions(self) -> DataFrame:
+        return self.spark.read.schema(
+            "media_id long, dup_of long, via string, batch_id string"
+        ).parquet(str(self.decisions_dir))
+
+
 class AudioDedupIngest(PerceptualDedupIngest):
     """Streaming perceptual AUDIO dedup: the loudness-profile
     fingerprint (`operators/imagehash.py audio_energy_bits`) through
