@@ -49,10 +49,18 @@ def connected_components(
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .persist()
     )
+    # round 0 fused into initialization: every node starts at
+    # min(self, direct neighbors) — ONE aggregate over the symmetric
+    # edge list instead of a full join round. On the common dedup shape
+    # (small cliques of near-identical docs) this IS the fixpoint, so
+    # the loop runs a single confirming round; on deeper graphs it just
+    # replaces the first propagation round. Same fixpoint and the same
+    # monotone invariant (labels only decrease, so an unchanged sum
+    # means an unchanged labeling).
     labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("comp"))
+        .select(F.col("a").alias("id"), "comp")
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]

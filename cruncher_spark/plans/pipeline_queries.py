@@ -368,34 +368,47 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from cruncher_spark.functions.text import word_shingles
+    from cruncher_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
     from cruncher_spark.operators.graph import connected_components
 
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
-    pairs = minhash_dedup_pairs(
-        docs, "doc_id", "text",
-        min_jaccard=0.5, num_hashes=_NUM_HASHES, band_size=_BAND_SIZE,
+    # ONE docs projection carries BOTH the shingle array and the quality
+    # score (r6 verdict: the old form re-scanned documents for n_words
+    # after the pair pipeline had already read it). The tiny
+    # (doc_id, n_words) slice is eagerly materialized up front — which
+    # also warms the cache — so every persist can be released before the
+    # returned plan escapes this function (no cache leak into bench /
+    # attestation sweeps, the r6 dedup_cluster lesson).
+    proj = docs.select(
+        "doc_id",
+        word_shingles("text", 3).alias("sh"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_words"),
     ).persist()
+    words = proj.select("doc_id", "n_words").localCheckpoint(eager=True)
+    # sigs feeds both sides of the band self-join; the persist keeps the
+    # hash aggregate from running twice (the minhash_dedup_pairs shape)
+    sigs = minhash_signatures(proj, "doc_id", _NUM_HASHES).persist()
+    cands = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _BAND_SIZE)
+    pairs = jaccard_verify_pairs(proj, cands, "doc_id", 0.5).persist()
     # labels are eagerly localCheckpointed inside connected_components,
-    # so the pair cache can be released immediately (r6 review: the
-    # sibling dedup_cluster unpersists; this one leaked its cache into
-    # every bench/attestation sweep)
+    # so every cache releases immediately
     labels = connected_components(pairs, "id_a", "id_b")
     pairs.unpersist()
-    clustered = (
-        docs.select(
-            "doc_id",
-            F.size(F.split(F.trim(F.col("text")), " ")).alias("n_words"),
-        )
-        .join(
-            labels.select(
-                F.col("id").alias("doc_id"), F.col("comp").alias("cl")
-            ),
-            "doc_id",
-            "left",
-        )
-        .withColumn("cluster_id", F.coalesce("cl", F.col("doc_id")))
-    )
+    sigs.unpersist()
+    proj.unpersist()
+    clustered = words.join(
+        labels.select(
+            F.col("id").alias("doc_id"), F.col("comp").alias("cl")
+        ),
+        "doc_id",
+        "left",
+    ).withColumn("cluster_id", F.coalesce("cl", F.col("doc_id")))
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_words"), F.asc("doc_id")
     )
