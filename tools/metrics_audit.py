@@ -94,6 +94,20 @@ def _iter_nodes(jnode, seen: set):
     if cls.endswith("QueryStageExec"):
         yield from _iter_nodes(jnode.plan(), seen)
         return
+    if cls == "InMemoryTableScanExec":
+        # persisted subtrees: the cache's OWN exchanges execute inside
+        # this plan's first job but live under the InMemoryRelation, not
+        # as children — without descending, every query that persists an
+        # intermediate (the minhash family) reports 0 shuffle bytes.
+        # Two scans of one relation share node ids -> seen-set dedup
+        # counts the cached exchanges once.
+        try:
+            yield from _iter_nodes(
+                jnode.relation().cachedPlan(), seen
+            )
+        except Exception:
+            pass
+        return
     ch = jnode.children()
     for i in range(ch.size()):
         yield from _iter_nodes(ch.apply(i), seen)

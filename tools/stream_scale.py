@@ -1,0 +1,207 @@
+"""Streaming ingest state-growth evidence (VERDICT r6 next #6).
+
+The near-dup ingest filters claim per-batch cost "O(batch x matching
+buckets), never a full-index shuffle" (`streaming/neardup.py`). The
+correctness of that claim is pinned by tests; this tool MEASURES it:
+replay ``N_BATCHES`` micro-batches of unique-content documents (the
+`tools/scale_stress.py` generator shape — id-seeded word soup at a
+pinned near-copy rate that can target ANY earlier doc, so history
+matches occur) through :class:`NearDupIngest`, recording per batch:
+
+- wall clock of ``process_batch``,
+- shuffle bytes written (delta of the Spark UI stage metrics — this
+  tool runs its own UI-enabled session for that),
+- accumulated index rows + parquet file count (driver-side pyarrow
+  metadata, no Spark job).
+
+``compact_index()`` runs mid-replay (batch ``COMPACT_AT``) so the
+curve shows the small-files remedy working against the file-listing
+creep it exists for. Expected shape: per-batch wall and bytes FLAT-ish
+as the index grows 50x — the batch side of the candidate join is
+broadcast and index buckets are partition-pruned, so per-batch cost
+tracks batch size and match count, not index size.
+
+Writes STREAMSCALE.md. Usage:  python tools/stream_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.1")
+STATE = Path("/tmp/stream_scale")
+N_BATCHES = 50
+BATCH_DOCS = 1000
+DUP_RATE = 0.05
+COMPACT_AT = 25  # compact_index() runs after this batch lands
+
+
+def _batches():
+    """Yield N_BATCHES lists of (doc_id, text): unique id-seeded word
+    soup, DUP_RATE near-copies of any earlier doc (cross-batch)."""
+    texts = pq.read_table(
+        SRC / "documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    vocab = np.array(sorted({w for t in texts for w in t.split()}))
+    lens = np.array([len(t.split()) for t in texts])
+    rng = np.random.default_rng(777)
+    seen: list[str] = []
+    next_id = 0
+    for _ in range(N_BATCHES):
+        batch = []
+        for _ in range(BATCH_DOCS):
+            if seen and rng.random() < DUP_RATE:
+                j = int(rng.integers(0, len(seen)))
+                w = seen[j].split()
+                for p in rng.integers(0, len(w), max(1, len(w) // 20)):
+                    w[int(p)] = str(rng.choice(vocab))
+                text = " ".join(w)
+            else:
+                text = " ".join(
+                    rng.choice(vocab, size=int(rng.choice(lens)))
+                )
+            batch.append((next_id, text))
+            seen.append(text)
+            next_id += 1
+        yield batch
+
+
+def _ui_session():
+    """A local session with the UI on so stage shuffle metrics are
+    readable over REST (the shared factory disables it)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from cruncher_spark.session import RUNTIME_CONFS
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stream-scale")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.retainedStages", "100000")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _shuffle_total(port: int = 4040) -> int:
+    base = f"http://localhost:{port}/api/v1/applications"
+    apps = json.load(urllib.request.urlopen(base, timeout=10))
+    aid = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{base}/{aid}/stages", timeout=30)
+    )
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def _index_stats(index_dir: Path) -> tuple[int, int]:
+    rows = files = 0
+    for f in index_dir.rglob("*.parquet"):
+        files += 1
+        rows += pq.ParquetFile(f).metadata.num_rows
+    return rows, files
+
+
+def main() -> None:
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    if STATE.exists():
+        shutil.rmtree(STATE)
+    spark = _ui_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    nd = NearDupIngest(spark, str(STATE / "state"))
+
+    rows = []
+    compact_note = ""
+    prev_sh = _shuffle_total()
+    for bid, batch in enumerate(_batches()):
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        t0 = time.monotonic()
+        nd.process_batch(df, bid)
+        wall = time.monotonic() - t0
+        sh = _shuffle_total()
+        delta = sh - prev_sh
+        prev_sh = sh
+        irows, ifiles = _index_stats(nd.index_dir)
+        rows.append((bid, wall, delta, irows, ifiles))
+        print(
+            f"batch {bid:3d} wall {wall:6.2f}s shuffle "
+            f"{delta/1e6:7.2f} MB index {irows} rows / {ifiles} files",
+            flush=True,
+        )
+        if bid == COMPACT_AT:
+            t0 = time.monotonic()
+            folded = nd.compact_index()
+            cw = time.monotonic() - t0
+            prev_sh = _shuffle_total()  # compaction's own shuffle excluded
+            compact_note = (
+                f"`compact_index()` ran after batch {COMPACT_AT}: folded "
+                f"{folded} per-batch dirs in {cw:.2f}s; its shuffle is "
+                "excluded from the next batch's delta."
+            )
+            print(compact_note, flush=True)
+
+    n_ret = nd.retained().count()
+    n_dec = nd.decisions().count()
+
+    def window_mean(lo, hi, col):
+        vals = [r[col] for r in rows if lo <= r[0] < hi]
+        return sum(vals) / len(vals)
+
+    early_w, late_w = window_mean(5, 15, 1), window_mean(40, 50, 1)
+    early_b, late_b = window_mean(5, 15, 2), window_mean(40, 50, 2)
+    lines = [
+        "# STREAMSCALE — measured ingest state growth"
+        " (tools/stream_scale.py)\n\n",
+        f"{N_BATCHES} micro-batches x {BATCH_DOCS} unique-content docs "
+        f"(pinned {DUP_RATE:.0%} cross-batch near-copy rate) replayed "
+        "through `NearDupIngest`; per-batch wall + shuffle-byte delta "
+        "(UI stage metrics) + accumulated index size. The per-batch "
+        "cost claim under test: O(batch x matching buckets), never a "
+        "full-index shuffle — the curve should stay FLAT-ish while the "
+        f"index grows {N_BATCHES}x.\n\n",
+        "| batch | wall s | shuffle MB | index rows | index files |\n",
+        "|---|---|---|---|---|\n",
+    ]
+    for bid, wall, shd, irows, ifiles in rows:
+        mark = " (compacted after)" if bid == COMPACT_AT else ""
+        lines.append(
+            f"| {bid}{mark} | {wall:.2f} | {shd/1e6:.2f} |"
+            f" {irows} | {ifiles} |\n"
+        )
+    lines += [
+        "\n## Measured verdict\n\n",
+        f"- mean wall batches 5-14: **{early_w:.2f}s**; batches 40-49: "
+        f"**{late_w:.2f}s** (x{late_w/early_w:.2f} while the index grew "
+        "~4x over the same window)\n",
+        f"- mean shuffle delta batches 5-14: **{early_b/1e6:.2f} MB**; "
+        f"batches 40-49: **{late_b/1e6:.2f} MB** "
+        f"(x{late_b/early_b:.2f})\n",
+        f"- final state: {n_ret} retained docs, {n_dec} dedup decisions, "
+        f"{rows[-1][3]} index rows in {rows[-1][4]} files\n",
+    ]
+    if compact_note:
+        lines.append(f"- {compact_note}\n")
+    Path(__file__).resolve().parent.parent.joinpath(
+        "STREAMSCALE.md"
+    ).write_text("".join(lines))
+    print("wrote STREAMSCALE.md")
+
+
+if __name__ == "__main__":
+    main()
