@@ -65,6 +65,11 @@ CRUNCH_VIEWS = {
 }
 
 
+#: hard cap on rows any single response may carry (ADVICE r6 api.py:
+#: an uncapped ?limit= turns one GET into a full-result driver collect)
+MAX_LIMIT = 10_000
+
+
 def _json_default(v):
     if isinstance(v, (dt.datetime, dt.date)):
         return v.isoformat()
@@ -110,13 +115,13 @@ class CruncherAPI:
                 try:
                     api._get(self)
                 except Exception as e:  # surface errors as JSON
-                    self._reply(500, {"error": repr(e)})
+                    self._reply(500, {"error": repr(e), "code": "internal"})
 
             def do_POST(self):
                 try:
                     api._post(self)
                 except Exception as e:
-                    self._reply(500, {"error": repr(e)})
+                    self._reply(500, {"error": repr(e), "code": "internal"})
 
         self.server = ThreadingHTTPServer((host, port), Handler)
         self.port = self.server.server_address[1]
@@ -124,10 +129,29 @@ class CruncherAPI:
 
     # -- request routing ----------------------------------------------------
 
+    @staticmethod
+    def _error(h, status: int, code: str, message: str) -> None:
+        """Structured JSON error: machine-readable ``code`` + human
+        ``error`` message (r6 verdict #8)."""
+        h._reply(status, {"error": message, "code": code})
+
     def _get(self, h) -> None:
         url = urlparse(h.path)
         q = parse_qs(url.query)
-        limit = int(q.get("limit", ["100"])[0])
+        raw_limit = q.get("limit", ["100"])[0]
+        try:
+            limit = int(raw_limit)
+        except ValueError:
+            self._error(
+                h, 400, "bad_limit", f"limit must be an integer: {raw_limit!r}"
+            )
+            return
+        if limit < 1:
+            self._error(
+                h, 400, "bad_limit", f"limit must be >= 1: {limit}"
+            )
+            return
+        limit = min(limit, MAX_LIMIT)  # a GET is never a full collect
         parts = [p for p in url.path.split("/") if p]
         if url.path == "/health":
             h._reply(200, {
@@ -145,7 +169,9 @@ class CruncherAPI:
             name = parts[1]
             qmap = query_map()
             if name not in qmap:
-                h._reply(404, {"error": f"unknown query {name!r}"})
+                self._error(
+                    h, 404, "unknown_query", f"unknown query {name!r}"
+                )
                 return
             df = qmap[name](self.spark, self.sf_dir).limit(limit)
             h._reply(200, {
@@ -155,9 +181,16 @@ class CruncherAPI:
             })
         elif len(parts) == 2 and parts[0] == "point":
             view = parts[1]
+            if view not in CRUNCH_VIEWS:
+                self._error(
+                    h, 404, "unknown_view", f"unknown view {view!r}"
+                )
+                return
             point = self._points.get(view)
             if point is None or not point.exists():
-                h._reply(404, {"error": f"no state for view {view!r}"})
+                self._error(
+                    h, 404, "no_state", f"no state yet for view {view!r}"
+                )
                 return
             df = point.read().limit(limit)
             h._reply(200, {
@@ -166,26 +199,34 @@ class CruncherAPI:
                 "rows": [list(r) for r in df.collect()],
             })
         else:
-            h._reply(404, {"error": "not found"})
+            self._error(h, 404, "not_found", "not found")
 
     def _post(self, h) -> None:
         parts = [p for p in urlparse(h.path).path.split("/") if p]
         if len(parts) != 2 or parts[0] != "crunch":
-            h._reply(404, {"error": "not found"})
+            self._error(h, 404, "not_found", "not found")
             return
         view = parts[1]
         if view not in CRUNCH_VIEWS:
-            h._reply(404, {"error": f"unknown view {view!r}"})
+            self._error(h, 404, "unknown_view", f"unknown view {view!r}")
             return
         length = int(h.headers.get("Content-Length", "0"))
-        payload = json.loads(h.rfile.read(length) or b"{}")
+        try:
+            payload = json.loads(h.rfile.read(length) or b"{}")
+        except json.JSONDecodeError as e:
+            self._error(h, 400, "bad_json", f"invalid JSON body: {e}")
+            return
         ids = payload.get("ids", [])
         if not ids:
-            h._reply(400, {"error": "body must carry non-empty 'ids'"})
+            self._error(
+                h, 400, "bad_request", "body must carry non-empty 'ids'"
+            )
             return
         builder, key, policies = CRUNCH_VIEWS[view]
         if self.tables is None:
-            h._reply(503, {"error": "no cruncher tables configured"})
+            self._error(
+                h, 503, "no_tables", "no cruncher tables configured"
+            )
             return
         delta = builder(self.tables, ids)
         with self._lock:  # merges are read-modify-swap; serialize them

@@ -472,6 +472,68 @@ def minhash_dedup_pairs(
     return jaccard_verify_pairs(doc_sh, cands, id_col, min_jaccard)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau_num: int = 9,
+    tau_den: int = 10,
+    shingle_n: int = 3,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-containment: (inner_id, outer_id, containment)
+    where containment = |sh(inner) ∩ sh(outer)| / |sh(inner)| and the
+    pair is emitted when that ratio >= ``tau_num/tau_den``.
+
+    Jaccard-based dedup structurally misses small-in-big reuse — a
+    paragraph quoted inside a 100x-longer document has J ~ 0.01 at
+    containment 1.0 — yet that is exactly the relation quote/clip
+    detection and license forensics need (Lee et al.'s exact-substring
+    dedup targets the same blind spot character-wise; this is the
+    shingle-set form, tolerant of small edits inside the quoted span).
+    Both directions are emitted: exact copies contain each other.
+
+    Scale shape (the `video_overlap_report` pattern on text): candidates
+    come from the distinct (id, shingle) posting lists, so the join is
+    hash-keyed per shingle, never all-pairs; a shingle shared by more
+    than ``df_cap`` docs is boilerplate (a stopword-run or template
+    line — at h docs it would cost h² pairs) and is excluded from
+    EVERY pair's overlap count, mirroring the df-cap of
+    `fingerprint_span_pairs`. The threshold compare is exact integer
+    arithmetic over the rational tau (the PPJoin lesson: float-ceil
+    pruned boundary pairs); the reported ``containment`` double is one
+    IEEE division, identical in any engine.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") > df_cap)
+        .select("shingle")
+    )
+    ok = sh.join(hot, "shingle", "left_anti")
+    a = ok.select(F.col(id_col).alias("inner_id"), "shingle")
+    b = ok.select(F.col(id_col).alias("outer_id"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("inner_id") != F.col("outer_id"))
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("inner_id"), "n"), "inner_id"
+        )
+        .where(F.col("c") * tau_den >= F.col("n") * tau_num)
+        .select(
+            "inner_id",
+            "outer_id",
+            (F.col("c").cast("double") / F.col("n")).alias("containment"),
+        )
+    )
+
+
 #: packed-vote layout: 4 bit-counters of 15 bits per 64-bit aggregate word.
 #: Counter headroom bounds distinct shingles per doc at 2^15-1 = 32767
 #: (top counter peaks at (2^15-1)*2^45 < 2^61, no signed-long overflow);

@@ -201,6 +201,45 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
 
 
 @register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+    ok AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      LEFT JOIN hot ON hot.shingle = sh.shingle
+      WHERE hot.shingle IS NULL
+    ),
+    shared AS (
+      SELECT a.doc_id AS inner_id, b.doc_id AS outer_id, count(*) AS c
+      FROM ok a JOIN ok b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.inner_id, s.outer_id,
+           CAST(s.c AS DOUBLE) / z.n AS containment
+    FROM shared s JOIN sizes z ON z.doc_id = s.inner_id
+    WHERE s.c * 10 >= z.n * 9
+    """,
+    doc="Asymmetric near-containment dedup (r7): doc A is flagged inside "
+    "doc B when >= 90% of A's shingles appear in B — the quote/clip "
+    "relation Jaccard structurally misses (a paragraph quoted in a 100x "
+    "longer doc has J ~ 0.01 at containment 1.0); the text analog of the "
+    "video overlap report, same df-cap posting-list shape "
+    "(operators/dedup.py containment_pairs): hash-keyed shingle join, "
+    "boilerplate shingles (df > 1000) excluded before any pairing, "
+    "threshold in exact integer arithmetic over the rational tau.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.dedup import containment_pairs
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return containment_pairs(docs, "doc_id", "text")
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SH_CTE},

@@ -73,3 +73,51 @@ def test_crunch_endpoint_merges_batches(api):
     assert r3["state_rows"] == r2["state_rows"]
     s, point = _get(api, "/point/global?limit=3")
     assert s == 200 and point["rows"] and "played" in point["columns"]
+
+
+def _get_err(api, path):
+    """GET expecting an HTTP error; return (status, parsed body)."""
+    try:
+        _get(api, path)
+        raise AssertionError("expected an HTTP error")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_errors_are_structured_json(api):
+    """r6 verdict #8: every error carries a machine-readable code."""
+    s, body = _get_err(api, "/query/nope")
+    assert s == 404 and body["code"] == "unknown_query" and body["error"]
+    s, body = _get_err(api, "/point/nope")
+    assert s == 404 and body["code"] == "unknown_view"
+    s, body = _get_err(api, "/point/phases")  # known view, nothing merged
+    assert s == 404 and body["code"] == "no_state"
+    s, body = _get_err(api, "/query/text_quality?limit=abc")
+    assert s == 400 and body["code"] == "bad_limit"
+    s, body = _get_err(api, "/query/text_quality?limit=0")
+    assert s == 400 and body["code"] == "bad_limit"
+    s, body = _get_err(api, "/nonsense")
+    assert s == 404 and body["code"] == "not_found"
+
+
+def test_limit_is_capped(api):
+    """An absurd ?limit= never becomes a full-result collect: the
+    response is bounded by MAX_LIMIT (and by the result size)."""
+    from cruncher_spark.api import MAX_LIMIT
+
+    s, body = _get(api, f"/query/text_quality?limit={10 * MAX_LIMIT}")
+    assert s == 200 and len(body["rows"]) <= MAX_LIMIT
+
+
+def test_crunch_replay_idempotent_values(api):
+    """r6 verdict #8: drive /crunch + /point through the ledger twice —
+    the replayed batch changes NOTHING, value-for-value."""
+    ids = [f"p-{i}" for i in range(30, 40)]
+    s, r1 = _post(api, "/crunch/player", {"ids": ids, "batch_id": "idem-1"})
+    assert s == 200 and r1["applied"] is True
+    s, before = _get(api, "/point/player?limit=10000")
+    s, r2 = _post(api, "/crunch/player", {"ids": ids, "batch_id": "idem-1"})
+    assert s == 200 and r2["applied"] is False
+    s, after = _get(api, "/point/player?limit=10000")
+    assert before["columns"] == after["columns"]
+    assert sorted(map(str, before["rows"])) == sorted(map(str, after["rows"]))

@@ -129,3 +129,97 @@ def test_event_pattern_match_python_replay(spark, tmp_path):
         n_users = sum(1 for s in by_user.values() if re.search(pat, s))
         n_matches = sum(len(re.findall(pat, s)) for s in by_user.values())
         assert got[name] == (n_users, n_matches), name
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (r7)
+# ---------------------------------------------------------------------------
+
+
+def _words(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    1.0 in the inner->outer direction, nothing in reverse, and the
+    jaccard of the pair is far below any dedup threshold."""
+    from cruncher_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingle_table,
+    )
+
+    inner = _words("q", 12)
+    outer = f"{_words('pre', 30)} {inner} {_words('post', 30)}"
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, _words("other", 25))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in containment_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+    # the same pair is invisible to symmetric jaccard at any real tau
+    j = jaccard_pairs(
+        shingle_table(docs, "doc_id", "text"), "doc_id", 0.5
+    ).collect()
+    assert j == []
+
+
+def test_containment_exact_copies_bidirectional(spark):
+    from cruncher_spark.operators.dedup import containment_pairs
+
+    t = _words("c", 20)
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in containment_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_near_threshold_integer_exact(spark):
+    """tau = 9/10 compares in integers: 9/10 of shingles shared is IN,
+    one fewer is OUT (the PPJoin float-ceil lesson)."""
+    from cruncher_spark.operators.dedup import containment_pairs
+
+    # inner has 12 words -> 10 shingles; outer carries a 11-word prefix
+    # of inner -> 9 shared shingles = exactly 9/10
+    inner_words = [f"t{i}" for i in range(12)]
+    inner = " ".join(inner_words)
+    outer_in = " ".join(inner_words[:11]) + " " + _words("pad", 30)
+    outer_out = " ".join(inner_words[:10]) + " " + _words("pad", 30)
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer_in)], "doc_id long, text string"
+    )
+    got = {(r.inner_id, r.outer_id) for r in
+           containment_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in got  # 9/10 exactly -> flagged
+    docs2 = spark.createDataFrame(
+        [(1, inner), (2, outer_out)], "doc_id long, text string"
+    )
+    got2 = {(r.inner_id, r.outer_id) for r in
+            containment_pairs(docs2, "doc_id", "text").collect()}
+    assert (1, 2) not in got2  # 8/10 -> below tau
+
+
+def test_containment_df_cap_excludes_boilerplate(spark):
+    """A shingle shared by more than df_cap docs never pairs anyone:
+    8 identical docs under df_cap=5 produce NO pairs (that text is
+    boilerplate by definition), while df_cap=100 pairs them all."""
+    from cruncher_spark.operators.dedup import containment_pairs
+
+    t = _words("b", 15)
+    docs = spark.createDataFrame(
+        [(i, t) for i in range(8)], "doc_id long, text string"
+    )
+    assert containment_pairs(docs, "doc_id", "text", df_cap=5).count() == 0
+    assert (
+        containment_pairs(docs, "doc_id", "text", df_cap=100).count()
+        == 8 * 7
+    )
