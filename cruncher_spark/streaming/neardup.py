@@ -260,14 +260,24 @@ class NearDupIngest:
             lid = self._ledger_id(batch_id) if self.exactly_once else None
             scope = lid or f"noledger:{batch_id}"
             sdir = _scope_dirname(scope)
+            # coalesce(1): the write is micro-batch-sized (bounded by
+            # BATCHSIZE) but inherits the session's shuffle partition
+            # count — without the coalesce each batch sprays
+            # partitions x index_buckets near-empty files (measured
+            # 512/batch at ~7 rows each, tools/stream_scale.py) and the
+            # candidate join's file listing grows 30x faster than the
+            # data; one task per batch writes one file per touched
+            # bucket dir instead
             (
                 self._bands(kept)
+                .coalesce(1)
                 .write.mode("overwrite")
                 .partitionBy("band_bucket")
                 .parquet(str(self.index_dir / f"batch={sdir}"))
             )
             (
                 dropped.withColumn("batch_id", F.lit(scope))
+                .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(str(self.decisions_dir / f"batch={sdir}"))
             )
@@ -541,18 +551,21 @@ class EmbeddingDedupIngest:
         dropped = dropped.localCheckpoint(eager=True)
         kept = batch.join(dropped.select("vec_id"), "vec_id", "left_anti")
 
-        # outbox ordering + self-match guard: see NearDupIngest.process_batch
+        # outbox ordering + self-match guard + coalesce(1) small-files
+        # rationale: see NearDupIngest.process_batch
         lid = self._ledger_id(batch_id) if self.exactly_once else None
         scope = lid or f"noledger:{batch_id}"
         sdir = _scope_dirname(scope)
         (
             self._bands(kept)
+            .coalesce(1)
             .write.mode("overwrite")
             .partitionBy("band_bucket")
             .parquet(str(self.index_dir / f"batch={sdir}"))
         )
         (
             dropped.withColumn("batch_id", F.lit(scope))
+            .coalesce(1)
             .write.mode("overwrite")
             .parquet(str(self.decisions_dir / f"batch={sdir}"))
         )
@@ -938,18 +951,21 @@ class VideoDedupIngest:
             dropped.select("media_id"), "media_id", "left_anti"
         )
 
-        # outbox ordering: see NearDupIngest.process_batch
+        # outbox ordering + coalesce(1) small-files rationale: see
+        # NearDupIngest.process_batch
         lid = self._ledger_id(batch_id) if self.exactly_once else None
         scope = lid or f"noledger:{batch_id}"
         sdir = _scope_dirname(scope)
         (
             vf.join(kept_ids, "media_id")
+            .coalesce(1)
             .write.mode("overwrite")
             .partitionBy("band_bucket")
             .parquet(str(self.index_dir / f"batch={sdir}"))
         )
         (
             dropped.withColumn("batch_id", F.lit(scope))
+            .coalesce(1)
             .write.mode("overwrite")
             .parquet(str(self.decisions_dir / f"batch={sdir}"))
         )
