@@ -48,6 +48,15 @@ _MAX_KEYS = {"peakMemory": "peak_mem_bytes"}
 #: for reasons that are NOT data-superlinearity (kept with the flag so
 #: the table stays honest — the flag is a screen, these are the verdicts)
 _NOTES = {
+    "dedup_containment": (
+        "pair volume before the tau filter is Σ_shingle df² — on the "
+        "fixture's ~40-word vocabulary BACKGROUND shingle sharing between "
+        "unrelated docs grows with corpus² until the df-cap bites "
+        "(df > 1000 shingles are excluded, so the worst offenders are "
+        "already capped out here); on a realistic vocabulary unrelated "
+        "docs share almost nothing and the curve is linear — measured in "
+        "STRESS.md's unique-content section (padded vocabulary, x100)"
+    ),
     "pagerank_topk": (
         "rank-contribution exchanges are vertex-keyed partial aggregates: "
         "at sf0.01 AQE coalesces the map side to one partition so combine "
