@@ -594,6 +594,83 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    min_cos: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`semantic_dedup` with a QUANTIZER-FREE cell assignment: the
+    cell is the sign pattern of ``n_planes`` deterministic random
+    hyperplanes (the md5 family of :func:`_hyperplane_signs`), so
+    assignment is a pure map-side expression with ZERO fit cost and the
+    dedup tail (within-cell lo<hi exact cosine, keep-lowest-id) is
+    identical.
+
+    This is the PRODUCTION-scaling form of SemDeDup's contract that
+    cell count grows with the corpus (constant expected cell
+    population): 2^n_planes cells cost nothing to "fit", so n_planes
+    just increments with each corpus doubling pair-budget-neutrally —
+    where the k-means quantizer's driver fit caps K. The trade is
+    recall: an exact copy ALWAYS lands in its original's cell (same
+    projections), but a near-dup at angle θ flips each plane with
+    probability θ/π, so single-probe recall is (1-θ/π)^n_planes —
+    raise min_cos tightness or multi-probe when that matters (the
+    banded `threshold_neighbor_counts` family is the recall-complete
+    path). Measured to x100 in STRESS.md's unique-content section.
+
+    Output contract matches :func:`semantic_dedup`: (id, cell, kept).
+    """
+    planes = _hyperplane_signs(dim, n_planes)
+    cell = F.lit(0)
+    for p, signs in enumerate(planes):
+        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), sign_arr, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cell = cell + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    assigned = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col), dim).alias("nrm"),
+        cell.alias("cell"),
+    )
+    lo = assigned.select(
+        F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
+        F.col("nrm").alias("lo_nrm"), "cell",
+    )
+    hi = assigned.select(
+        F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
+        F.col("nrm").alias("hi_nrm"), "cell",
+    )
+    dropped = (
+        lo.join(hi, "cell")
+        .where(F.col("lo_id") < F.col("hi_id"))
+        .where(
+            F.round(
+                dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+                / (F.col("lo_nrm") * F.col("hi_nrm")),
+                round_digits,
+            )
+            >= min_cos
+        )
+        .select(F.col("hi_id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("_drop", F.lit(True)), "id", "left"
+    ).select(
+        "id", "cell", F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -617,6 +694,82 @@ def ann_lsh_topk(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col), dim).alias("q_norm"),
         bucket.alias("bucket"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col), dim).alias("c_norm"),
+        bucket.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"), dim)
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ann_lsh_multiprobe(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 8,
+    probe_bits: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`ann_lsh_topk` with MULTI-PROBE querying (Lv et al., VLDB'07
+    — the standard production recall lever): each query scores its own
+    bucket PLUS every bucket within hamming ``probe_bits`` of it, i.e.
+    the buckets a true neighbor most likely fell into when a single
+    near-threshold hyperplane projection flipped its sign.
+
+    Why this beats more tables/fewer planes at 100 TB: recall grows
+    ~(1 + n_planes)x per extra probed bit with ZERO extra index state —
+    the corpus is still bucketed ONCE (each vector lives in exactly one
+    bucket, so probe candidate sets are disjoint and need no dedup);
+    only the broadcast-sized query side fans out. Scored pairs are
+    Q x (1 + n_planes·probe_bits) x N/2^planes.
+
+    Output: (query_id, neighbor_id, rank, cos) — same contract as
+    :func:`ann_lsh_topk`; rank ties broken by neighbor id.
+    """
+    if probe_bits != 1:
+        raise NotImplementedError(
+            "probe_bits > 1 multiplies probes combinatorially; the "
+            "1-bit ring is the documented production sweet spot"
+        )
+    bucket = lsh_bucket(F.col(vec_col), dim, n_planes)
+    probes = F.explode(
+        F.array(
+            bucket,
+            *[
+                bucket.bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col), dim).alias("q_norm"),
+        probes.alias("bucket"),
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),

@@ -265,6 +265,159 @@ def hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, {_HLL_H} AS hv FROM events
+    ),
+    br AS (
+      SELECT event_type, hv % {_HLL_M} AS bucket,
+        CASE WHEN (hv >> {_HLL_B}) = 0 THEN {_HLL_MAXRHO}
+             ELSE CAST(log2((hv >> {_HLL_B}) & -(hv >> {_HLL_B})) AS INT) + 1
+        END AS rho
+      FROM h
+    ),
+    sketch AS (
+      SELECT event_type, bucket, MAX(rho) AS m_rho
+      FROM br GROUP BY event_type, bucket
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    contrib AS (
+      SELECT p.type_a, p.type_b, s.bucket, s.m_rho
+      FROM pairs p JOIN sketch s ON s.event_type = p.type_a
+      UNION ALL
+      SELECT p.type_a, p.type_b, s.bucket, s.m_rho
+      FROM pairs p JOIN sketch s ON s.event_type = p.type_b
+    ),
+    usk AS (
+      SELECT type_a, type_b, bucket, MAX(m_rho) AS m_rho
+      FROM contrib GROUP BY type_a, type_b, bucket
+    ),
+    est1 AS (
+      SELECT event_type,
+        SUM({_HLL_TERM_SQL}[m_rho])
+          + ({_HLL_M} - COUNT(*)) * {1 << 40} AS s
+      FROM sketch GROUP BY event_type
+    ),
+    estu AS (
+      SELECT type_a, type_b,
+        SUM({_HLL_TERM_SQL}[m_rho])
+          + ({_HLL_M} - COUNT(*)) * {1 << 40} AS s
+      FROM usk GROUP BY type_a, type_b
+    ),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_exact_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           COALESCE(x.n_exact_overlap, 0) AS n_exact_overlap,
+           ({_HLL_C} / ea.s + {_HLL_C} / eb.s) - {_HLL_C} / eu.s
+             AS overlap_estimate
+    FROM pairs p
+    JOIN est1 ea ON ea.event_type = p.type_a
+    JOIN est1 eb ON eb.event_type = p.type_b
+    JOIN estu eu ON eu.type_a = p.type_a AND eu.type_b = p.type_b
+    LEFT JOIN exact x ON x.type_a = p.type_a AND x.type_b = p.type_b
+    """,
+    doc="HLL set algebra (r7): audience overlap between every event-type "
+    "pair by inclusion-exclusion over MERGED sketches — the union sketch "
+    "is the bucket-wise MAX of the two per-type sketches, which is the "
+    "whole point of HLL at 100 TB: per-type sketches built once (16 ints "
+    "each) compose into any pair/rollup WITHOUT re-scanning events, "
+    "where exact overlap needs a distinct-user self-join per pair. "
+    "Estimate arithmetic stays integer-exact to three IEEE divisions "
+    "(the hll_user_distinct discipline); the exact overlap rides along "
+    "for error inspection.",
+)
+def hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = Star(spark, sf_dir).events
+    hv = portable_hash64(F.col("user_id").cast("string"), salt="hll")
+    r = F.shiftright(hv, _HLL_B)
+    rho = F.when(r == 0, F.lit(_HLL_MAXRHO)).otherwise(
+        F.log2(r.bitwiseAND(-r)).cast("int") + F.lit(1)
+    )
+    # per-type sketch: types x 16 rows — eagerly materialized once, every
+    # branch below (self-pairing, two contrib joins, per-type estimates)
+    # reads the tiny table instead of re-scanning events
+    sketch = (
+        events.select(
+            "event_type", (hv % _HLL_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+        .localCheckpoint(eager=True)
+    )
+    types = sketch.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        types.select(F.col("event_type").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    contrib = pairs.join(
+        sketch, sketch.event_type == F.col("type_a")
+    ).select("type_a", "type_b", "bucket", "m_rho").unionByName(
+        pairs.join(
+            sketch, sketch.event_type == F.col("type_b")
+        ).select("type_a", "type_b", "bucket", "m_rho")
+    )
+    usk = contrib.groupBy("type_a", "type_b", "bucket").agg(
+        F.max("m_rho").alias("m_rho")
+    )
+    terms = F.array(*[F.lit(t).cast("long") for t in _HLL_TERMS])
+
+    def est_s():
+        return (
+            F.sum(F.element_at(terms, F.col("m_rho")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 40)
+        ).alias("s")
+
+    est1 = sketch.groupBy("event_type").agg(est_s())
+    estu = usk.groupBy("type_a", "type_b").agg(est_s())
+    du = events.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
+    )
+    c = F.lit(float(_HLL_C))
+    return (
+        pairs.join(
+            est1.select(F.col("event_type").alias("type_a"), F.col("s").alias("sa")),
+            "type_a",
+        )
+        .join(
+            est1.select(F.col("event_type").alias("type_b"), F.col("s").alias("sb")),
+            "type_b",
+        )
+        .join(estu.withColumnRenamed("s", "su"), ["type_a", "type_b"])
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_exact_overlap", F.lit(0).cast("long")).alias(
+                "n_exact_overlap"
+            ),
+            ((c / F.col("sa") + c / F.col("sb")) - c / F.col("su")).alias(
+                "overlap_estimate"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # funnel analysis (view -> click -> purchase, strictly ordered)
 # ---------------------------------------------------------------------------

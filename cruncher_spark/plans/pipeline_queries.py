@@ -677,6 +677,54 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_PROBE_UNION = "\n      UNION ALL ".join(
+    ["SELECT query_id, qv, bucket AS pb FROM q"]
+    + [
+        f"SELECT query_id, qv, xor(bucket, {1 << p}) AS pb FROM q"
+        for p in range(8)
+    ]
+)
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE {_Q_FILTER}),
+    probes AS (
+      {_PROBE_UNION}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM bucketed),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos
+      FROM probes JOIN c ON c.bucket = probes.pb
+      WHERE query_id <> neighbor_id
+    ),
+    ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
+    """,
+    doc="Multi-probe LSH ANN (r7, Lv et al. VLDB'07): each query scores "
+    "its own bucket plus the 8 one-bit-flip neighbor buckets — the "
+    "buckets a true neighbor most likely fell into when one hyperplane "
+    "projection flipped sign. The production recall lever that costs "
+    "ZERO extra index state: the corpus stays bucketed once (probe "
+    "candidate sets are disjoint, no dedup), only the broadcast query "
+    "side fans out 9x (operators/similarity.py ann_lsh_multiprobe). "
+    "Recall >= single-probe on identical buckets is pinned by test.",
+)
+def ann_lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import ann_lsh_multiprobe
+
+    tune(spark)
+    emb = fan_out(Star(spark, sf_dir).embeddings)
+    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    out = ann_lsh_multiprobe(emb, queries, dim=EMB_DIM, k=3, n_planes=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _IVF_K, _IVF_PROBE, _IVF_SAMPLE_EVERY = 16, 2, 4
 _CCOS = (
     "round(list_dot_product(v, cv)"
@@ -866,6 +914,62 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _fitted_centroids(raw, sf_dir)
     return semantic_dedup(
         emb, n_centroids=_IVF_K, min_cos=_SDD_MIN_COS, centroids=cents
+    )
+
+
+_SDL_PLANES = _hyperplane_signs(EMB_DIM, 4)
+_SDL_CELL_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_sql(_SDL_PLANES[p])}) > 0"
+    f" THEN {1 << p} ELSE 0 END)"
+    for p in range(4)
+)
+
+
+@register(
+    "semantic_dedup_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SDD_COPY_OFFSET}, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id % {_SDD_COPY_EVERY} = 0
+    ),
+    assigned AS (SELECT vec_id, v, {_SDL_CELL_SQL} AS cell FROM e),
+    dropped AS (
+      SELECT DISTINCT hi.vec_id AS id
+      FROM assigned lo JOIN assigned hi
+        ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+      WHERE round(list_dot_product(lo.v, hi.v)
+            / (sqrt(list_dot_product(lo.v, lo.v))
+             * sqrt(list_dot_product(hi.v, hi.v))), 6) >= {_SDD_MIN_COS}
+    )
+    SELECT a.vec_id AS id, CAST(a.cell AS INT) AS cell,
+           (d.id IS NULL) AS kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id
+    """,
+    doc="semantic_dedup with a QUANTIZER-FREE cell assignment (r7): the "
+    "cell is the sign pattern of 4 deterministic md5 hyperplanes, so "
+    "assignment is a pure map-side expression with zero fit cost — the "
+    "production-scaling form of SemDeDup's cells-grow-with-the-corpus "
+    "contract (2^p cells cost nothing to fit; the k-means quantizer's "
+    "driver sample caps K). Same within-cell exact-cosine keep-lowest-id "
+    "tail; same injected-copy acceptance as semantic_dedup (an exact "
+    "copy always shares its original's cell — identical projections — "
+    "so the gate is recall-deterministic). Measured to x100 in "
+    "STRESS.md's unique-content section (operators/similarity.py "
+    "semantic_dedup_lsh).",
+)
+def semantic_dedup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import semantic_dedup_lsh
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    copies = raw.where(F.col("vec_id") % _SDD_COPY_EVERY == 0).select(
+        (F.col("vec_id") + _SDD_COPY_OFFSET).alias("vec_id"), "embedding"
+    )
+    emb = fan_out(raw.select("vec_id", "embedding").unionAll(copies))
+    return semantic_dedup_lsh(
+        emb, dim=EMB_DIM, n_planes=4, min_cos=_SDD_MIN_COS
     )
 
 
