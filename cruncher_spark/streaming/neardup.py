@@ -772,7 +772,15 @@ class VideoDedupIngest:
       that keeps the path pair-free cannot attribute a hash to every
       retained video holding it (in-batch counts are per-pair and stay
       exact). Videos whose frames decode empty pass through unindexed
-      (a length filter owns those, as in the text path);
+      (a length filter owns those, as in the text path). Passing
+      ``tau=(num, den)`` switches to FRACTIONAL containment: drop when
+      >= tau of the item's OWN distinct hashes are shared — clip
+      detection proper, and the streaming form of the batch
+      ``dedup_containment`` gate (integer-compared rational, never a
+      float ceil). The per-representative attribution caveat applies,
+      mitigated structurally: retained items are mutually
+      non-contained BY the filter itself, so a contained item's hashes
+      rarely split across representatives;
     - **durability**: outbox ordering + batch-id ledger + crash-replay
       convergence as NearDupIngest — index/decisions land first as
       idempotent per-batch-scope overwrites, the KEEP-policy survivor
@@ -790,6 +798,7 @@ class VideoDedupIngest:
         *,
         df_cap: int = 1000,
         min_shared: int = 1,
+        tau: tuple[int, int] | None = None,
         index_buckets: int = 16,
         num_buckets: int = 8,
         exactly_once: bool = True,
@@ -798,6 +807,12 @@ class VideoDedupIngest:
         self.state = Path(state_dir)
         self.df_cap = df_cap
         self.min_shared = min_shared
+        #: optional FRACTIONAL threshold (num, den): drop when the item
+        #: shares >= tau of ITS OWN distinct hashes with one retained /
+        #: smaller-id item — asymmetric containment (dedup_containment's
+        #: semantics made streaming; rational, integer-compared). When
+        #: set, ``min_shared`` is ignored.
+        self.tau = tau
         self.index_buckets = index_buckets
         self.exactly_once = exactly_once
         self.stream_id: str | None = None
@@ -905,16 +920,36 @@ class VideoDedupIngest:
             <= F.lit(self.df_cap)
         )
 
-        hist_dups = (
-            vf.join(
-                ok.where(F.col("h_rep").isNotNull()).select(
-                    "band_bucket", "fhash", "h_rep"
-                ),
-                ["band_bucket", "fhash"],
+        # fractional tau needs each batch item's own distinct-hash count
+        # (the containment denominator) — micro-batch-sized, broadcast
+        nd = vf.groupBy("media_id").agg(
+            F.count(F.lit(1)).alias("n_distinct")
+        )
+
+        def passes(counts, id_col):
+            if self.tau is None:
+                return counts.where(F.col("n_shared") >= self.min_shared)
+            tn, td = self.tau
+            return counts.join(
+                F.broadcast(nd.withColumnRenamed("media_id", id_col)),
+                id_col,
+            ).where(
+                F.col("n_shared") * F.lit(td)
+                >= F.col("n_distinct") * F.lit(tn)
             )
-            .groupBy("media_id", "h_rep")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-            .where(F.col("n_shared") >= self.min_shared)
+
+        hist_dups = (
+            passes(
+                vf.join(
+                    ok.where(F.col("h_rep").isNotNull()).select(
+                        "band_bucket", "fhash", "h_rep"
+                    ),
+                    ["band_bucket", "fhash"],
+                )
+                .groupBy("media_id", "h_rep")
+                .agg(F.count(F.lit(1)).alias("n_shared")),
+                "media_id",
+            )
             .groupBy("media_id")
             .agg(F.min("h_rep").alias("dup_of"))
             .withColumn("via", F.lit("history"))
@@ -926,11 +961,13 @@ class VideoDedupIngest:
         a = okb.select(F.col("media_id").alias("id_a"), "fhash")
         b = okb.select(F.col("media_id").alias("id_b"), "fhash")
         batch_dups = (
-            a.join(b, "fhash")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_b", "id_a")
-            .agg(F.count(F.lit(1)).alias("n_shared"))
-            .where(F.col("n_shared") >= self.min_shared)
+            passes(
+                a.join(b, "fhash")
+                .where(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_b", "id_a")
+                .agg(F.count(F.lit(1)).alias("n_shared")),
+                "id_b",
+            )
             .groupBy(F.col("id_b").alias("media_id"))
             .agg(F.min("id_a").alias("dup_of"))
             .withColumn("via", F.lit("batch"))
@@ -1023,3 +1060,94 @@ class AudioDedupIngest(PerceptualDedupIngest):
         from cruncher_spark.operators.imagehash import audio_fingerprints
 
         return audio_fingerprints(media, id_col, payload_col)
+
+
+class TextContainmentIngest(VideoDedupIngest):
+    """Streaming asymmetric-CONTAINMENT filter over a document stream —
+    the online form of the batch ``dedup_containment`` gate
+    (`operators/dedup.py containment_pairs`), riding the
+    :class:`VideoDedupIngest` machinery: a document is a SET of shingle
+    hashes exactly as a video is a set of frame hashes, so the
+    multi-hash index, pair-free history matching, combined df-cap
+    (boilerplate shingles excluded before any pairing), outbox ordering
+    and ledger replay all inherit — only the fingerprint hook differs.
+
+    Retention rule: a doc whose distinct shingles are >= ``tau``
+    (default 9/10) contained in one retained doc — or one smaller-id
+    batch peer — is DROPPED with a (dup_of, via) decision; quote/clip
+    ingestion dedup that MinHash-jaccard ingest structurally misses
+    (a paragraph quoted in a 100x longer retained doc has J ~ 0.01 at
+    containment 1.0, so :class:`NearDupIngest` keeps it).
+
+    Input streams/batches carry ``(doc_id long, text string)``; docs
+    too short to shingle pass through unindexed, as in every text path.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        tau: tuple[int, int] = (9, 10),
+        shingle_n: int = 3,
+        df_cap: int = 1000,
+        index_buckets: int = 16,
+        num_buckets: int = 8,
+        exactly_once: bool = True,
+    ):
+        super().__init__(
+            spark,
+            state_dir,
+            df_cap=df_cap,
+            tau=tau,
+            index_buckets=index_buckets,
+            num_buckets=num_buckets,
+            exactly_once=exactly_once,
+        )
+        self.shingle_n = shingle_n
+
+    def _frame_rows(self, media: DataFrame) -> DataFrame:
+        """(media_id, fhash): one row per distinct shingle hash — the
+        modality hook (shingle hash plays the frame-hash role)."""
+        from cruncher_spark.functions.text import portable_hash64
+        from cruncher_spark.operators.dedup import shingle_table
+
+        sh = shingle_table(media, "media_id", "payload", self.shingle_n)
+        return sh.select(
+            "media_id", portable_hash64("shingle").alias("fhash")
+        )
+
+    def process_doc_batch(self, docs: DataFrame, batch_id: int) -> None:
+        """(doc_id, text) convenience wrapper over process_batch."""
+        self.process_batch(
+            docs.select(
+                F.col("doc_id").alias("media_id"),
+                F.col("text").alias("payload"),
+            ),
+            batch_id,
+        )
+
+    def start_file_stream(
+        self,
+        docs_dir: str,
+        checkpoint_dir: str,
+        *,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = False,
+    ):
+        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        if self.stream_id is None:
+            self.stream_id = checkpoint_stream_id(checkpoint_dir)
+        reader = self.spark.readStream.schema(
+            "doc_id long, text string"
+        ).format("parquet")
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        writer = (
+            reader.load(docs_dir)
+            .writeStream.foreachBatch(self.process_doc_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
