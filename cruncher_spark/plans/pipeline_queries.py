@@ -200,6 +200,60 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
 )
 
 
+#: injected-mirror constants for dup_source_matrix (the semantic_dedup
+#: injected-copy convention: the fixture has no cross-source exact dups,
+#: so the gate plants them and must report exactly those)
+_DSM_EVERY, _DSM_OFFSET = 25, 1_000_000
+
+
+@register(
+    "dup_source_matrix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + {_DSM_OFFSET}, text, source || '-m'
+      FROM documents WHERE doc_id % {_DSM_EVERY} = 0
+    ),
+    g AS (SELECT DISTINCT md5(text) AS chash, source FROM d),
+    p AS (
+      SELECT a.chash, a.source AS source_a, b.source AS source_b
+      FROM g a JOIN g b ON a.chash = b.chash AND a.source < b.source
+    )
+    SELECT source_a, source_b, COUNT(DISTINCT chash) AS n_shared_groups
+    FROM p GROUP BY source_a, source_b
+    """,
+    doc="Dup-provenance source matrix (r7): which SOURCE pairs carry "
+    "copies of the same content — the mirror/syndication detector a "
+    "mixture design reads before weighting sources (two sources that "
+    "re-publish each other are one source for diversity purposes). "
+    "Group-level shape end to end: distinct (content-hash, source) "
+    "pairs, then a per-hash source-set self-join — bounded by "
+    "|sources| per hash, never row-pair expansion, the "
+    "cross_modal_matches pattern on provenance. The fixture has no "
+    "cross-source exact dups, so the gate injects a '-m' mirror of "
+    "every 25th doc and must report exactly those pairs.",
+)
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents
+    mirrors = docs.where(F.col("doc_id") % _DSM_EVERY == 0).select(
+        (F.col("doc_id") + _DSM_OFFSET).alias("doc_id"),
+        "text",
+        F.concat(F.col("source"), F.lit("-m")).alias("source"),
+    )
+    d = docs.select("doc_id", "text", "source").unionByName(mirrors)
+    g = d.select(F.md5("text").alias("chash"), "source").distinct()
+    a = g.select("chash", F.col("source").alias("source_a"))
+    b = g.select("chash", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "chash")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("chash").alias("n_shared_groups"))
+    )
+
+
 @register(
     "dedup_containment",
     oracle=f"""
