@@ -151,7 +151,19 @@ class CruncherAPI:
                 h, 400, "bad_limit", f"limit must be >= 1: {limit}"
             )
             return
-        limit = min(limit, MAX_LIMIT)  # a GET is never a full collect
+        if limit > MAX_LIMIT:
+            # reject rather than silently clamp (ADVICE r7): a silently
+            # truncated row set reads as the complete result; the client
+            # is told the cap so it can paginate or drop to a batch job
+            self._error(
+                h,
+                400,
+                "bad_limit",
+                f"limit must be <= {MAX_LIMIT}: {limit}"
+                " (a GET is never a full collect; use a batch query"
+                " for larger results)",
+            )
+            return
         parts = [p for p in url.path.split("/") if p]
         if url.path == "/health":
             h._reply(200, {

@@ -107,6 +107,57 @@ class PointTable:
         #: versions share file storage and only rewritten buckets differ —
         #: the same trick that makes Delta/Iceberg time travel affordable.
         self.retain_versions = max(1, retain_versions)
+        #: writer_lock re-entrancy state, PER THREAD (see :meth:`writer_lock`)
+        import threading
+
+        self._lock_state = threading.local()
+
+    # -- writer serialization ------------------------------------------------
+
+    @property
+    def _lock_depth(self) -> int:
+        return getattr(self._lock_state, "depth", 0)
+
+    def writer_lock(self):
+        """RE-ENTRANT advisory writer lock (``WRITER.lock`` flock).
+
+        flock serializes across PROCESSES, but a second ``flock`` on a
+        second fd of the same open file description DEADLOCKS the same
+        thread against itself — so a caller that wants to hold the
+        writer lock around a larger critical section (e.g. a streaming
+        ingest's whole ``process_batch``, whose candidate join reads
+        index state a concurrent ``compact_index``'s rmtree could
+        delete, ADVICE r7) could not then call :meth:`merge`, which
+        takes the lock too. This context manager keeps a per-THREAD
+        depth counter: the outermost ``with`` acquires the flock on a
+        thread-private fd, nested entries are no-ops, and release
+        happens when the outermost exits. Two threads sharing one
+        instance each open their own fd, so flock still serializes
+        them (per-open-file-description semantics) — the pre-r8
+        two-writer race test holds unchanged.
+        """
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx():
+            import fcntl
+
+            st = self._lock_state
+            if getattr(st, "depth", 0) == 0:
+                self.path.mkdir(parents=True, exist_ok=True)
+                st.lockf = open(self.path / "WRITER.lock", "w")
+                fcntl.flock(st.lockf, fcntl.LOCK_EX)
+                st.depth = 0
+            st.depth += 1
+            try:
+                yield self
+            finally:
+                st.depth -= 1
+                if st.depth == 0:
+                    st.lockf.close()
+                    st.lockf = None
+
+        return _ctx()
 
     # -- versioned state access ---------------------------------------------
 
@@ -222,13 +273,11 @@ class PointTable:
         and its ledger check happens INSIDE the lock, so a duplicate
         batch_id racing itself still applies exactly once. Readers never
         take the lock (versions are immutable; the pointer flip is
-        atomic).
+        atomic). The lock is re-entrant per instance (:meth:`writer_lock`),
+        so a caller already holding it for a larger critical section can
+        merge without deadlocking.
         """
-        import fcntl
-
-        self.path.mkdir(parents=True, exist_ok=True)
-        with open(self.path / "WRITER.lock", "w") as lockf:
-            fcntl.flock(lockf, fcntl.LOCK_EX)
+        with self.writer_lock():
             if batch_id is not None and batch_id in self.applied_batches():
                 return False
 
@@ -379,7 +428,18 @@ class PointTable:
         emptied by deletes simply disappears from the new version), every
         untouched bucket hard-links forward, and the batch-id ledger makes
         replays idempotent under the same atomic pointer flip.
+
+        Serializes on the same re-entrant writer lock as :meth:`merge`
+        (r8: previously unlocked — a CDC batch racing a merge could build
+        from the same base version and the last pointer flip silently
+        discarded the other writer's work).
         """
+        with self.writer_lock():
+            return self._apply_cdc_locked(changes, op_col, batch_id)
+
+    def _apply_cdc_locked(
+        self, changes: DataFrame, op_col: str, batch_id: str | None
+    ) -> bool:
         if batch_id is not None and batch_id in self.applied_batches():
             return False
         cur = self._current_version()
@@ -564,10 +624,7 @@ class PointTable:
         ONLINE while its worker keeps merging — the merge just blocks
         for the duration of the rewrite.
         """
-        import fcntl
-
-        with open(self.path / "WRITER.lock", "w") as lockf:
-            fcntl.flock(lockf, fcntl.LOCK_EX)
+        with self.writer_lock():
             self._rebucket_locked(num_buckets)
 
     def _rebucket_locked(self, num_buckets: int) -> None:

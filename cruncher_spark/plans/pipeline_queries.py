@@ -560,7 +560,15 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash banded near-dup (generated oracle)
 # ---------------------------------------------------------------------------
 
-_SIM_BITS, _SIM_BANDS, _MAX_HAMMING = 32, 4, 3
+# 60-bit fingerprints are the PRODUCTION width (r7 VERDICT #3): at the
+# 32-bit width the per-pair random-collision rate (~1.3e-6 at hamming<=3)
+# yields ~160k false pairs at 500k docs (measured, STRESS u100) — the
+# quadratic-by-physics failure the width dial exists to prevent. 60 is
+# the packed-vote layout's signed-long ceiling (operators/dedup.py
+# simhash builds the fingerprint as a sum of 1<<j terms; j=60..62 would
+# still fit, but 60 divides evenly into 4 bands of 15 bits). The STRESS
+# dedup_simhash60 row showed planted-rate pairs only at x100.
+_SIM_BITS, _SIM_BANDS, _MAX_HAMMING = 60, 4, 3
 _SIM_BAND_BITS = _SIM_BITS // _SIM_BANDS
 _SIM_H = _oracle_hash("shingle", "simhash")
 _VOTES = ",\n    ".join(
@@ -594,9 +602,11 @@ _SIM_CHUNKS = "\n  UNION ALL ".join(
     FROM cand
     WHERE bit_count(xor(sim_a, sim_b)) <= {_MAX_HAMMING}
     """,
-    doc="SimHash(32-bit) near-dup: banded candidate generation (4x8-bit "
-    "chunks, pigeonhole) + exact hamming verify. Cheaper signatures than "
-    "MinHash; one groupBy with 32 conditional sums.",
+    doc="SimHash(60-bit, production width) near-dup: banded candidate "
+    "generation (4x15-bit chunks, pigeonhole) + exact hamming verify. "
+    "Cheaper signatures than MinHash; one groupBy with 60 conditional "
+    "sums. 60-bit is the gate since r8 — the 32-bit width's false-pair "
+    "physics explode at >=1e6 docs (measured, STRESS.md).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
@@ -650,6 +660,11 @@ def _plane_sql(signs: list[int]) -> str:
 
 
 _NDUP_BANDS, _NDUP_BAND_PLANES = 4, 4
+#: fixed query-set size for the near-dup gate — the production contract
+#: (r7 VERDICT #2): Q stays constant as the corpus grows, matching the
+#: embedding_dup_fixed STRESS shape (32 fixed queries) instead of the
+#: corpus-derived vec_id%20 set whose gate shape was Q x N
+_NDUP_FIXED_Q = 32
 _NDUP_PLANES = _hyperplane_signs(EMB_DIM, _NDUP_BANDS * _NDUP_BAND_PLANES)
 
 
@@ -673,7 +688,7 @@ def _ndup_band_key_sql(b: int) -> str:
                       q.v AS qv, c.v AS cv
       FROM sig q JOIN sig c
         ON ({" OR ".join(f"q.k{b} = c.k{b}" for b in range(_NDUP_BANDS))})
-      WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_NDUP_FIXED_Q} AND q.vec_id <> c.vec_id
     ),
     scored AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM cands)
     SELECT query_id,
@@ -681,15 +696,20 @@ def _ndup_band_key_sql(b: int) -> str:
            MAX(cos) AS max_cos
     FROM scored GROUP BY query_id
     """,
-    doc="Embedding-cosine near-dup detection: banded random-hyperplane LSH "
-    "candidates (4 bands x 4 planes, equi-join on band key — no Q x N "
-    "cross join) exactly re-scored; per-query count of neighbors above "
-    "tau=0.8.",
+    doc="Embedding-cosine near-dup detection under the PRODUCTION contract "
+    "(r7 VERDICT #2): a FIXED driver-sized query set (first "
+    f"{_NDUP_FIXED_Q} ids) against the whole corpus, so the gate's cost "
+    "is Q x N/2^planes with Q CONSTANT as the corpus grows — the "
+    "embedding_dup_fixed STRESS shape, now the registered gate (the old "
+    "vec_id%20 derivation made the gate itself Q x N quadratic). Banded "
+    "random-hyperplane LSH candidates (4 bands x 4 planes, equi-join on "
+    "band key — no Q x N cross join) exactly re-scored; per-query count "
+    "of neighbors above tau=0.8.",
 )
 def embedding_dup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = fan_out(Star(spark, sf_dir).embeddings)
-    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
     return threshold_neighbor_counts(
         emb, queries, dim=EMB_DIM, min_cos=0.8,
         n_bands=_NDUP_BANDS, band_planes=_NDUP_BAND_PLANES,
@@ -780,6 +800,10 @@ def ann_lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_K, _IVF_PROBE, _IVF_SAMPLE_EVERY = 16, 2, 4
+#: the dedicated multi-probe gate's probe width (r7 VERDICT #4): 4 of 16
+#: cells — the Lv et al. recall knob made an explicit, separately-gated
+#: contract (ann_ivf_topk keeps probe=2 as the cost-lean default)
+_IVF_MULTIPROBE = 4
 _CCOS = (
     "round(list_dot_product(v, cv)"
     " / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)"
@@ -805,6 +829,16 @@ def _ivf_fitted_centroids_duckdb(sf_dir: str) -> list[list[float]]:
 
 
 def _ivf_oracle(sf_dir: str) -> str:
+    return _ivf_oracle_shape(sf_dir, _IVF_PROBE, _Q_FILTER)
+
+
+def _ivf_multiprobe_oracle(sf_dir: str) -> str:
+    return _ivf_oracle_shape(
+        sf_dir, _IVF_MULTIPROBE, f"vec_id < {_NDUP_FIXED_Q}"
+    )
+
+
+def _ivf_oracle_shape(sf_dir: str, n_probe: int, q_filter: str) -> str:
     cents = _ivf_fitted_centroids_duckdb(sf_dir)
     # repr() round-trips doubles exactly → both engines parse the same value
     vals = ", ".join(
@@ -822,7 +856,7 @@ def _ivf_oracle(sf_dir: str) -> str:
     ),
     q AS (SELECT query_id, cell, v AS qv FROM
             (SELECT vec_id AS query_id, cid AS cell FROM rcells
-             WHERE crn <= {_IVF_PROBE} AND {_Q_FILTER}) p
+             WHERE crn <= {n_probe} AND {q_filter}) p
           JOIN e ON e.vec_id = p.query_id),
     c AS (SELECT a.vec_id AS neighbor_id, cell, v AS cv FROM
             (SELECT vec_id, cid AS cell FROM rcells WHERE crn = 1) a
@@ -857,6 +891,35 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _fitted_centroids(raw, sf_dir)
     out = ann_ivf_topk(
         emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=3,
+        centroids=cents,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=_ivf_multiprobe_oracle,
+    doc="IVF multi-probe ANN (r7 VERDICT #4): the Lv et al. recall knob as "
+    f"an explicit gate — each query probes its {_IVF_MULTIPROBE} nearest "
+    f"of {_IVF_K} coarse cells (ann_ivf_topk probes {_IVF_PROBE}) under "
+    "the PRODUCTION query contract (fixed driver-sized query set, "
+    f"vec_id < {_NDUP_FIXED_Q}, so gate cost is Q x N*probe/K with Q "
+    "constant as the corpus grows — the ann_ivf_fixed STRESS shape). "
+    "Probe sets are the first n entries of the same sorted cell-score "
+    "array the corpus assignment uses, so a probe=K sweep converges on "
+    "exact brute force; recall >= single-probe on the identical "
+    "quantizer is pinned by test_ivf_multiprobe_recall_dominates.",
+)
+def ann_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import ann_ivf_topk
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    emb = fan_out(raw)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
+    cents = _fitted_centroids(raw, sf_dir)
+    out = ann_ivf_topk(
+        emb, queries, n_centroids=_IVF_K, n_probe=_IVF_MULTIPROBE, k=3,
         centroids=cents,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))

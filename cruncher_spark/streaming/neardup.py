@@ -75,6 +75,7 @@ class NearDupIngest:
         index_buckets: int = 16,
         num_buckets: int = 8,
         exactly_once: bool = True,
+        auto_compact_batches: int | None = 32,
     ):
         self.spark = spark
         self.state = Path(state_dir)
@@ -85,6 +86,13 @@ class NearDupIngest:
         self.shingle_n = shingle_n
         self.index_buckets = index_buckets
         self.exactly_once = exactly_once
+        #: auto-compaction policy (r7 VERDICT #5): fold the per-batch
+        #: index dirs once their count reaches this threshold, from
+        #: INSIDE process_batch (the re-entrant writer lock is already
+        #: held, so the fold is race-free); None disables. Keeps file
+        #: listings bounded (sawtooth) on a long-lived ingest without
+        #: an external housekeeping scheduler.
+        self.auto_compact_batches = auto_compact_batches
         self.stream_id: str | None = None
         mh_cols = [f"mh_{i}" for i in range(num_hashes)]
         self.survivors = PointTable(
@@ -167,6 +175,15 @@ class NearDupIngest:
         )
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        # The writer lock spans the WHOLE batch body (ADVICE r7): the
+        # candidate join below reads index files lazily, and a second
+        # process's compact_index rmtree must not delete them mid-plan.
+        # Re-entrant, so the survivor merge and any auto-compaction
+        # nest without deadlocking.
+        with self.survivors.writer_lock():
+            self._process_batch_locked(docs, batch_id)
+
+    def _process_batch_locked(self, docs: DataFrame, batch_id: int) -> None:
         sigs = self._signatures(
             docs.select("doc_id", "text").dropDuplicates(["doc_id"])
         ).persist()
@@ -282,8 +299,23 @@ class NearDupIngest:
                 .parquet(str(self.decisions_dir / f"batch={sdir}"))
             )
             self.survivors.merge(kept, batch_id=lid)
+            self._maybe_auto_compact()
         finally:
             sigs.unpersist()
+
+    def _maybe_auto_compact(self) -> None:
+        """Fire compact_index from inside the batch body once the
+        per-batch dir count reaches the policy threshold (lock already
+        held — see process_batch)."""
+        if self.auto_compact_batches is None or not self.index_dir.exists():
+            return
+        n = sum(
+            1
+            for d in self.index_dir.iterdir()
+            if d.is_dir() and d.name.startswith("batch=")
+        )
+        if n >= self.auto_compact_batches:
+            self.compact_index()
 
     # -- stream wiring -------------------------------------------------------
 
@@ -322,28 +354,27 @@ class NearDupIngest:
         and file listings start to dominate the candidate join). Returns
         the number of batch dirs folded, 0 if there was nothing to do.
 
-        Concurrency (ADVICE r6 neardup.py:341): serializes on the
-        survivor table's WRITER.lock — the same advisory flock every
-        ``process_batch`` holds across its merge — so a second ingest
-        instance on the same ``state_dir`` can never run its candidate
-        join against a file listing this compaction's ``rmtree`` is
-        deleting out from under it (FAILED_READ_FILE), mirroring the r6
-        rebucket/merge serialization fix in merge/upsert.py. Within one
-        process the ingest loop already owns the index between batches;
-        the lock makes the single-writer claim hold ACROSS processes.
+        Concurrency (ADVICE r6 neardup.py:341, tightened per ADVICE r7):
+        serializes on the survivor table's re-entrant writer lock
+        (merge/upsert.py ``writer_lock``). Since r8 every
+        ``process_batch`` holds that lock across its WHOLE body —
+        candidate join, index/decision writes, survivor merge — not
+        just the merge, so a second ingest instance on the same
+        ``state_dir`` can never run its candidate join against a file
+        listing this compaction's ``rmtree`` is deleting out from under
+        it (FAILED_READ_FILE). Within one process the re-entrant lock
+        lets an auto-compaction fire from inside ``process_batch``
+        without deadlocking.
         Crash-safe by idempotence rather than atomicity: a crash after
         the consolidated write but before the old dirs are removed
         leaves duplicate band rows, which only produce duplicate
         CANDIDATES — the per-doc ``min`` aggregates absorb them, and
         the next compaction removes the redundancy.
         """
-        import fcntl
         import shutil
         import uuid
 
-        self.survivors.path.mkdir(parents=True, exist_ok=True)
-        with open(self.survivors.path / "WRITER.lock", "w") as lockf:
-            fcntl.flock(lockf, fcntl.LOCK_EX)
+        with self.survivors.writer_lock():
             batches = [
                 d
                 for d in (
@@ -354,6 +385,13 @@ class NearDupIngest:
             if len(batches) <= 1:
                 return 0
             idx = self._read_index()
+            if idx is None:
+                # >=2 batch dirs whose partition dirs hold only _SUCCESS
+                # (survivor-less / all-dropped batches — ADVICE r7): no
+                # rows to consolidate; just fold the empty dirs away
+                for d in batches:
+                    shutil.rmtree(d)
+                return len(batches)
             target = self.index_dir / f"batch=compact-{uuid.uuid4().hex[:12]}"
             (
                 idx.drop("batch")
@@ -406,6 +444,7 @@ class EmbeddingDedupIngest:
         index_buckets: int = 16,
         num_buckets: int = 8,
         exactly_once: bool = True,
+        auto_compact_batches: int | None = 32,
     ):
         self.spark = spark
         self.state = Path(state_dir)
@@ -415,6 +454,8 @@ class EmbeddingDedupIngest:
         self.min_cos = min_cos
         self.index_buckets = index_buckets
         self.exactly_once = exactly_once
+        # see NearDupIngest.auto_compact_batches
+        self.auto_compact_batches = auto_compact_batches
         self.stream_id: str | None = None
         self.survivors = PointTable(
             spark,
@@ -488,6 +529,11 @@ class EmbeddingDedupIngest:
         )
 
     def process_batch(self, vecs: DataFrame, batch_id: int) -> None:
+        # lock spans the whole body — see NearDupIngest.process_batch
+        with self.survivors.writer_lock():
+            self._process_batch_locked(vecs, batch_id)
+
+    def _process_batch_locked(self, vecs: DataFrame, batch_id: int) -> None:
         from cruncher_spark.operators.similarity import cosine
 
         batch = vecs.select("vec_id", "embedding").dropDuplicates(["vec_id"])
@@ -570,10 +616,12 @@ class EmbeddingDedupIngest:
             .parquet(str(self.decisions_dir / f"batch={sdir}"))
         )
         self.survivors.merge(kept, batch_id=lid)
+        self._maybe_auto_compact()
 
     # -- housekeeping / readers ---------------------------------------------
 
     compact_index = NearDupIngest.compact_index
+    _maybe_auto_compact = NearDupIngest._maybe_auto_compact
 
     def start_file_stream(
         self,
@@ -646,6 +694,7 @@ class PerceptualDedupIngest(EmbeddingDedupIngest):
         index_buckets: int = 16,
         num_buckets: int = 8,
         exactly_once: bool = True,
+        auto_compact_batches: int | None = 32,
     ):
         super().__init__(
             spark,
@@ -657,6 +706,7 @@ class PerceptualDedupIngest(EmbeddingDedupIngest):
             index_buckets=index_buckets,
             num_buckets=num_buckets,
             exactly_once=exactly_once,
+            auto_compact_batches=auto_compact_batches,
         )
 
     def _band_key(self, vec: F.Column, band: int) -> F.Column:
@@ -802,11 +852,14 @@ class VideoDedupIngest:
         index_buckets: int = 16,
         num_buckets: int = 8,
         exactly_once: bool = True,
+        auto_compact_batches: int | None = 32,
     ):
         self.spark = spark
         self.state = Path(state_dir)
         self.df_cap = df_cap
         self.min_shared = min_shared
+        # see NearDupIngest.auto_compact_batches
+        self.auto_compact_batches = auto_compact_batches
         #: optional FRACTIONAL threshold (num, den): drop when the item
         #: shares >= tau of ITS OWN distinct hashes with one retained /
         #: smaller-id item — asymmetric containment (dedup_containment's
@@ -858,6 +911,11 @@ class VideoDedupIngest:
         )
 
     def process_batch(self, media: DataFrame, batch_id: int) -> None:
+        # lock spans the whole body — see NearDupIngest.process_batch
+        with self.survivors.writer_lock():
+            self._process_batch_locked(media, batch_id)
+
+    def _process_batch_locked(self, media: DataFrame, batch_id: int) -> None:
         media = media.select("media_id", "payload").dropDuplicates(
             ["media_id"]
         )
@@ -1007,10 +1065,12 @@ class VideoDedupIngest:
             .parquet(str(self.decisions_dir / f"batch={sdir}"))
         )
         self.survivors.merge(stats.join(kept_ids, "media_id"), batch_id=lid)
+        self._maybe_auto_compact()
 
     # -- housekeeping / stream wiring / readers --------------------------------
 
     compact_index = NearDupIngest.compact_index
+    _maybe_auto_compact = NearDupIngest._maybe_auto_compact
 
     def start_file_stream(
         self,
@@ -1094,6 +1154,7 @@ class TextContainmentIngest(VideoDedupIngest):
         index_buckets: int = 16,
         num_buckets: int = 8,
         exactly_once: bool = True,
+        auto_compact_batches: int | None = 32,
     ):
         super().__init__(
             spark,
@@ -1103,6 +1164,7 @@ class TextContainmentIngest(VideoDedupIngest):
             index_buckets=index_buckets,
             num_buckets=num_buckets,
             exactly_once=exactly_once,
+            auto_compact_batches=auto_compact_batches,
         )
         self.shingle_n = shingle_n
 

@@ -25,8 +25,12 @@ def api(spark, crunch_tables, tmp_path_factory):
 
 
 def _get(api, path):
-    with urllib.request.urlopen(f"http://127.0.0.1:{api.port}{path}") as r:
-        return r.status, json.loads(r.read())
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{api.port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        # structured-error responses carry a JSON body worth asserting on
+        return e.code, json.loads(e.read())
 
 
 def _post(api, path, obj):
@@ -54,9 +58,8 @@ def test_query_endpoint_runs_registry_query(api):
 
 
 def test_query_endpoint_404(api):
-    with pytest.raises(urllib.error.HTTPError) as e:
-        _get(api, "/query/nope")
-    assert e.value.code == 404
+    s, body = _get(api, "/query/nope")
+    assert s == 404
 
 
 def test_crunch_endpoint_merges_batches(api):
@@ -77,11 +80,9 @@ def test_crunch_endpoint_merges_batches(api):
 
 def _get_err(api, path):
     """GET expecting an HTTP error; return (status, parsed body)."""
-    try:
-        _get(api, path)
-        raise AssertionError("expected an HTTP error")
-    except urllib.error.HTTPError as e:
-        return e.code, json.loads(e.read())
+    s, body = _get(api, path)
+    assert s >= 400, f"expected an HTTP error, got {s}"
+    return s, body
 
 
 def test_errors_are_structured_json(api):
@@ -100,12 +101,17 @@ def test_errors_are_structured_json(api):
     assert s == 404 and body["code"] == "not_found"
 
 
-def test_limit_is_capped(api):
-    """An absurd ?limit= never becomes a full-result collect: the
-    response is bounded by MAX_LIMIT (and by the result size)."""
+def test_limit_over_cap_rejected(api):
+    """An over-cap ?limit= is REJECTED, not silently clamped (ADVICE
+    r7): a truncated row set would read as the complete result. The
+    error names the cap; a limit exactly AT the cap still works."""
     from cruncher_spark.api import MAX_LIMIT
 
     s, body = _get(api, f"/query/text_quality?limit={10 * MAX_LIMIT}")
+    assert s == 400 and body["code"] == "bad_limit"
+    assert str(MAX_LIMIT) in body["error"]
+
+    s, body = _get(api, f"/query/text_quality?limit={MAX_LIMIT}")
     assert s == 200 and len(body["rows"]) <= MAX_LIMIT
 
 

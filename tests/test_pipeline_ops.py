@@ -953,3 +953,42 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # single-probe results are a subset of multi-probe candidates' span:
     # every single-probe hit is still reachable (same bucket probed)
     assert len(multi) >= len(single)
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """r8 (r7 VERDICT #4): IVF's probe count is the same Lv-et-al recall
+    knob as LSH multi-probe — probing more of the SAME fitted
+    quantizer's cells can only add scored candidates, so recall vs
+    brute force is monotone in n_probe, and probe=K (all cells) IS
+    brute force."""
+    from cruncher_spark.operators.similarity import (
+        ann_ivf_topk,
+        brute_force_topk,
+        centroid_sample,
+        fit_ivf_centroids,
+    )
+    from cruncher_spark.sources.tables import Star, fan_out
+
+    emb = fan_out(Star(spark, "/root/testdata/sf0.001").embeddings)
+    queries = emb.filter("vec_id < 32")
+    k_cells = 16
+    cents = fit_ivf_centroids(
+        centroid_sample(emb, "vec_id", "embedding"), k_cells
+    )
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    truth = pairs(brute_force_topk(emb, queries, dim=64, k=3))
+    recall = {}
+    for n_probe in (1, 4, k_cells):
+        got = pairs(
+            ann_ivf_topk(
+                emb, queries, n_centroids=k_cells, n_probe=n_probe, k=3,
+                centroids=cents,
+            )
+        )
+        recall[n_probe] = len(got & truth) / len(truth)
+    assert recall[1] <= recall[4] <= recall[16]
+    assert recall[4] > recall[1]  # 4x probed volume must buy recall here
+    assert recall[16] == 1.0  # probing every cell IS brute force

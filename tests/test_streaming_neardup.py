@@ -324,3 +324,93 @@ def test_crash_between_index_write_and_ledger_commit_recovers(
     # survivor 10 was already in the index during the replay — the
     # self-match guard kept it retained rather than dropping it
     assert 10 in kept
+
+
+def test_compact_index_with_only_empty_batch_dirs(spark, tmp_path):
+    """ADVICE r7 neardup.py:356: >=2 batch dirs can exist whose
+    partition dirs hold only _SUCCESS (all docs too short to shingle).
+    _read_index() returns None there — compaction must fold the empty
+    dirs away instead of crashing on idx.drop."""
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    nd = NearDupIngest(spark, str(tmp_path / "state"))
+    for bid in (0, 1):
+        nd.process_batch(
+            spark.createDataFrame(
+                [(bid, "too short")], "doc_id long, text string"
+            ),
+            bid,
+        )
+    dirs = [d for d in nd.index_dir.iterdir() if d.name.startswith("batch=")]
+    assert len(dirs) == 2
+    assert nd.compact_index() == 2
+    assert not any(
+        d.name.startswith("batch=") for d in nd.index_dir.iterdir()
+    )
+    # the ingest keeps working after the empty-fold
+    nd.process_batch(
+        spark.createDataFrame([(5, _doc(5))], "doc_id long, text string"), 2
+    )
+    assert sorted(r.doc_id for r in nd.retained().collect()) == [5]
+
+
+def test_auto_compaction_triggers_inside_process_batch(spark, tmp_path):
+    """r7 VERDICT #5: with auto_compact_batches=N the per-batch index
+    dirs fold from INSIDE process_batch once the count reaches N (the
+    re-entrant writer lock held across the batch body makes the fold
+    race-free) — file counts sawtooth instead of growing unboundedly,
+    and decisions are unchanged."""
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    nd = NearDupIngest(
+        spark, str(tmp_path / "state"), auto_compact_batches=3
+    )
+    for bid in range(4):
+        nd.process_batch(
+            spark.createDataFrame(
+                [(10 * bid + j, _doc(10 * bid + j)) for j in range(2)],
+                "doc_id long, text string",
+            ),
+            bid,
+        )
+        dirs = [
+            d for d in nd.index_dir.iterdir() if d.name.startswith("batch=")
+        ]
+        # policy: count stays under the threshold + 1 fresh batch dir
+        assert len(dirs) <= 3
+    # after batch 2 hit the threshold the fold ran: compact dir present
+    assert any(
+        d.name.startswith("batch=compact-") for d in nd.index_dir.iterdir()
+    )
+    # dedup behavior against the compacted history is intact
+    nd.process_batch(
+        spark.createDataFrame(
+            [(900, _doc(0)), (901, _doc(777))], "doc_id long, text string"
+        ),
+        99,
+    )
+    kept = {r.doc_id for r in nd.retained().collect()}
+    assert 901 in kept and 900 not in kept  # 900 duplicates survivor 0
+
+
+def test_writer_lock_is_reentrant(spark, tmp_path):
+    """merge/upsert.py writer_lock: the outermost `with` owns the
+    flock; nested acquisition (a merge inside a held lock — exactly
+    what process_batch does) must not self-deadlock."""
+    from cruncher_spark.merge.upsert import MergePolicy, PointTable
+
+    pt = PointTable(
+        spark,
+        str(tmp_path / "pt"),
+        key=["k"],
+        policies={"v": MergePolicy.ADD},
+    )
+    d = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    with pt.writer_lock():
+        with pt.writer_lock():  # nested no-op
+            assert pt.merge(d, batch_id="b0") is True  # takes it again
+        assert pt._lock_depth == 1
+    assert pt._lock_depth == 0
+    assert pt.merge(d, batch_id="b0") is False  # ledger replay no-op
+    rows = {r.k: r.v for r in pt.read().collect()}
+    assert rows == {1: 10, 2: 20}
