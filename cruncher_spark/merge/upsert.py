@@ -96,12 +96,37 @@ class PointTable:
         policies: Mapping[str, MergePolicy] | None = None,
         num_buckets: int = 32,
         retain_versions: int = 1,
+        mode: str = "bucketed",
+        lsm_fold_factor: float = 2.0,
+        lsm_max_runs: int = 32,
     ):
         self.spark = spark
         self.path = Path(path)
         self.key = list(key)
         self.policies = dict(policies or {})
         self.num_buckets = num_buckets
+        if mode not in ("bucketed", "lsm"):
+            raise ValueError(f"unknown merge mode: {mode!r}")
+        #: merge layout (r7 VERDICT #1 — the survivor-merge growth fix).
+        #: "bucketed": every merge rewrites the hash buckets the delta's
+        #: keys land in — read-optimal (state is always key-unique on
+        #: disk) but per-batch cost is O(touched_buckets x bucket_size),
+        #: which tracks TOTAL state size once a delta's keys spray all
+        #: buckets (uniform keys do, measured x3.39 shuffle growth over
+        #: a x4 index growth in STREAMSCALE r7). "lsm": every merge
+        #: APPENDS the delta as an immutable sorted-run dir — O(delta)
+        #: per batch regardless of state size — and reads fold the runs
+        #: through per-column policy aggregates; a size-tiered
+        #: compaction (fold the newest two adjacent runs while the
+        #: older is < ``lsm_fold_factor`` x the newer — the binary-
+        #: counter invariant) keeps run counts logarithmic with O(log)
+        #: amortized write amplification. The same trade every LSM
+        #: store makes (RocksDB/Cassandra); the reference's MySQL
+        #: B-tree upsert is the bucketed analog. An existing table's
+        #: persisted mode always wins, like num_buckets.
+        self.mode = mode
+        self.lsm_fold_factor = lsm_fold_factor
+        self.lsm_max_runs = lsm_max_runs
         #: how many committed versions survive GC (>=1). Retention is
         #: nearly free: untouched buckets are hard links, so N retained
         #: versions share file storage and only rewritten buckets differ —
@@ -211,6 +236,8 @@ class PointTable:
         return self._read_data(self._data_dir(), self._current_version())
 
     def _read_data(self, data: Path, vdir: Path | None) -> DataFrame:
+        if vdir is not None and self._meta(vdir).get("mode") == "lsm":
+            return self._read_lsm(data, vdir)
         if not any(data.glob(f"{_BUCKET_COL}=*")):
             # state emptied (e.g. CDC deletes removed every key): no parquet
             # to infer from — rebuild the empty frame from the schema the
@@ -246,7 +273,7 @@ class PointTable:
         p = cur / "meta.json"
         if p.exists():
             return json.loads(p.read_text())
-        return {"num_buckets": self.num_buckets}
+        return {"num_buckets": self.num_buckets, "mode": self.mode}
 
     # -- merge --------------------------------------------------------------
 
@@ -283,7 +310,14 @@ class PointTable:
 
             cur = self._current_version()
             if cur is not None:
-                self.num_buckets = int(self._meta(cur)["num_buckets"])
+                meta = self._meta(cur)
+                self.num_buckets = int(meta["num_buckets"])
+                self.mode = meta.get("mode", "bucketed")
+
+            if self.mode == "lsm":
+                # append-only: the delta is consumed exactly once (the
+                # run write) — no bucket-discovery job, no persist
+                return self._merge_lsm(delta, cur, batch_id)
 
             # The delta is consumed twice (bucket discovery + merge write);
             # persist so the upstream crunch plan runs once per batch.
@@ -406,6 +440,206 @@ class PointTable:
             )
         return joined.select(out)
 
+    # -- LSM (append + compact) merge mode -----------------------------------
+    #
+    # Layout: ``v_N/data/run=SSSSSS/pt_bucket=B/part-*.parquet`` — each
+    # run is one immutable, key-unique delta (or a fold of adjacent
+    # deltas), bucket-partitioned like the bucketed layout. A version is
+    # the SET of its runs; append = write one new run dir + hard-link
+    # every prior run (zero data movement) + the same ledger/meta/flip
+    # commit protocol. Reads fold runs through per-column POLICY
+    # AGGREGATES ordered by run seq, reproducing the pairwise merge
+    # semantics exactly (incl. MySQL NULL quirks — see _fold_expr).
+    # Compaction folds the newest two ADJACENT runs while the older is
+    # < lsm_fold_factor x the newer (the binary-counter invariant):
+    # adjacency preserves order-sensitive policies (KEEP/OVERWRITE/MAX),
+    # the geometric size ladder bounds live runs at O(log(state/delta))
+    # and amortized write amplification at O(log) — per-batch merge cost
+    # no longer tracks total state size (r7 VERDICT #1).
+
+    @staticmethod
+    def _run_seq(d: Path) -> int:
+        return int(d.name.split("=")[1])
+
+    def _run_dirs(self, vdir: Path) -> list[Path]:
+        return sorted((vdir / "data").glob("run=*"), key=self._run_seq)
+
+    @staticmethod
+    def _run_bytes(d: Path) -> int:
+        return sum(f.stat().st_size for f in d.rglob("*.parquet"))
+
+    def _link_runs(
+        self, cur: Path | None, new: Path, exclude: frozenset | set = frozenset()
+    ) -> None:
+        """Hard-link every (non-excluded) run of ``cur`` into ``new``."""
+        if cur is None:
+            return
+        for rdir in self._run_dirs(cur):
+            if rdir.name in exclude:
+                continue
+            for f_ in rdir.rglob("*"):
+                if f_.is_file():
+                    dst = new / "data" / f_.relative_to(cur / "data")
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    os.link(f_, dst)
+
+    def _link_ledger(self, cur: Path | None, new: Path) -> None:
+        if cur is not None and (cur / "ledger").exists():
+            (new / "ledger").mkdir(exist_ok=True)
+            for f_ in (cur / "ledger").iterdir():
+                if f_.is_file():
+                    os.link(f_, new / "ledger" / f_.name)
+
+    def _merge_lsm(
+        self, delta: DataFrame, cur: Path | None, batch_id: str | None
+    ) -> bool:
+        """Append the delta as a new run: O(delta) regardless of state
+        size — the delta is shuffled once into its bucket layout and
+        written; no existing bucket is read or rewritten. Then run the
+        size-tiered compaction loop (each fold is its own committed
+        version, so a crash at any point leaves consistent state)."""
+        runs = self._run_dirs(cur) if cur is not None else []
+        seq = self._run_seq(runs[-1]) + 1 if runs else 0
+        new = self._fresh_version_dir(cur)
+        (
+            delta.withColumn(_BUCKET_COL, self._bucket_expr())
+            .repartition(self.num_buckets, F.col(_BUCKET_COL))
+            .write.mode("append")
+            .partitionBy(_BUCKET_COL)
+            .parquet(str(new / "data" / f"run={seq:06d}"))
+        )
+        self._link_runs(cur, new)
+        self._write_ledger(new, cur, batch_id)
+        self._write_meta(new, delta.schema.json(), mode="lsm")
+        self._flip(new)
+        self._lsm_auto_compact()
+        return True
+
+    def _lsm_auto_compact(self) -> None:
+        """Restore the run-size invariant: newest-first, every run must
+        be >= ``lsm_fold_factor`` x the run after it (sizes in bytes).
+        Violations fold the newest two adjacent runs and cascade — the
+        same amortization as a binary counter (run sizes ~ delta x
+        factor^i), so a 50-batch ingest folds mostly batch-sized runs
+        and only occasionally a larger prefix. ``lsm_max_runs`` is a
+        hard ceiling safeguard for pathological size distributions."""
+        while True:
+            cur = self._current_version()
+            runs = self._run_dirs(cur)
+            if len(runs) < 2:
+                return
+            need = (
+                self._run_bytes(runs[-2])
+                < self.lsm_fold_factor * self._run_bytes(runs[-1])
+                or len(runs) > self.lsm_max_runs
+            )
+            if not need:
+                return
+            self._fold_newest_two(cur, runs)
+
+    def _fold_newest_two(self, cur: Path, runs: list[Path]) -> None:
+        a, b = runs[-2], runs[-1]
+        df = self.spark.read.option("basePath", str(cur / "data")).parquet(
+            str(a), str(b)
+        )
+        folded = self._fold_runs(df)
+        new = self._fresh_version_dir(cur)
+        (
+            folded.withColumn(_BUCKET_COL, self._bucket_expr())
+            .repartition(self.num_buckets, F.col(_BUCKET_COL))
+            .write.mode("append")
+            .partitionBy(_BUCKET_COL)
+            # the folded run takes the OLDER seq so it stays ordered
+            # before any still-live older runs and after nothing it
+            # absorbed — adjacency is what makes this legal
+            .parquet(str(new / "data" / a.name))
+        )
+        self._link_runs(cur, new, exclude={a.name, b.name})
+        self._link_ledger(cur, new)
+        self._write_meta(new, self._meta(cur).get("schema"), mode="lsm")
+        self._flip(new)
+
+    def _fold_runs(self, df: DataFrame) -> DataFrame:
+        """Collapse a multi-run frame (data cols + ``run``/bucket
+        partition cols) to one row per key via policy aggregates."""
+        out_cols = [c for c in df.columns if c not in ("run", _BUCKET_COL)]
+        dtypes = dict(df.dtypes)
+        aggs = [
+            self._fold_expr(c, dtypes[c])
+            for c in out_cols
+            if c not in self.key
+        ]
+        return df.groupBy(*self.key).agg(*aggs).select(out_cols)
+
+    def _fold_expr(self, c: str, dtype: str) -> F.Column:
+        """The aggregate form of one column's pairwise merge policy.
+
+        Pairwise-equivalence notes (pinned by the property test in
+        tests/test_merge_streaming.py):
+
+        - ADD (MySQL ``col + VALUES(col)``, NULL-propagating): any NULL
+          among the key's rows → NULL; otherwise sum — identical to any
+          pairwise order. The double→DECIMAL(28,6) detour applies only
+          when >= 2 rows fold (a key present in a single run passes
+          through UNquantized, exactly like a pairwise merge where the
+          other side is absent).
+        - MAX (MySQL CASE, NULL keeps OLD): a NULL FIRST value absorbs
+          everything (new > NULL is never true); otherwise later NULLs
+          are ignored and the max of non-NULL values wins — i.e.
+          ``first IS NULL ? NULL : max(values)``.
+        - KEEP / OVERWRITE: first / last row's value BY RUN SEQ, even
+          when that value is NULL — the struct wrapper stops min_by/
+          max_by from skipping NULL payloads.
+        - ADD_NULLSAFE / LEAST / GREATEST: plain SUM / MIN / MAX (NULL
+          is the identity; NULL iff all NULL) — SQL aggregate semantics
+          by construction.
+        """
+        v = F.col(c)
+        run = F.col("run")
+        first_v = F.min_by(F.struct(v.alias("v")), run)["v"]
+        last_v = F.max_by(F.struct(v.alias("v")), run)["v"]
+        policy = self.policies.get(c, MergePolicy.ADD)
+        if policy == MergePolicy.ADD:
+            any_null = F.max(F.when(v.isNull(), F.lit(1)).otherwise(F.lit(0)))
+            if dtype in ("double", "float"):
+                total = F.sum(v.cast("decimal(28,6)"))
+            else:
+                total = F.sum(v)
+            expr = (
+                F.when(any_null == 1, F.lit(None))
+                .when(F.count(F.lit(1)) == 1, first_v)
+                .otherwise(total)
+            )
+        elif policy == MergePolicy.ADD_NULLSAFE:
+            expr = F.sum(v)
+        elif policy == MergePolicy.MAX:
+            expr = F.when(first_v.isNull(), F.lit(None)).otherwise(F.max(v))
+        elif policy == MergePolicy.LEAST:
+            expr = F.min(v)
+        elif policy == MergePolicy.GREATEST:
+            expr = F.max(v)
+        elif policy == MergePolicy.KEEP:
+            expr = first_v
+        else:  # OVERWRITE
+            expr = last_v
+        return expr.cast(dtype).alias(c)
+
+    def _read_lsm(self, data: Path, vdir: Path) -> DataFrame:
+        if not any(data.rglob("*.parquet")):
+            from pyspark.sql.types import StructType
+
+            meta = self._meta(vdir)
+            if meta.get("schema"):
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(meta["schema"]))
+                )
+        df = self.spark.read.option("basePath", str(data)).parquet(str(data))
+        runs = [d for d in data.glob("run=*") if any(d.rglob("*.parquet"))]
+        if len(runs) == 1:
+            # a single run is key-unique by construction — no fold needed
+            return df.drop("run", _BUCKET_COL)
+        return self._fold_runs(df)
+
     # -- CDC apply -----------------------------------------------------------
 
     def apply_cdc(
@@ -444,7 +678,11 @@ class PointTable:
             return False
         cur = self._current_version()
         if cur is not None:
-            self.num_buckets = int(self._meta(cur)["num_buckets"])
+            meta = self._meta(cur)
+            self.num_buckets = int(meta["num_buckets"])
+            self.mode = meta.get("mode", "bucketed")
+        if self.mode == "lsm":
+            return self._apply_cdc_lsm(changes, op_col, batch_id, cur)
 
         changes = changes.persist()
         try:
@@ -476,6 +714,47 @@ class PointTable:
                 else:
                     merged = ups
             self._commit(cur, merged, affected, batch_id)
+            return True
+        finally:
+            changes.unpersist()
+
+    def _apply_cdc_lsm(
+        self,
+        changes: DataFrame,
+        op_col: str,
+        batch_id: str | None,
+        cur: Path | None,
+    ) -> bool:
+        """CDC in LSM mode: fold-then-rewrite. Deletes and whole-row
+        upserts need a key-unique view of state, so this path folds the
+        runs, applies the change batch, and commits the result as ONE
+        run — O(state), not O(delta). CDC is a correctness surface here,
+        not the ingest hot path (the hot path is :meth:`merge`); a
+        deployment mixing high-rate CDC with LSM accumulation should
+        keep CDC-heavy tables in bucketed mode (the mode exists per
+        table for exactly this trade)."""
+        changes = changes.persist()
+        try:
+            ups = changes.where(F.col(op_col) == "upsert").drop(op_col)
+            dels = changes.where(F.col(op_col) == "delete").select(*self.key)
+            if cur is not None and any((cur / "data").rglob("*.parquet")):
+                kept = self.read().join(dels, self.key, "left_anti")
+                merged = self._merge_frames(
+                    kept, ups, policy_override=MergePolicy.OVERWRITE
+                )
+            else:
+                merged = ups
+            new = self._fresh_version_dir(cur)
+            (
+                merged.withColumn(_BUCKET_COL, self._bucket_expr())
+                .repartition(self.num_buckets, F.col(_BUCKET_COL))
+                .write.mode("append")
+                .partitionBy(_BUCKET_COL)
+                .parquet(str(new / "data" / "run=000000"))
+            )
+            self._write_ledger(new, cur, batch_id)
+            self._write_meta(new, merged.schema.json(), mode="lsm")
+            self._flip(new)
             return True
         finally:
             changes.unpersist()
@@ -519,19 +798,7 @@ class PointTable:
                     if f_.is_file():
                         os.link(f_, dst / f_.name)
 
-        if batch_id is not None or (cur is not None and (cur / "ledger").exists()):
-            ledger = self.applied_batches() | ({batch_id} if batch_id else set())
-            # driver-side pyarrow write (see applied_batches: a Spark job
-            # for a few driver-local strings costs seconds of fixed
-            # overhead per merge); same parquet format either way
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            (new / "ledger").mkdir(parents=True, exist_ok=True)
-            pq.write_table(
-                pa.table({"batch_id": pa.array(sorted(ledger), pa.string())}),
-                new / "ledger" / "ledger.parquet",
-            )
+        self._write_ledger(new, cur, batch_id)
 
         # record the row schema so an emptied table stays readable (the
         # delta's schema when we have one, else carried forward)
@@ -540,16 +807,40 @@ class PointTable:
             if merged is not None
             else (self._meta(cur).get("schema") if cur is not None else None)
         )
+        self._write_meta(new, schema_json, mode="bucketed")
+        self._flip(new)
+
+    def _write_ledger(
+        self, new: Path, cur: Path | None, batch_id: str | None
+    ) -> None:
+        if batch_id is None and not (
+            cur is not None and (cur / "ledger").exists()
+        ):
+            return
+        ledger = self.applied_batches() | ({batch_id} if batch_id else set())
+        # driver-side pyarrow write (see applied_batches: a Spark job
+        # for a few driver-local strings costs seconds of fixed
+        # overhead per merge); same parquet format either way
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        (new / "ledger").mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table({"batch_id": pa.array(sorted(ledger), pa.string())}),
+            new / "ledger" / "ledger.parquet",
+        )
+
+    def _write_meta(self, new: Path, schema_json, mode: str) -> None:
         (new / "meta.json").write_text(
             json.dumps(
                 {
                     "num_buckets": self.num_buckets,
                     "key": self.key,
                     "schema": schema_json,
+                    "mode": mode,
                 }
             )
         )
-        self._flip(new)
 
     def _fresh_version_dir(self, cur: Path | None) -> Path:
         self.path.mkdir(parents=True, exist_ok=True)
@@ -631,31 +922,24 @@ class PointTable:
         cur = self._current_version()
         if cur is None:
             raise FileNotFoundError(f"point table not initialized: {self.path}")
+        mode = self._meta(cur).get("mode", "bucketed")
         state = self.read().persist()
         try:
             self.num_buckets = num_buckets
+            self.mode = mode
             new = self._fresh_version_dir(cur)
+            # in LSM mode the rewrite lands as the single consolidated
+            # run (a full compaction under the new layout)
+            out = new / "data" if mode == "bucketed" else new / "data" / "run=000000"
             (
                 state.withColumn(_BUCKET_COL, self._bucket_expr())
                 .repartition(num_buckets, F.col(_BUCKET_COL))
                 .write.mode("append")
                 .partitionBy(_BUCKET_COL)
-                .parquet(str(new / "data"))
+                .parquet(str(out))
             )
-            if (cur / "ledger").exists():
-                (new / "ledger").mkdir()
-                for f_ in (cur / "ledger").iterdir():
-                    if f_.is_file():
-                        os.link(f_, new / "ledger" / f_.name)
-            (new / "meta.json").write_text(
-                json.dumps(
-                    {
-                        "num_buckets": num_buckets,
-                        "key": self.key,
-                        "schema": state.schema.json(),
-                    }
-                )
-            )
+            self._link_ledger(cur, new)
+            self._write_meta(new, state.schema.json(), mode=mode)
             self._flip(new)
         finally:
             state.unpersist()

@@ -76,6 +76,7 @@ class NearDupIngest:
         num_buckets: int = 8,
         exactly_once: bool = True,
         auto_compact_batches: int | None = 32,
+        merge_mode: str = "lsm",
     ):
         self.spark = spark
         self.state = Path(state_dir)
@@ -95,12 +96,19 @@ class NearDupIngest:
         self.auto_compact_batches = auto_compact_batches
         self.stream_id: str | None = None
         mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+        #: survivors default to LSM append+compact merge (r8, r7 VERDICT
+        #: #1): the bucketed rewrite's per-batch cost tracked TOTAL
+        #: survivor-table size once uniform keys touched every bucket
+        #: (STREAMSCALE r7 measured x3.39 shuffle growth over a x4 index
+        #: growth); appending each batch as an immutable run is O(batch)
+        #: forever, and KEEP-policy folding is a trivial first-by-run.
         self.survivors = PointTable(
             spark,
             str(self.state / "survivors"),
             key=["doc_id"],
             policies={c: MergePolicy.KEEP for c in mh_cols},
             num_buckets=num_buckets,
+            mode=merge_mode,
         )
         self.index_dir = self.state / "band_index"
         self.decisions_dir = self.state / "decisions"
@@ -445,6 +453,7 @@ class EmbeddingDedupIngest:
         num_buckets: int = 8,
         exactly_once: bool = True,
         auto_compact_batches: int | None = 32,
+        merge_mode: str = "lsm",
     ):
         self.spark = spark
         self.state = Path(state_dir)
@@ -457,12 +466,14 @@ class EmbeddingDedupIngest:
         # see NearDupIngest.auto_compact_batches
         self.auto_compact_batches = auto_compact_batches
         self.stream_id: str | None = None
+        # LSM survivor merge by default — see NearDupIngest
         self.survivors = PointTable(
             spark,
             str(self.state / "survivors"),
             key=["vec_id"],
             policies={"embedding": MergePolicy.KEEP},
             num_buckets=num_buckets,
+            mode=merge_mode,
         )
         self.index_dir = self.state / "band_index"
         self.decisions_dir = self.state / "decisions"
@@ -695,6 +706,7 @@ class PerceptualDedupIngest(EmbeddingDedupIngest):
         num_buckets: int = 8,
         exactly_once: bool = True,
         auto_compact_batches: int | None = 32,
+        merge_mode: str = "lsm",
     ):
         super().__init__(
             spark,
@@ -707,6 +719,7 @@ class PerceptualDedupIngest(EmbeddingDedupIngest):
             num_buckets=num_buckets,
             exactly_once=exactly_once,
             auto_compact_batches=auto_compact_batches,
+            merge_mode=merge_mode,
         )
 
     def _band_key(self, vec: F.Column, band: int) -> F.Column:
@@ -853,6 +866,7 @@ class VideoDedupIngest:
         num_buckets: int = 8,
         exactly_once: bool = True,
         auto_compact_batches: int | None = 32,
+        merge_mode: str = "lsm",
     ):
         self.spark = spark
         self.state = Path(state_dir)
@@ -869,6 +883,7 @@ class VideoDedupIngest:
         self.index_buckets = index_buckets
         self.exactly_once = exactly_once
         self.stream_id: str | None = None
+        # LSM survivor merge by default — see NearDupIngest
         self.survivors = PointTable(
             spark,
             str(self.state / "survivors"),
@@ -878,6 +893,7 @@ class VideoDedupIngest:
                 "n_distinct_hashes": MergePolicy.KEEP,
             },
             num_buckets=num_buckets,
+            mode=merge_mode,
         )
         self.index_dir = self.state / "band_index"
         self.decisions_dir = self.state / "decisions"
@@ -1155,6 +1171,7 @@ class TextContainmentIngest(VideoDedupIngest):
         num_buckets: int = 8,
         exactly_once: bool = True,
         auto_compact_batches: int | None = 32,
+        merge_mode: str = "lsm",
     ):
         super().__init__(
             spark,
@@ -1165,6 +1182,7 @@ class TextContainmentIngest(VideoDedupIngest):
             num_buckets=num_buckets,
             exactly_once=exactly_once,
             auto_compact_batches=auto_compact_batches,
+            merge_mode=merge_mode,
         )
         self.shingle_n = shingle_n
 

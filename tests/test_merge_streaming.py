@@ -647,3 +647,203 @@ def test_rebucket_online_with_concurrent_merge(spark, tmp_path):
     assert fresh.merge(
         spark.createDataFrame([(3, 999)], "k int, n int"), batch_id="delta"
     ) is False
+
+
+# ---------------------------------------------------------------------------
+# LSM (append + compact) merge mode — r7 VERDICT #1
+# ---------------------------------------------------------------------------
+
+_LSM_SCHEMA = (
+    "id long, add_d double, add_i long, ansafe double,"
+    " mx long, lst long, grt long, keep string, ovw string"
+)
+_LSM_POLICIES = {
+    "add_d": MergePolicy.ADD,
+    "add_i": MergePolicy.ADD,
+    "ansafe": MergePolicy.ADD_NULLSAFE,
+    "mx": MergePolicy.MAX,
+    "lst": MergePolicy.LEAST,
+    "grt": MergePolicy.GREATEST,
+    "keep": MergePolicy.KEEP,
+    "ovw": MergePolicy.OVERWRITE,
+}
+
+
+def _lsm_batches():
+    """Delta sequence exercising every policy's NULL quirks: NULL-starts,
+    mid-sequence NULLs, single-appearance keys (the ADD quantize-
+    pass-through case: 7-digit fraction must survive un-rounded)."""
+    return [
+        [
+            (1, 1.5, 10, 1.0, 5, 5, 5, "first", "v1"),
+            (2, None, None, None, None, None, None, None, None),
+            (3, 0.1234567, 7, 0.25, 9, 9, 9, "three", "t1"),
+        ],
+        [
+            (1, 2.5, 4, None, None, 3, 9, "second", None),
+            (2, 1.0, 1, 1.0, 1, 1, 1, "late", "l1"),
+            (4, -1.25, -2, -0.5, 0, 0, 0, "four", "f1"),
+        ],
+        [
+            (1, 0.5, 1, 2.0, 7, 8, 2, "third", "v3"),
+            (2, 1.0, 1, None, None, None, None, "later", "l2"),
+        ],
+    ]
+
+
+def _mk_pair(spark, tmp_path, **lsm_kwargs):
+    from cruncher_spark.merge.upsert import PointTable
+
+    b = PointTable(
+        spark, str(tmp_path / "bucketed"), key=["id"],
+        policies=_LSM_POLICIES, num_buckets=4,
+    )
+    l = PointTable(
+        spark, str(tmp_path / "lsm"), key=["id"],
+        policies=_LSM_POLICIES, num_buckets=4, mode="lsm", **lsm_kwargs,
+    )
+    return b, l
+
+
+def _rows(pt):
+    cols = sorted(pt.read().columns)
+    rows = [tuple(r[c] for c in cols) for r in pt.read().collect()]
+    return sorted(rows, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def test_lsm_fold_equals_bucketed_pairwise_all_policies(spark, tmp_path):
+    """The LSM read-side policy fold must reproduce the bucketed
+    pairwise merge EXACTLY — including MySQL ADD's NULL-propagation,
+    MAX's NULL-keeps-old, KEEP/OVERWRITE's even-when-NULL row pick,
+    and ADD's no-quantize pass-through for single-appearance keys."""
+    b, l = _mk_pair(spark, tmp_path)
+    for i, batch in enumerate(_lsm_batches()):
+        df = spark.createDataFrame(batch, _LSM_SCHEMA)
+        assert b.merge(df, batch_id=f"b{i}") is True
+        assert l.merge(df, batch_id=f"b{i}") is True
+        assert _rows(b) == _rows(l), f"diverged after batch {i}"
+    # the single-appearance double survived both modes un-rounded
+    v3 = {r.id: r.add_d for r in l.read().collect()}
+    assert v3[3] == 0.1234567
+
+
+def test_lsm_fold_on_read_with_live_runs(spark, tmp_path):
+    """Force the multi-run fold-on-read path (a big base run followed
+    by a small append that the size invariant does NOT fold) and check
+    it against bucketed state."""
+    b, l = _mk_pair(spark, tmp_path)
+    big = [(i, float(i), i, 1.0, i, i, i, f"k{i}", f"o{i}") for i in range(400)]
+    small = [(1, 1.0, 1, 1.0, 99, 0, 99, "later", "new"), (2, None, 1, 1.0, 1, 1, 1, "x", "y")]
+    for i, batch in enumerate([big, small]):
+        df = spark.createDataFrame(batch, _LSM_SCHEMA)
+        b.merge(df, batch_id=f"b{i}")
+        l.merge(df, batch_id=f"b{i}")
+    runs = l._run_dirs(l._current_version())
+    assert len(runs) == 2  # invariant held: no fold of 400-vs-2 rows
+    assert _rows(b) == _rows(l)
+
+
+def test_lsm_compaction_keeps_run_count_logarithmic(spark, tmp_path):
+    """Equal-sized appends cascade like a binary counter: after N
+    batches the live run count tracks popcount(N), never N — the
+    bounded-read-cost half of the LSM contract."""
+    _, l = _mk_pair(spark, tmp_path)
+    for i in range(10):
+        df = spark.createDataFrame(
+            [(100 * i + j, 1.0, 1, 1.0, 1, 1, 1, "a", "b") for j in range(20)],
+            _LSM_SCHEMA,
+        )
+        l.merge(df, batch_id=f"b{i}")
+        runs = l._run_dirs(l._current_version())
+        assert len(runs) <= 4, f"run count {len(runs)} after batch {i}"
+    assert l.read().count() == 10 * 20
+
+
+def test_lsm_ledger_replay_and_time_travel(spark, tmp_path):
+    from cruncher_spark.merge.upsert import PointTable
+
+    l = PointTable(
+        spark, str(tmp_path / "lsm"), key=["id"],
+        policies={"n": MergePolicy.ADD}, num_buckets=2, mode="lsm",
+        retain_versions=10,
+    )
+    d1 = spark.createDataFrame([(1, 10), (2, 20)], "id long, n long")
+    d2 = spark.createDataFrame([(1, 5), (3, 30)], "id long, n long")
+    assert l.merge(d1, batch_id="x1") is True
+    v_after_1 = max(l.versions())
+    assert l.merge(d2, batch_id="x2") is True
+    assert l.merge(d2, batch_id="x2") is False  # replay no-op
+    now = {r.id: r.n for r in l.read().collect()}
+    assert now == {1: 15, 2: 20, 3: 30}
+    then = {r.id: r.n for r in l.read(version=v_after_1).collect()}
+    assert then == {1: 10, 2: 20}
+
+
+def test_lsm_crash_mid_compaction_recovers(spark, tmp_path, monkeypatch):
+    """Each fold is its own committed version: a crash inside the
+    compaction loop leaves the appended (already-flipped) state fully
+    readable and the ledger intact; the next merge finishes the fold."""
+    from cruncher_spark.merge.upsert import PointTable
+
+    l = PointTable(
+        spark, str(tmp_path / "lsm"), key=["id"],
+        policies={"n": MergePolicy.ADD}, num_buckets=2, mode="lsm",
+    )
+    l.merge(spark.createDataFrame([(1, 1)], "id long, n long"), batch_id="c0")
+
+    def boom(cur, runs):
+        raise RuntimeError("crash mid-compaction")
+
+    monkeypatch.setattr(l, "_fold_newest_two", boom)
+    with pytest.raises(RuntimeError):
+        l.merge(spark.createDataFrame([(2, 2)], "id long, n long"), batch_id="c1")
+    # append committed before the crash: data + ledger visible
+    assert {r.id: r.n for r in l.read().collect()} == {1: 1, 2: 2}
+    assert l.merge(
+        spark.createDataFrame([(2, 2)], "id long, n long"), batch_id="c1"
+    ) is False  # ledger replay no-op
+    monkeypatch.undo()
+    l.merge(spark.createDataFrame([(3, 3)], "id long, n long"), batch_id="c2")
+    assert {r.id: r.n for r in l.read().collect()} == {1: 1, 2: 2, 3: 3}
+    assert len(l._run_dirs(l._current_version())) <= 2
+
+
+def test_lsm_cdc_fold_then_rewrite(spark, tmp_path):
+    from cruncher_spark.merge.upsert import PointTable
+
+    l = PointTable(
+        spark, str(tmp_path / "lsm"), key=["id"],
+        policies={"n": MergePolicy.ADD}, num_buckets=2, mode="lsm",
+    )
+    l.merge(spark.createDataFrame([(1, 1), (2, 2)], "id long, n long"), batch_id="m0")
+    l.merge(spark.createDataFrame([(1, 1), (3, 3)], "id long, n long"), batch_id="m1")
+    cdc = spark.createDataFrame(
+        [(1, 100, "upsert"), (2, None, "delete"), (4, 4, "upsert")],
+        "id long, n long, op string",
+    )
+    assert l.apply_cdc(cdc, batch_id="cdc1") is True
+    assert {r.id: r.n for r in l.read().collect()} == {1: 100, 3: 3, 4: 4}
+    assert l.apply_cdc(cdc, batch_id="cdc1") is False
+    # post-CDC merges keep working on the consolidated run
+    l.merge(spark.createDataFrame([(4, 1)], "id long, n long"), batch_id="m2")
+    assert {r.id: r.n for r in l.read().collect()} == {1: 100, 3: 3, 4: 5}
+
+
+def test_lsm_persisted_mode_wins(spark, tmp_path):
+    """Reopening an LSM table with default (bucketed) constructor args
+    must keep appending runs, not corrupt the layout — the persisted
+    mode wins exactly like num_buckets."""
+    from cruncher_spark.merge.upsert import PointTable
+
+    l = PointTable(
+        spark, str(tmp_path / "t"), key=["id"],
+        policies={"n": MergePolicy.ADD}, mode="lsm",
+    )
+    l.merge(spark.createDataFrame([(1, 1)], "id long, n long"), batch_id="a")
+    re = PointTable(
+        spark, str(tmp_path / "t"), key=["id"],
+        policies={"n": MergePolicy.ADD},
+    )  # default bucketed args
+    re.merge(spark.createDataFrame([(1, 2), (2, 5)], "id long, n long"), batch_id="b")
+    assert re.mode == "lsm"
+    assert {r.id: r.n for r in re.read().collect()} == {1: 3, 2: 5}

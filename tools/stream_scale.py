@@ -1,25 +1,37 @@
-"""Streaming ingest state-growth evidence (VERDICT r6 next #6).
+"""Streaming ingest state-growth evidence (r6 VERDICT #6, reshaped per
+r7 VERDICT #1/#5/#6).
 
 The near-dup ingest filters claim per-batch cost "O(batch x matching
-buckets), never a full-index shuffle" (`streaming/neardup.py`). The
-correctness of that claim is pinned by tests; this tool MEASURES it:
-replay ``N_BATCHES`` micro-batches of unique-content documents (the
-`tools/scale_stress.py` generator shape — id-seeded word soup at a
-pinned near-copy rate that can target ANY earlier doc, so history
-matches occur) through :class:`NearDupIngest`, recording per batch:
+buckets), never a full-index shuffle" (`streaming/neardup.py`), and
+since r8 the survivor table claims O(batch) MERGE cost via the LSM
+append+compact mode (`merge/upsert.py`) — r7 measured the bucketed
+survivor rewrite growing x3.39 in shuffle while the index grew x4,
+the one curve that bent the wrong way at 100x. This tool MEASURES the
+claims: replay micro-batches of unique-content items through the
+ingest filters, recording per batch:
 
 - wall clock of ``process_batch``,
 - shuffle bytes written (delta of the Spark UI stage metrics — this
   tool runs its own UI-enabled session for that),
-- accumulated index rows + parquet file count (driver-side pyarrow
-  metadata, no Spark job).
+- accumulated band-index rows + parquet file count (driver-side
+  pyarrow metadata, no Spark job),
+- live survivor LSM run count (the binary-counter invariant),
+- whether the in-loop index auto-compaction fired (r7 VERDICT #5 —
+  file counts must SAWTOOTH, not grow unboundedly).
 
-``compact_index()`` runs mid-replay (batch ``COMPACT_AT``) so the
-curve shows the small-files remedy working against the file-listing
-creep it exists for. Expected shape: per-batch wall and bytes FLAT-ish
-as the index grows 50x — the batch side of the candidate join is
-broadcast and index buckets are partition-pruned, so per-batch cost
-tracks batch size and match count, not index size.
+Three sections (r7 VERDICT #6 asked for the video/containment replays):
+
+1. ``NearDupIngest``  — 50 x 1000 unique-content text docs;
+2. ``VideoDedupIngest`` — 24 x 40 synthetic AVIs, frame-level dedup;
+3. ``TextContainmentIngest`` — 24 x 300 docs with planted quotes.
+
+Expected shape everywhere: per-batch wall and shuffle FLAT-ish as
+state grows — candidate joins broadcast the batch side with partition
+pruning, survivor merges append O(batch) runs, and the only non-flat
+events are the explicitly-marked compaction folds (amortized
+logarithmic by the run-size invariant; the index auto-compaction is
+all-dirs-into-one, so its cost is reported per fold, out-of-band of
+the steady-state windows).
 
 Writes STREAMSCALE.md. Usage:  python tools/stream_scale.py
 """
@@ -43,10 +55,15 @@ STATE = Path("/tmp/stream_scale")
 N_BATCHES = 50
 BATCH_DOCS = 1000
 DUP_RATE = 0.05
-COMPACT_AT = 25  # compact_index() runs after this batch lands
+AUTO_COMPACT = 16  # index batch-dir threshold -> in-loop fold (sawtooth)
 
 
-def _batches():
+# ---------------------------------------------------------------------------
+# workload generators
+# ---------------------------------------------------------------------------
+
+
+def _text_batches():
     """Yield N_BATCHES lists of (doc_id, text): unique id-seeded word
     soup, DUP_RATE near-copies of any earlier doc (cross-batch)."""
     texts = pq.read_table(
@@ -81,6 +98,68 @@ def _batches():
             seen.append(text)
             next_id += 1
         yield batch
+
+
+N_VID_BATCHES, BATCH_VIDS = 24, 40
+
+
+def _video_batches():
+    """(media_id, avi payload) batches: 8-frame random videos; 10% are
+    re-encodes/clips of an earlier video (share frame hashes)."""
+    from cruncher_spark.functions.codecs import avi_encode
+
+    rng = np.random.default_rng(4242)
+    seen: list[np.ndarray] = []
+    next_id = 0
+    for _ in range(N_VID_BATCHES):
+        batch = []
+        for _ in range(BATCH_VIDS):
+            if seen and rng.random() < 0.10:
+                src = seen[int(rng.integers(0, len(seen)))]
+                # a clip: contiguous frame subset (shares exact hashes)
+                lo = int(rng.integers(0, max(1, src.shape[0] - 3)))
+                video = src[lo : lo + 4]
+            else:
+                video = rng.integers(
+                    0, 256, size=(8, 24, 32)
+                ).astype(np.uint8)
+                seen.append(video)
+            batch.append((next_id, bytearray(avi_encode(video, 10))))
+            next_id += 1
+        yield batch
+
+
+N_CONT_BATCHES, BATCH_CONT = 24, 300
+
+
+def _containment_batches():
+    """(doc_id, text) batches for the containment filter: 10% of docs
+    are a paragraph QUOTED from an earlier doc (containment ~1.0 at
+    tiny jaccard — the case MinHash ingest structurally misses)."""
+    rng = np.random.default_rng(9119)
+    vocab = np.array([f"ctk{i:05d}" for i in range(8000)])
+    seen: list[str] = []
+    next_id = 0
+    for _ in range(N_CONT_BATCHES):
+        batch = []
+        for _ in range(BATCH_CONT):
+            if seen and rng.random() < 0.10:
+                words = seen[int(rng.integers(0, len(seen)))].split()
+                lo = int(rng.integers(0, max(1, len(words) - 12)))
+                text = " ".join(words[lo : lo + 12])
+            else:
+                text = " ".join(
+                    rng.choice(vocab, size=int(rng.integers(30, 60)))
+                )
+                seen.append(text)
+            batch.append((next_id, text))
+            next_id += 1
+        yield batch
+
+
+# ---------------------------------------------------------------------------
+# measurement harness
+# ---------------------------------------------------------------------------
 
 
 def _ui_session():
@@ -124,100 +203,185 @@ def _index_stats(index_dir: Path) -> tuple[int, int]:
     return rows, files
 
 
+def _survivor_runs(ingest) -> int:
+    cur = ingest.survivors._current_version()
+    return len(ingest.survivors._run_dirs(cur)) if cur is not None else 0
+
+
+def replay(ingest, batches, to_df) -> list[tuple]:
+    """[(bid, wall, shuffle_delta, idx_rows, idx_files, runs, folded)]"""
+    rows = []
+    prev_sh = _shuffle_total()
+    prev_files = 0
+    for bid, batch in enumerate(batches):
+        df = to_df(batch)
+        t0 = time.monotonic()
+        ingest.process_batch(df, bid)
+        wall = time.monotonic() - t0
+        sh = _shuffle_total()
+        irows, ifiles = _index_stats(ingest.index_dir)
+        folded = ifiles < prev_files  # auto-compaction fired this batch
+        rows.append(
+            (bid, wall, sh - prev_sh, irows, ifiles,
+             _survivor_runs(ingest), folded)
+        )
+        prev_sh, prev_files = sh, ifiles
+        print(
+            f"batch {bid:3d} wall {wall:6.2f}s shuffle "
+            f"{(rows[-1][2])/1e6:7.2f} MB index {irows} rows /"
+            f" {ifiles} files runs {rows[-1][5]}"
+            f"{' [index fold]' if folded else ''}",
+            flush=True,
+        )
+    return rows
+
+
+def _window_mean(rows, lo, hi, col, skip_folds=False):
+    vals = [
+        r[col]
+        for r in rows
+        if lo <= r[0] < hi and not (skip_folds and r[6])
+    ]
+    return sum(vals) / len(vals)
+
+
+def _table(rows) -> list[str]:
+    lines = [
+        "| batch | wall s | shuffle MB | index rows | index files |"
+        " survivor runs |\n",
+        "|---|---|---|---|---|---|\n",
+    ]
+    for bid, wall, shd, irows, ifiles, runs, folded in rows:
+        mark = " (index fold)" if folded else ""
+        lines.append(
+            f"| {bid}{mark} | {wall:.2f} | {shd/1e6:.2f} |"
+            f" {irows} | {ifiles} | {runs} |\n"
+        )
+    return lines
+
+
+def _verdict(rows, lo1, hi1, lo2, hi2) -> list[str]:
+    ew = _window_mean(rows, lo1, hi1, 1)
+    lw = _window_mean(rows, lo2, hi2, 1)
+    eb = _window_mean(rows, lo1, hi1, 2)
+    lb = _window_mean(rows, lo2, hi2, 2)
+    ebx = _window_mean(rows, lo1, hi1, 2, skip_folds=True)
+    lbx = _window_mean(rows, lo2, hi2, 2, skip_folds=True)
+    folds = [(r[0], r[2]) for r in rows if r[6]]
+    out = [
+        f"- mean wall batches {lo1}-{hi1 - 1}: **{ew:.2f}s**; batches "
+        f"{lo2}-{hi2 - 1}: **{lw:.2f}s** (x{lw/ew:.2f})\n",
+        f"- mean shuffle delta batches {lo1}-{hi1 - 1}: "
+        f"**{eb/1e6:.2f} MB**; batches {lo2}-{hi2 - 1}: "
+        f"**{lb/1e6:.2f} MB** (x{lb/eb:.2f} all batches; "
+        f"x{lbx/ebx:.2f} steady-state, i.e. excluding the marked "
+        "index-fold batches)\n",
+        f"- max live survivor runs: **{max(r[5] for r in rows)}** "
+        "(LSM binary-counter invariant — read cost stays logarithmic)\n",
+    ]
+    if folds:
+        out.append(
+            "- index auto-compaction fired at batch(es) "
+            + ", ".join(f"{b} ({s/1e6:.1f} MB)" for b, s in folds)
+            + " — file counts sawtooth instead of growing; fold cost "
+            "is all-dirs-into-one (reported per fold above, excluded "
+            "from the steady-state ratio)\n"
+        )
+    return out
+
+
 def main() -> None:
-    from cruncher_spark.streaming.neardup import NearDupIngest
+    from cruncher_spark.streaming.neardup import (
+        NearDupIngest,
+        TextContainmentIngest,
+        VideoDedupIngest,
+    )
 
     if STATE.exists():
         shutil.rmtree(STATE)
     spark = _ui_session()
     spark.sparkContext.setLogLevel("ERROR")
-    nd = NearDupIngest(spark, str(STATE / "state"))
 
-    rows = []
-    compact_note = ""
-    prev_sh = _shuffle_total()
-    for bid, batch in enumerate(_batches()):
-        df = spark.createDataFrame(batch, "doc_id long, text string")
-        t0 = time.monotonic()
-        nd.process_batch(df, bid)
-        wall = time.monotonic() - t0
-        sh = _shuffle_total()
-        delta = sh - prev_sh
-        prev_sh = sh
-        irows, ifiles = _index_stats(nd.index_dir)
-        rows.append((bid, wall, delta, irows, ifiles))
-        print(
-            f"batch {bid:3d} wall {wall:6.2f}s shuffle "
-            f"{delta/1e6:7.2f} MB index {irows} rows / {ifiles} files",
-            flush=True,
-        )
-        if bid == COMPACT_AT:
-            t0 = time.monotonic()
-            folded = nd.compact_index()
-            cw = time.monotonic() - t0
-            prev_sh = _shuffle_total()  # compaction's own shuffle excluded
-            compact_note = (
-                f"`compact_index()` ran after batch {COMPACT_AT}: folded "
-                f"{folded} per-batch dirs in {cw:.2f}s; its shuffle is "
-                "excluded from the next batch's delta."
-            )
-            print(compact_note, flush=True)
-
-    n_ret = nd.retained().count()
-    n_dec = nd.decisions().count()
-
-    def window_mean(lo, hi, col):
-        vals = [r[col] for r in rows if lo <= r[0] < hi]
-        return sum(vals) / len(vals)
-
-    early_w, late_w = window_mean(5, 15, 1), window_mean(40, 50, 1)
-    early_b, late_b = window_mean(5, 15, 2), window_mean(40, 50, 2)
     lines = [
         "# STREAMSCALE — measured ingest state growth"
         " (tools/stream_scale.py)\n\n",
-        f"{N_BATCHES} micro-batches x {BATCH_DOCS} unique-content docs "
-        f"(pinned {DUP_RATE:.0%} cross-batch near-copy rate) replayed "
-        "through `NearDupIngest`; per-batch wall + shuffle-byte delta "
-        "(UI stage metrics) + accumulated index size. The per-batch "
-        "cost claim under test: O(batch x matching buckets), never a "
-        "full-index shuffle — the curve should stay FLAT-ish while the "
-        f"index grows {N_BATCHES}x.\n\n",
-        "| batch | wall s | shuffle MB | index rows | index files |\n",
-        "|---|---|---|---|---|\n",
+        "Per-batch wall + shuffle-byte delta (UI stage metrics) + "
+        "accumulated band-index size + live survivor LSM run count, "
+        "for three ingest filters replayed over unique-content "
+        "micro-batches. Claims under test: candidate joins are "
+        "O(batch x matching buckets) (broadcast batch side, partition "
+        "pruning); survivor merges are O(batch) appends under the r8 "
+        "LSM mode (r7 VERDICT #1 — the bucketed rewrite measured "
+        "x3.39 shuffle growth here last round); the in-loop index "
+        f"auto-compaction (threshold {AUTO_COMPACT} batch dirs) keeps "
+        "file listings sawtoothing (r7 VERDICT #5).\n\n",
     ]
-    for bid, wall, shd, irows, ifiles in rows:
-        mark = " (compacted after)" if bid == COMPACT_AT else ""
-        lines.append(
-            f"| {bid}{mark} | {wall:.2f} | {shd/1e6:.2f} |"
-            f" {irows} | {ifiles} |\n"
-        )
-    lines += [
-        "\n## Measured verdict\n\n",
-        f"- mean wall batches 5-14: **{early_w:.2f}s**; batches 40-49: "
-        f"**{late_w:.2f}s** (x{late_w/early_w:.2f} while the index grew "
-        "~4x over the same window)\n",
-        f"- mean shuffle delta batches 5-14: **{early_b/1e6:.2f} MB**; "
-        f"batches 40-49: **{late_b/1e6:.2f} MB** "
-        f"(x{late_b/early_b:.2f})\n",
-        f"- final state: {n_ret} retained docs, {n_dec} dedup decisions, "
-        f"{rows[-1][3]} index rows in {rows[-1][4]} files\n",
-    ]
-    if compact_note:
-        lines.append(f"- {compact_note}\n")
-    lines.append(
-        "- cause of the residual shuffle-delta growth: the CANDIDATE "
-        "path is flat as claimed (batch side broadcasts; with the "
-        "padded vocabulary only planted dups band-match), but the "
-        "SURVIVOR merge rewrites every touched hash bucket and a "
-        "uniform-key batch touches all "
-        f"{8} buckets, so the per-batch rewrite tracks survivor-table "
-        "size — the documented bucket-layout trade "
-        "(merge/upsert.py: O(delta x touched buckets)); the production "
-        "mitigations are `rebucket()` (sizing buckets to the table so "
-        "each rewrite is bounded) and the delta-based MERGE rewrite "
-        "(tools/testcat SupportsDelta) where the store applies row-level "
-        "deltas instead of bucket rewrites\n"
+
+    # 1. text near-dup -----------------------------------------------------
+    print("== NearDupIngest ==", flush=True)
+    nd = NearDupIngest(
+        spark, str(STATE / "text"), auto_compact_batches=AUTO_COMPACT
     )
+    rows = replay(
+        nd,
+        _text_batches(),
+        lambda b: spark.createDataFrame(b, "doc_id long, text string"),
+    )
+    n_ret, n_dec = nd.retained().count(), nd.decisions().count()
+    lines += [
+        f"## 1. NearDupIngest — {N_BATCHES} x {BATCH_DOCS} docs "
+        f"({DUP_RATE:.0%} cross-batch near-copies)\n\n",
+        *_table(rows),
+        "\n### Measured verdict\n\n",
+        *_verdict(rows, 5, 15, 40, 50),
+        f"- final state: {n_ret} retained docs, {n_dec} decisions, "
+        f"{rows[-1][3]} index rows in {rows[-1][4]} files\n\n",
+    ]
+
+    # 2. video frame-level -------------------------------------------------
+    print("== VideoDedupIngest ==", flush=True)
+    vd = VideoDedupIngest(
+        spark, str(STATE / "video"), auto_compact_batches=AUTO_COMPACT
+    )
+    vrows = replay(
+        vd,
+        _video_batches(),
+        lambda b: spark.createDataFrame(
+            b, "media_id long, payload binary"
+        ),
+    )
+    v_ret, v_dec = vd.retained().count(), vd.decisions().count()
+    lines += [
+        f"## 2. VideoDedupIngest — {N_VID_BATCHES} x {BATCH_VIDS} AVIs "
+        "(10% re-encode/clip rate, frame-hash containment)\n\n",
+        *_table(vrows),
+        "\n### Measured verdict\n\n",
+        *_verdict(vrows, 3, 10, 17, 24),
+        f"- final state: {v_ret} retained videos, {v_dec} decisions\n\n",
+    ]
+
+    # 3. text containment --------------------------------------------------
+    print("== TextContainmentIngest ==", flush=True)
+    td = TextContainmentIngest(
+        spark, str(STATE / "cont"), auto_compact_batches=AUTO_COMPACT
+    )
+    trows = replay(
+        td,
+        _containment_batches(),
+        lambda b: spark.createDataFrame(
+            b, "media_id long, payload string"
+        ),
+    )
+    t_ret, t_dec = td.retained().count(), td.decisions().count()
+    lines += [
+        f"## 3. TextContainmentIngest — {N_CONT_BATCHES} x {BATCH_CONT} "
+        "docs (10% planted quotes, tau=9/10 containment)\n\n",
+        *_table(trows),
+        "\n### Measured verdict\n\n",
+        *_verdict(trows, 3, 10, 17, 24),
+        f"- final state: {t_ret} retained docs, {t_dec} decisions\n",
+    ]
+
     Path(__file__).resolve().parent.parent.joinpath(
         "STREAMSCALE.md"
     ).write_text("".join(lines))
