@@ -24,6 +24,14 @@ On a production deployment the same role is played by Delta/Iceberg
 same semantics and the same O(delta·state/num_buckets) merge cost
 dependency-free over plain parquet.
 
+When a delta's keys are UNIFORM over the key space (streaming ingest
+survivors), every bucket is touched and the bucketed rewrite degrades to
+O(state) per batch — for that shape ``mode="lsm"`` appends each delta as
+an immutable run instead (O(delta) per batch forever) and folds runs at
+read/compaction time with policy aggregates that reproduce the pairwise
+merge semantics exactly; see the "LSM (append + compact) merge mode"
+section below.
+
 Commit protocol — one atomic step: each merge writes a complete new
 version directory ``v_NNNNNN/`` holding data buckets *and* the
 ``_applied_batches`` ledger, then atomically renames ``CURRENT.tmp`` over
@@ -501,13 +509,20 @@ class PointTable:
         runs = self._run_dirs(cur) if cur is not None else []
         seq = self._run_seq(runs[-1]) + 1 if runs else 0
         new = self._fresh_version_dir(cur)
+        run_dir = new / "data" / f"run={seq:06d}"
         (
             delta.withColumn(_BUCKET_COL, self._bucket_expr())
             .repartition(self.num_buckets, F.col(_BUCKET_COL))
             .write.mode("append")
             .partitionBy(_BUCKET_COL)
-            .parquet(str(new / "data" / f"run={seq:06d}"))
+            .parquet(str(run_dir))
         )
+        if not any(run_dir.rglob("*.parquet")):
+            # empty delta (e.g. an ingest batch with zero survivors):
+            # record the batch in the ledger but do not keep a
+            # parquet-less run dir — they would pile past the fold
+            # invariant (0-byte runs never trigger it)
+            shutil.rmtree(run_dir)
         self._link_runs(cur, new)
         self._write_ledger(new, cur, batch_id)
         self._write_meta(new, delta.schema.json(), mode="lsm")
@@ -540,7 +555,7 @@ class PointTable:
     def _fold_newest_two(self, cur: Path, runs: list[Path]) -> None:
         a, b = runs[-2], runs[-1]
         df = self.spark.read.option("basePath", str(cur / "data")).parquet(
-            str(a), str(b)
+            *[str(d) for d in (a, b) if any(d.rglob("*.parquet"))]
         )
         folded = self._fold_runs(df)
         new = self._fresh_version_dir(cur)

@@ -355,12 +355,32 @@ class NearDupIngest:
 
     # -- housekeeping --------------------------------------------------------
 
+    #: tiered-fold growth factor (the LSM binary-counter invariant —
+    #: merge/upsert.py): a compact dir joins a fold while it is smaller
+    #: than this multiple of everything newer being folded
+    _COMPACT_FACTOR = 2.0
+
     def compact_index(self) -> int:
-        """Fold the accumulated per-batch index directories into ONE
-        consolidated batch dir — the streaming small-files remedy (a
-        long-lived ingest otherwise accretes a directory per micro-batch
-        and file listings start to dominate the candidate join). Returns
-        the number of batch dirs folded, 0 if there was nothing to do.
+        """TIERED fold of the per-batch index directories — the
+        streaming small-files remedy (a long-lived ingest otherwise
+        accretes a directory per micro-batch and file listings start
+        to dominate the candidate join). Returns the number of dirs
+        folded, 0 if there was nothing to do.
+
+        Fold selection (r8, the same binary-counter invariant as the
+        survivor table's LSM mode): every FRESH per-batch dir folds,
+        plus each existing ``batch=compact-`` dir — newest first —
+        while it holds fewer than ``_COMPACT_FACTOR`` x the ROWS being
+        folded (rows, not bytes: a consolidated dir compresses far
+        better than per-batch small files, so a byte comparison kept
+        pulling the big rung into every fold — measured 11→20→29 MB
+        successive fold costs before the switch). Compact dirs form a
+        geometric size ladder: a fold usually costs ~threshold batches
+        of data (constant), occasionally cascades into a bigger rung,
+        and amortizes to O(log) write amplification instead of the
+        pre-r8 all-dirs-into-one whose cost grew linearly with the
+        index. Live dir count stays <= threshold +
+        O(log(index/batch)).
 
         Concurrency (ADVICE r6 neardup.py:341, tightened per ADVICE r7):
         serializes on the survivor table's re-entrant writer lock
@@ -377,10 +397,28 @@ class NearDupIngest:
         the consolidated write but before the old dirs are removed
         leaves duplicate band rows, which only produce duplicate
         CANDIDATES — the per-doc ``min`` aggregates absorb them, and
-        the next compaction removes the redundancy.
+        the next fold's ``dropDuplicates`` removes the redundancy (the
+        crash leaves the duplicate rows in the NEWEST compact dir +
+        the fresh dirs, and the size rule pulls that compact dir into
+        the next fold precisely because it is fresh-fold-sized; pinned
+        by test_crash_mid_auto_compaction_converges).
         """
         import shutil
         import uuid
+
+        def _rows(d: Path) -> int:
+            import pyarrow.parquet as pq
+
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in d.rglob("*.parquet")
+            )
+
+        def _seq(d: Path) -> int:
+            import re
+
+            m = re.match(r"batch=compact-(\d+)-", d.name)
+            return int(m.group(1)) if m else 0
 
         with self.survivors.writer_lock():
             batches = [
@@ -390,26 +428,52 @@ class NearDupIngest:
                 )
                 if d.is_dir() and d.name.startswith("batch=")
             ]
-            if len(batches) <= 1:
+            compacts = sorted(
+                (d for d in batches if d.name.startswith("batch=compact-")),
+                key=_seq,
+            )
+            fold = [d for d in batches if not d.name.startswith("batch=compact-")]
+            size = sum(_rows(d) for d in fold)
+            while compacts and _rows(compacts[-1]) < self._COMPACT_FACTOR * size:
+                d = compacts.pop()
+                size += _rows(d)
+                fold.append(d)
+            if len(fold) <= 1:
                 return 0
-            idx = self._read_index()
-            if idx is None:
-                # >=2 batch dirs whose partition dirs hold only _SUCCESS
+            if size == 0:
+                # >=2 dirs whose partition dirs hold only _SUCCESS
                 # (survivor-less / all-dropped batches — ADVICE r7): no
                 # rows to consolidate; just fold the empty dirs away
-                for d in batches:
+                for d in fold:
                     shutil.rmtree(d)
-                return len(batches)
-            target = self.index_dir / f"batch=compact-{uuid.uuid4().hex[:12]}"
+                return len(fold)
+            next_seq = _seq(compacts[-1]) + 1 if compacts else 0
+            target = (
+                self.index_dir
+                / f"batch=compact-{next_seq:06d}-{uuid.uuid4().hex[:8]}"
+            )
             (
-                idx.drop("batch")
+                self.spark.read.schema(self._index_schema())
+                .option("basePath", str(self.index_dir))
+                .parquet(*[str(d) for d in fold])
+                .drop("batch")
+                # exact-duplicate rows exist only after a crash between a
+                # previous compaction's write and its dir removal; the
+                # distinct makes recovery converge instead of carrying
+                # the redundancy forward
+                .dropDuplicates()
+                # one writer task per bucket dir -> ONE coherent file per
+                # bucket (the point of compacting; without this the
+                # distinct's shuffle fans the fold into partitions x
+                # buckets small files and the listing creep returns)
+                .repartition(self.index_buckets, F.col("band_bucket"))
                 .write.mode("overwrite")
                 .partitionBy("band_bucket")
                 .parquet(str(target))
             )
-            for d in batches:
+            for d in fold:
                 shutil.rmtree(d)
-            return len(batches)
+            return len(fold)
 
     # -- state readers -------------------------------------------------------
 

@@ -847,3 +847,24 @@ def test_lsm_persisted_mode_wins(spark, tmp_path):
     re.merge(spark.createDataFrame([(1, 2), (2, 5)], "id long, n long"), batch_id="b")
     assert re.mode == "lsm"
     assert {r.id: r.n for r in re.read().collect()} == {1: 3, 2: 5}
+
+
+def test_lsm_empty_delta_ledger_only(spark, tmp_path):
+    """An empty delta (ingest batch with zero survivors) must commit
+    its batch_id to the ledger WITHOUT leaving a parquet-less run dir
+    (0-byte runs never trigger the fold invariant and would pile up)."""
+    from cruncher_spark.merge.upsert import PointTable
+
+    l = PointTable(
+        spark, str(tmp_path / "lsm"), key=["id"],
+        policies={"n": MergePolicy.ADD}, num_buckets=2, mode="lsm",
+    )
+    empty = spark.createDataFrame([], "id long, n long")
+    assert l.merge(empty, batch_id="e0") is True
+    assert l.merge(empty, batch_id="e0") is False  # ledger recorded
+    assert l._run_dirs(l._current_version()) == []
+    assert l.read().count() == 0  # schema-backed empty read
+    l.merge(spark.createDataFrame([(1, 1)], "id long, n long"), batch_id="d1")
+    assert l.merge(empty, batch_id="e1") is True
+    assert len(l._run_dirs(l._current_version())) == 1
+    assert {r.id: r.n for r in l.read().collect()} == {1: 1}

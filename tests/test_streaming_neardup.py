@@ -414,3 +414,64 @@ def test_writer_lock_is_reentrant(spark, tmp_path):
     assert pt.merge(d, batch_id="b0") is False  # ledger replay no-op
     rows = {r.k: r.v for r in pt.read().collect()}
     assert rows == {1: 10, 2: 20}
+
+
+def test_crash_mid_auto_compaction_converges(spark, tmp_path, monkeypatch):
+    """r7 VERDICT #5 crash-safety: an auto-compaction that dies AFTER
+    its consolidated write but BEFORE removing the old batch dirs
+    leaves duplicate band rows. The filter keeps making correct
+    decisions (duplicate candidates absorb into the per-doc min), and
+    the NEXT compaction's distinct fold removes the redundancy."""
+    import shutil as _shutil
+
+    from cruncher_spark.streaming.neardup import NearDupIngest
+
+    nd = NearDupIngest(
+        spark, str(tmp_path / "state"), auto_compact_batches=2
+    )
+    nd.process_batch(
+        spark.createDataFrame(
+            [(0, _doc(0)), (1, _doc(1))], "doc_id long, text string"
+        ),
+        0,
+    )
+    real_rmtree = _shutil.rmtree
+
+    def crashing_rmtree(p, *a, **k):
+        if "batch=" in str(p):
+            raise RuntimeError("crash before old dirs removed")
+        return real_rmtree(p, *a, **k)
+
+    monkeypatch.setattr("shutil.rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError):
+        # batch 1 lands (merge commits first), then the auto-fold dies
+        nd.process_batch(
+            spark.createDataFrame(
+                [(10, _doc(2))], "doc_id long, text string"
+            ),
+            1,
+        )
+    monkeypatch.undo()
+    # crash window: consolidated dir + old batch dirs coexist -> the
+    # index holds duplicate rows; decisions must still be correct
+    dirs = [d for d in nd.index_dir.iterdir() if d.name.startswith("batch=")]
+    assert any(d.name.startswith("batch=compact-") for d in dirs)
+    assert len(dirs) >= 3
+    nd.process_batch(
+        spark.createDataFrame(
+            [(20, _doc(0)), (21, _doc(9))], "doc_id long, text string"
+        ),
+        2,
+    )
+    kept = {r.doc_id for r in nd.retained().collect()}
+    assert 21 in kept and 20 not in kept  # 20 dups survivor 0 once, not twice
+    dec = {r.doc_id: r.dup_of for r in nd.decisions().collect()}
+    assert dec[20] == 0
+    # the next compaction folds the redundancy away: distinct rows only
+    nd.compact_index()
+    rows = [
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in nd._read_index().collect()
+    ]
+    assert len(rows) == len(set(rows))
+    assert {r[0] for r in rows} == kept  # every survivor indexed once

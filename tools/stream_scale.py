@@ -30,8 +30,8 @@ state grows — candidate joins broadcast the batch side with partition
 pruning, survivor merges append O(batch) runs, and the only non-flat
 events are the explicitly-marked compaction folds (amortized
 logarithmic by the run-size invariant; the index auto-compaction is
-all-dirs-into-one, so its cost is reported per fold, out-of-band of
-the steady-state windows).
+tiered the same way since r8, its per-fold shuffle reported
+out-of-band of the steady-state windows).
 
 Writes STREAMSCALE.md. Usage:  python tools/stream_scale.py
 """
@@ -283,9 +283,11 @@ def _verdict(rows, lo1, hi1, lo2, hi2) -> list[str]:
         out.append(
             "- index auto-compaction fired at batch(es) "
             + ", ".join(f"{b} ({s/1e6:.1f} MB)" for b, s in folds)
-            + " — file counts sawtooth instead of growing; fold cost "
-            "is all-dirs-into-one (reported per fold above, excluded "
-            "from the steady-state ratio)\n"
+            + " — file counts sawtooth instead of growing; folds are "
+            "TIERED (fresh dirs + geometric compact-dir ladder by row "
+            "count), so per-fold cost amortizes logarithmically; fold "
+            "shuffle is reported per fold above and excluded from the "
+            "steady-state ratio\n"
         )
     return out
 
