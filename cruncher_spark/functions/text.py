@@ -135,3 +135,27 @@ def doc_fingerprint(col: str | Column) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(c, " ")))))
+
+
+def html_to_text(col: str | Column) -> Column:
+    """Crude-but-JVM-side HTML → text extraction for crawl payloads.
+
+    Four whole-stage-codegen ``regexp_replace`` passes: drop
+    ``<script>``/``<style>`` blocks (their text is never content),
+    strip remaining tags, decode the half-dozen entities that dominate
+    real pages, collapse whitespace. This is the cheap extraction tier
+    (CCNet-style pipelines run exactly this class of strip before
+    language-ID and quality gating); DOM-accurate readability
+    extraction is a Pandas-UDF tier a deployment can slot behind the
+    same column contract. Case-insensitive via inline ``(?i)`` flags;
+    ``(?s)`` lets blocks span lines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

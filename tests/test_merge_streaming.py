@@ -868,3 +868,60 @@ def test_lsm_empty_delta_ledger_only(spark, tmp_path):
     assert l.merge(empty, batch_id="e1") is True
     assert len(l._run_dirs(l._current_version())) == 1
     assert {r.id: r.n for r in l.read().collect()} == {1: 1}
+
+
+def test_lsm_exhaustive_policy_matrix(spark, tmp_path):
+    """EXHAUSTIVE pairwise-vs-fold equivalence: every combination of
+    (presence pattern over 3 batches) x (per-batch NULL pattern) rides
+    as its own KEY through one bucketed and one LSM table, for all
+    seven policies at once — 7 non-empty presence patterns x 8 null
+    masks = 56 keys covering every ordering a 3-batch history can
+    produce (NULL-start, NULL-middle, NULL-end, single-appearance,
+    gaps). One run, every case."""
+    from cruncher_spark.merge.upsert import PointTable
+
+    POLICIES = _LSM_POLICIES
+    cols = list(POLICIES)
+    keys = []
+    for present in range(1, 8):  # bit b set -> key appears in batch b
+        for nulls in range(8):  # bit b set -> values NULL in batch b
+            keys.append((present, nulls))
+
+    def batch_rows(b):
+        rows = []
+        for present, nulls in keys:
+            if not (present >> b) & 1:
+                continue
+            kid = present * 10 + nulls
+            if (nulls >> b) & 1:
+                vals = {c: None for c in cols}
+            else:
+                vals = {
+                    c: float(kid + 100 * (b + 1)) + i * 0.25
+                    for i, c in enumerate(cols)
+                    if c in ("add_d", "ansafe")
+                }
+                vals.update(
+                    {
+                        c: kid + 100 * (b + 1) + i
+                        for i, c in enumerate(cols)
+                        if c in ("add_i", "mx", "lst", "grt")
+                    }
+                )
+                vals["keep"] = f"k{kid}b{b}"
+                vals["ovw"] = f"o{kid}b{b}"
+            rows.append(
+                (kid, vals["add_d"], vals["add_i"], vals["ansafe"],
+                 vals["mx"], vals["lst"], vals["grt"], vals["keep"],
+                 vals["ovw"])
+            )
+        return rows
+
+    b, l = _mk_pair(spark, tmp_path)
+    for bi in range(3):
+        df = spark.createDataFrame(batch_rows(bi), _LSM_SCHEMA)
+        b.merge(df, batch_id=f"m{bi}")
+        l.merge(df, batch_id=f"m{bi}")
+    rb, rl = _rows(b), _rows(l)
+    assert len(rb) == len(keys)
+    assert rb == rl
