@@ -137,6 +137,109 @@ def doc_fingerprint(col: str | Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(c, " ")))))
 
 
+#: query parameters stripped by URL canonicalization: click/campaign
+#: trackers that vary per impression while the landing page is identical —
+#: the crawl-frontier dedup would otherwise keep one copy per campaign.
+#: No backslashes anywhere in the URL patterns (deliberate): Spark SQL
+#: string literals eat unrecognized escapes while DuckDB keeps them, so
+#: `[.]`-style classes are the only form whose text is dialect-identical.
+URL_TRACKER_PATTERN = "^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)"
+
+_URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def canonicalize_url_sql(url: str, dialect: str) -> str:
+    """ONE canonicalization expression rendered for either engine — the
+    :func:`cruncher_spark.operators.similarity.pq_code_sql` pattern: the
+    Spark plan and the DuckDB oracle evaluate textually-derived-identical
+    logic, so canonical forms cannot drift between the gate's two sides.
+
+    Steps (the classic crawl-frontier normalization, RFC 3986 §6 plus the
+    tracker strip every CommonCrawl-scale pipeline applies before URL
+    dedup): lowercase scheme+authority, drop userinfo, strip a leading
+    ``www.`` label and a trailing root dot, drop the scheme's default
+    port (:80/:443), collapse duplicate path slashes, strip one trailing
+    slash (root stays ``/``; empty path becomes ``/``), drop the
+    fragment, drop tracker params (:data:`URL_TRACKER_PATTERN`), sort
+    the surviving query params byte-wise. Non-absolute inputs (no
+    ``scheme://`` or empty host) canonicalize to NULL — the caller's
+    quarantine signal, mirroring read_warc's parse_error rows.
+
+    Pure string expressions (regexp/split/sort/join) — whole-stage
+    codegen on Spark, zero Python, zero shuffle; dot-segment (``/../``)
+    resolution and %-encoding normalization are deliberately out of
+    scope (crawlers emit resolved absolute URLs; documented contract).
+    """
+    d = {
+        "spark": {
+            "split": "split",
+            "lsort": "array_sort",
+            "ljoin": "array_join",
+            "lfilter": "filter",
+            "rmatch": "{x} RLIKE '{p}'",
+            "greplace": "regexp_replace({x}, '{p}', '{r}')",
+        },
+        "duckdb": {
+            "split": "string_split",
+            "lsort": "list_sort",
+            "ljoin": "array_to_string",
+            "lfilter": "list_filter",
+            "rmatch": "regexp_matches({x}, '{p}')",
+            "greplace": "regexp_replace({x}, '{p}', '{r}', 'g')",
+        },
+    }[dialect]
+
+    def rep(x: str, p: str, r: str) -> str:
+        return d["greplace"].format(x=x, p=p, r=r)
+
+    scheme = f"lower(regexp_extract({url}, '{_URL_SCHEME_RE}', 1))"
+    host = f"lower(regexp_extract({url}, '{_URL_HOST_RE}', 1))"
+    host = rep(host, "^[^@]*@", "")  # userinfo
+    # default-port strip FIRST: the port trails the host, so a root-dot
+    # host ('example.com.:443') only exposes its trailing dot once the
+    # port is gone (first cut of this expression stripped the dot first
+    # and left 'example.com.' — caught by the dual-engine probe)
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN {rep(host, ':80$', '')} "
+        f"WHEN {scheme} = 'https' THEN {rep(host, ':443$', '')} "
+        f"ELSE {host} END"
+    )
+    host = rep(host, "[.]$", "")
+    host = rep(host, "^www[.]", "")
+    path = f"regexp_extract({url}, '{_URL_PATH_RE}', 1)"
+    path = rep(path, "/{2,}", "/")
+    path = rep(path, "/$", "")
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({url}, '[?]([^#]*)', 1)"
+    keep = d["rmatch"].format(x="p", p=URL_TRACKER_PATTERN)
+    params = (
+        f"{d['lfilter']}({d['split']}({query}, '&'), "
+        f"p -> p <> '' AND NOT ({keep}))"
+    )
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — without it every query-less URL canonicalized
+    # to NULL on the oracle side only (caught by the dual-engine probe)
+    qs = f"coalesce({d['ljoin']}({d['lsort']}({params}), '&'), '')"
+    return (
+        f"CASE WHEN {scheme} = '' OR {host} = '' THEN NULL "
+        f"ELSE {scheme} || '://' || {host} || {path} || "
+        f"(CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END) END"
+    )
+
+
+def canonicalize_url(col: str | Column) -> Column:
+    """Canonical URL column (see :func:`canonicalize_url_sql`); accepts a
+    column NAME only — the expression is rendered as SQL text, so an
+    arbitrary Column object has no stable name to splice in."""
+    if not isinstance(col, str):
+        raise TypeError("canonicalize_url takes a column name (str)")
+    if "`" in col:
+        raise ValueError(f"column name must not contain backticks: {col!r}")
+    return F.expr(canonicalize_url_sql(f"`{col}`", "spark"))
+
+
 def html_to_text(col: str | Column) -> Column:
     """Crude-but-JVM-side HTML → text extraction for crawl payloads.
 

@@ -740,6 +740,56 @@ def paragraph_dedup(
     )
 
 
+def dup_ngram_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the corpus-level
+    memorization-risk scan of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", §4's duplicate-text fraction),
+    reported per document so a curation pass can rank or drop by it:
+    what share of a document's distinct word n-grams also occur in at
+    least one OTHER document. Near 1.0 = the document is assembled from
+    corpus-repeated text (template/mirror/boilerplate — memorization
+    fuel); near 0.0 = original prose. Complements the pairwise dedup
+    family: no pairing at all, so a chunk repeated across 10^6 docs
+    costs one aggregate row, never 10^12 pairs.
+
+    Scale shape (the boilerplate_strip-audited one): (1) distinct
+    (doc, shingle) explode — map-side; (2) shingle document-frequency
+    via ``groupBy(shingle).count`` — partial aggregation combines
+    map-side, so corpus-hot shingles reduce per map task before the
+    exchange; (3) occurrences re-join the df table on shingle (one row
+    per DISTINCT shingle; a hot boilerplate shingle is exactly the skew
+    AQE skew-join splits); (4) per-document count/sum, bounded by
+    document length. Documents with fewer than ``n`` words have no
+    shingles and drop out (both engines, by construction).
+
+    Output: (id, n_shingles, n_shared, dup_frac) with dup_frac rounded
+    to 6 digits for cross-engine hash stability.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("int")).alias("n_shared"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # content-defined fingerprints: exact shared-substring detection
 # ---------------------------------------------------------------------------

@@ -877,6 +877,72 @@ def pq_code_sql(vec_fmt, book: list[list[float]], offset: int, list_fn: str) -> 
     return f"{apos}({arr}({dists}), {amin}({arr}({dists})))"
 
 
+def _pq_spark_sql(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> tuple[str, str, str, str]:
+    """The four PQ expression texts — ``(codes, norm2hat, lut, num)`` —
+    shared verbatim by :func:`pq_topk` and :func:`ann_ivfpq_topk` so the
+    combined index cannot drift from the flat PQ scan by even a bit
+    (``codes``/``lut`` reference ``vec_col``; ``norm2hat``/``num``
+    reference the produced ``codes``/``lut`` columns by name).
+
+    All hot expressions are written as ONE lambda looping over literal
+    codeword arrays (constant data), never unrolled per-codeword terms:
+    the unrolled form generated ~2048 expression nodes per stage and paid
+    seconds of Janino codegen on every execution (measured 5-10 s/stage
+    at sf0.1) — the same lesson as the IVF single-parse cell-score SQL.
+    The aggregate fold starts at CAST(0 AS DOUBLE) and adds element-order
+    left-to-right, which is bit-identical to the oracle generator's
+    expanded `t1 + t2 + ...` sum, so codes still cannot drift.
+    """
+    n_sub, kw = len(codebooks), len(codebooks[0])
+    w = len(codebooks[0][0])
+    dist_tpl = (
+        "transform(array({cents}), c -> aggregate(zip_with({vec}, c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t))"
+    )
+    code_parts = []
+    for m, book in enumerate(codebooks):
+        cents = ", ".join(
+            "array(" + ", ".join(_dbl(x) for x in cw) + ")" for cw in book
+        )
+        d = dist_tpl.format(cents=cents, vec=f"slice(`{vec_col}`, {m * w + 1}, {w})")
+        code_parts.append(f"CAST(array_position({d}, array_min({d})) AS INT)")
+    codes_sql = f"array({', '.join(code_parts)})"
+
+    n2_arr = "array({})".format(
+        ", ".join(_dbl(sum(x * x for x in cw)) for book in codebooks for cw in book)
+    )
+    # reconstructed norm from codes alone: fold over (code, subspace) pairs,
+    # one reference to the literal norm table; element_at is 1-based, codes
+    # are 1-based argmin positions, so index = m*kw + code
+    norm2hat = (
+        f"aggregate(zip_with(codes, sequence(0, {n_sub - 1}), "
+        f"(c, m) -> element_at({n2_arr}, m * {kw} + c)), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    # per-query LUT: <q_m, codeword> for all n_sub x kw codewords, flat,
+    # index m*kw + code (1-based) — one transform over offset-tagged
+    # codeword structs
+    luts = ", ".join(
+        f"struct({m * w} AS off, array({', '.join(_dbl(x) for x in cw)}) AS cv)"
+        for m, book in enumerate(codebooks)
+        for cw in book
+    )
+    lut_sql = (
+        f"transform(array({luts}), c -> aggregate(zip_with("
+        f"slice(`{vec_col}`, c.off + 1, {w}), c.cv, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, t) -> acc + t))"
+    )
+    num = (
+        f"aggregate(zip_with(codes, sequence(0, {n_sub - 1}), "
+        f"(c, m) -> element_at(lut, m * {kw} + c)), "
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    return codes_sql, norm2hat, lut_sql, num
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -906,68 +972,17 @@ def pq_topk(
     """
     if "`" in vec_col:
         raise ValueError(f"vec_col must not contain backticks: {vec_col!r}")
-    n_sub, kw = len(codebooks), len(codebooks[0])
+    n_sub = len(codebooks)
     w = len(codebooks[0][0])
-
-    # All hot expressions are written as ONE lambda looping over literal
-    # codeword arrays (constant data), never unrolled per-codeword terms:
-    # the unrolled form generated ~2048 expression nodes per stage and paid
-    # seconds of Janino codegen on every execution (measured 5-10 s/stage
-    # at sf0.1) — the same lesson as the IVF single-parse cell-score SQL.
-    # The aggregate fold starts at CAST(0 AS DOUBLE) and adds element-order
-    # left-to-right, which is bit-identical to the oracle generator's
-    # expanded `t1 + t2 + ...` sum, so codes still cannot drift.
-    dist_tpl = (
-        "transform(array({cents}), c -> aggregate(zip_with({vec}, c, "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0 AS DOUBLE), (acc, t) -> acc + t))"
-    )
-    code_parts = []
-    for m, book in enumerate(codebooks):
-        cents = ", ".join(
-            "array(" + ", ".join(_dbl(x) for x in cw) + ")" for cw in book
-        )
-        d = dist_tpl.format(cents=cents, vec=f"slice(`{vec_col}`, {m * w + 1}, {w})")
-        code_parts.append(f"CAST(array_position({d}, array_min({d})) AS INT)")
-    codes_sql = f"array({', '.join(code_parts)})"
-
-    n2_arr = "array({})".format(
-        ", ".join(_dbl(sum(x * x for x in cw)) for book in codebooks for cw in book)
-    )
-    # reconstructed norm from codes alone: fold over (code, subspace) pairs,
-    # one reference to the literal norm table; element_at is 1-based, codes
-    # are 1-based argmin positions, so index = m*kw + code
-    norm2hat = (
-        f"aggregate(zip_with(codes, sequence(0, {n_sub - 1}), "
-        f"(c, m) -> element_at({n2_arr}, m * {kw} + c)), "
-        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
-    )
+    codes_sql, norm2hat, lut_sql, num = _pq_spark_sql(vec_col, codebooks)
     coded = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.expr(codes_sql).alias("codes")
     ).withColumn("nhat", F.expr(f"sqrt({norm2hat})"))
 
-    # per-query LUT: <q_m, codeword> for all n_sub x kw codewords, flat,
-    # index m*kw + code (1-based) — one transform over offset-tagged
-    # codeword structs
-    luts = ", ".join(
-        f"struct({m * w} AS off, array({', '.join(_dbl(x) for x in cw)}) AS cv)"
-        for m, book in enumerate(codebooks)
-        for cw in book
-    )
-    lut_sql = (
-        f"transform(array({luts}), c -> aggregate(zip_with("
-        f"slice(`{vec_col}`, c.off + 1, {w}), c.cv, "
-        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, t) -> acc + t))"
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         norm(F.col(vec_col), n_sub * w).alias("qnorm"),
         F.expr(lut_sql).alias("lut"),
-    )
-    num = (
-        f"aggregate(zip_with(codes, sequence(0, {n_sub - 1}), "
-        f"(c, m) -> element_at(lut, m * {kw} + c)), "
-        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
     )
     scored = (
         coded.join(F.broadcast(q))
@@ -978,6 +993,104 @@ def pq_topk(
     )
     from pyspark.sql import Window
 
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def ann_ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF+PQ combined index (Jégou et al. TPAMI'11 IVFADC structure,
+    FAISS ``IVFx,PQy`` with ``by_residual=False``): the coarse quantizer
+    prunes WHICH vectors a query scores (probe ``n_probe`` of the fitted
+    cells), product quantization compresses WHAT is scored (codes +
+    reconstructed norm, never raw floats) — the two existing scale paths
+    composed into the production billion-vector shape.
+
+    Corpus side is one map-side projection (centroids AND codebooks
+    inlined as literals — zero shuffle, zero Python): each vector emits
+    ``(cell, codes, nhat)``. At 100 TB the cell column is the partition
+    key and the stored row is ~n_sub bytes of codes, so one probed cell
+    is one co-located scan of a compressed postings list. Query side
+    probes the first ``n_probe`` entries of the SAME sorted cell-score
+    array the corpus assignment uses (so ``n_probe = K`` degenerates to
+    exactly the flat PQ scan — pinned by
+    ``test_ivfpq_probe_all_equals_flat_pq``), carries a per-query ADC
+    lookup table, and broadcasts: scored pairs ~ Q x N*(n_probe/K), each
+    scored through the LUT fold shared verbatim with :func:`pq_topk`
+    (:func:`_pq_spark_sql`), so the combined index cannot rank-drift
+    from the flat scan on the cells it does probe.
+
+    Deliberately no exact re-rank refine step (same contract as
+    :func:`pq_topk`): the gate checks the pure compressed-domain
+    ranking; a refine is one id-equi-join against the raw table.
+
+    Output: (query_id, neighbor_id, rank, score) — the shared ANN
+    contract of :func:`brute_force_topk` / :func:`ann_ivf_topk` /
+    :func:`pq_topk`.
+    """
+    if "`" in vec_col:
+        raise ValueError(f"vec_col must not contain backticks: {vec_col!r}")
+    n_sub = len(codebooks)
+    w = len(codebooks[0][0])
+    dim = len(centroids[0])
+    if n_sub * w != dim:
+        raise ValueError(
+            f"codebooks cover dim {n_sub * w} but centroids have dim {dim}"
+        )
+    vn = "__ivfpq_vnorm__"
+    for side, df_in in (("vectors", vectors), ("queries", queries)):
+        if vn in df_in.columns:
+            raise ValueError(f"{side} already has internal column {vn!r}")
+    cells_sql = _cell_scores_sql(f"`{vec_col}`", f"`{vn}`", centroids, round_digits)
+    codes_sql, norm2hat, lut_sql, num = _pq_spark_sql(vec_col, codebooks)
+
+    coded = (
+        vectors.withColumn(vn, norm(F.col(vec_col), dim))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(f"-element_at({cells_sql}, 1).ncid").alias("cell"),
+            F.expr(codes_sql).alias("codes"),
+        )
+        .withColumn("nhat", F.expr(f"sqrt({norm2hat})"))
+    )
+    q = (
+        queries.withColumn(vn, norm(F.col(vec_col), dim))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vn).alias("qnorm"),
+            F.expr(lut_sql).alias("lut"),
+            F.expr(
+                f"explode(transform(slice({cells_sql}, 1, {n_probe}), s -> -s.ncid))"
+            ).alias("cell"),
+        )
+    )
+    # every corpus vector lives in exactly ONE cell, so the probe fan-out
+    # cannot duplicate a (query, neighbor) pair — no DISTINCT needed
+    # (unlike multi-band LSH where a pair can collide in several bands)
+    scored = (
+        coded.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", F.expr(f"round(({num}) / (qnorm * nhat), {round_digits})")
+        )
+    )
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("neighbor_id")

@@ -294,6 +294,117 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_ngram_profile",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        wl[CAST(g AS INT)] || ' ' || wl[CAST(g AS INT)+1] || ' ' || wl[CAST(g AS INT)+2] AS shingle
+      FROM w, unnest(range(1, len(wl)-1)) t(g)
+    ),
+    df AS (SELECT shingle, count(*) AS d FROM sh GROUP BY shingle),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CAST(d > 1 AS INT)) AS BIGINT) AS n_shared
+      FROM sh JOIN df USING (shingle) GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS dup_frac
+    FROM per
+    """,
+    doc="Per-document duplicated-n-gram fraction (Lee et al. 2022's "
+    "duplicate-text-fraction scan, reported per doc): what share of a "
+    "doc's distinct 3-gram shingles occur in >=1 OTHER document — the "
+    "memorization-risk rank a curation pass drops by. No pairing "
+    "anywhere (a chunk shared by 1e6 docs costs one aggregate row, "
+    "never 1e12 pairs): shingle df via map-side-combined groupBy, "
+    "occurrences re-join the distinct-shingle df table (hot shingle = "
+    "the skew AQE splits), per-doc count/sum bounded by doc length.",
+)
+def dup_ngram_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.dedup import dup_ngram_profile
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return dup_ngram_profile(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup: the crawl-frontier collapse
+# ---------------------------------------------------------------------------
+
+#: deterministic dirty-URL fixture derived from the documents table (it has
+#: no URL column): every congruence class exercises one normalization rule —
+#: %2 picks scheme (upper-cased HTTP:// half the time) and the http default
+#: port; %10=3 plants the https default port, %10=7 a REAL port that must
+#: survive; %3 plants a www. label; the path carries a duplicate slash;
+#: %4 plants tracker params / unsorted params / a fragment so classes
+#: {0,1,2} collapse to the same canonical query and %4=3 to none. Written
+#: as ONE engine-neutral SQL text (CASE/||/CAST only) so both sides build
+#: bit-identical raw URLs.
+_URL_FIXTURE_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || "
+    "source || '.example.com' || "
+    "CASE WHEN doc_id % 2 = 0 THEN ':80' WHEN doc_id % 10 = 3 THEN ':443' "
+    "WHEN doc_id % 10 = 7 THEN ':8080' ELSE '' END || "
+    "'/docs//' || CAST(doc_id % 25 AS STRING) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/?utm_source=feed&b=2&a=1' "
+    "WHEN doc_id % 4 = 1 THEN '?a=1&b=2' "
+    "WHEN doc_id % 4 = 2 THEN '?b=2&a=1&fbclid=XYZ' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _url_dedup_oracle(sf_dir: str) -> str:
+    from cruncher_spark.functions.text import canonicalize_url_sql
+
+    return f"""
+    WITH raw AS (SELECT doc_id, {_URL_FIXTURE_SQL} AS raw_url FROM documents),
+    canon AS (SELECT doc_id, raw_url,
+                     {canonicalize_url_sql("raw_url", "duckdb")} AS canon_url
+              FROM raw)
+    SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+           min(doc_id) AS first_doc
+    FROM canon GROUP BY canon_url
+    """
+
+
+@register(
+    "url_dedup",
+    oracle=_url_dedup_oracle,
+    doc="URL canonicalization + frontier dedup (the collapse every "
+    "CommonCrawl-scale pipeline runs before fetching or content-deduping): "
+    "lowercase scheme/host, strip userinfo/www./root dot/default port, "
+    "collapse duplicate slashes, drop fragment + tracker params "
+    "(utm_*/gclid/fbclid/msclkid), byte-sort surviving params — rendered "
+    "from ONE expression generator for BOTH engines "
+    "(functions/text.py canonicalize_url_sql, the pq_code_sql pattern) so "
+    "canonical forms cannot drift. Pure codegen string expressions, "
+    "zero Python; the dedup is one map-side-combined groupBy on the "
+    "canonical form. Fixture URLs are derived deterministically from "
+    "documents (see _URL_FIXTURE_SQL) since the table carries no URLs; "
+    "the WARC bridge (sources/warc.py warc_documents) feeds real ones.",
+)
+def url_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.functions.text import canonicalize_url
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return (
+        docs.select("doc_id", F.expr(_URL_FIXTURE_SQL).alias("raw_url"))
+        .withColumn("canon_url", canonicalize_url("raw_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_url").alias("n_raw_forms"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SH_CTE},
@@ -1735,7 +1846,14 @@ def _pq_codebooks(sf_dir: str) -> list:
     return books
 
 
-def _pq_oracle(sf_dir: str) -> str:
+def _pq_oracle_parts(sf_dir: str) -> tuple[str, str, str]:
+    """DuckDB texts ``(code_exprs, norm2hat, num)`` for the PQ encode /
+    reconstructed-norm / ADC-numerator expressions — shared verbatim by
+    the flat-scan oracle (:func:`_pq_oracle`) and the combined IVF+PQ
+    oracle (:func:`_ivfpq_oracle`) so the two gates pin the same discrete
+    encode path. ``code_exprs`` reads a ``v DOUBLE[]`` column; ``norm2hat``
+    and ``num`` read codes as ``c.c{{m}}`` and the query vector as
+    ``q.qv``."""
     from cruncher_spark.operators.similarity import _dbl, pq_code_sql
 
     books = _pq_codebooks(sf_dir)
@@ -1765,6 +1883,11 @@ def _pq_oracle(sf_dir: str) -> str:
         )
         for m in range(_PQ_M)
     )
+    return code_exprs, norm2hat, num
+
+
+def _pq_oracle(sf_dir: str) -> str:
+    code_exprs, norm2hat, num = _pq_oracle_parts(sf_dir)
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     codes AS (SELECT vec_id,
@@ -1804,6 +1927,84 @@ def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(Star(spark, sf_dir).embeddings)
     queries = emb.filter((F.col("vec_id") % 20) == 0)
     out = pq_topk(emb, queries, _pq_codebooks(sf_dir), k=_PQ_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+#: probe width for the combined IVF+PQ gate — the FAISS IVF16,PQ8 shape
+#: at the registry's quantizer sizes; 4 of 16 cells matches the
+#: ann_ivf_multiprobe contract so the two gates isolate exactly one
+#: variable (flat vectors vs PQ codes on the scored side)
+_IVFPQ_PROBE = 4
+
+
+def _ivfpq_oracle(sf_dir: str) -> str:
+    cents = _ivf_fitted_centroids_duckdb(sf_dir)
+    vals = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}])"
+        for cid, cv in enumerate(cents)
+    )
+    code_exprs, norm2hat, num = _pq_oracle_parts(sf_dir)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT cid, CAST(cv AS DOUBLE[]) AS cv FROM (VALUES {vals}) t(cid, cv)),
+    cellscore AS (SELECT e.vec_id, cid, {_CCOS} AS ccos FROM e CROSS JOIN cent),
+    rcells AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+      FROM cellscore
+    ),
+    codes AS (SELECT vec_id,
+      {code_exprs}
+      FROM e),
+    c AS (SELECT codes.*, cell FROM
+            (SELECT vec_id, cid AS cell FROM rcells WHERE crn = 1) a
+          JOIN codes USING (vec_id)),
+    q AS (SELECT query_id, cell, v AS qv,
+                 sqrt(list_dot_product(v, v)) AS qnorm
+          FROM (SELECT vec_id AS query_id, cid AS cell FROM rcells
+                WHERE crn <= {_IVFPQ_PROBE} AND vec_id < {_NDUP_FIXED_Q}) p
+          JOIN e ON e.vec_id = p.query_id),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+        round(({num}) / (q.qnorm * sqrt({norm2hat})), 6) AS score
+      FROM q JOIN c USING (cell) WHERE query_id <> c.vec_id
+    ),
+    ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register(
+    "ann_ivfpq",
+    oracle=_ivfpq_oracle,
+    doc="ANN scale path #4: combined IVF+PQ index (Jégou et al. TPAMI'11, "
+    f"FAISS IVF{_IVF_K},PQ{_PQ_M} with by_residual=False) — the coarse "
+    "quantizer prunes WHICH vectors each query scores (probe "
+    f"{_IVFPQ_PROBE} of {_IVF_K} fitted cells, same quantizer as the IVF "
+    "gates) and PQ compresses WHAT is scored (8 one-of-16 codes + "
+    "reconstructed norm, never raw floats). Corpus side is one map-side "
+    "projection emitting (cell, codes, nhat); queries broadcast with a "
+    "per-query ADC lookup table under the PRODUCTION contract (fixed "
+    f"driver-sized query set, vec_id < {_NDUP_FIXED_Q}), so gate cost is "
+    "Q x N*probe/K over ~8-byte compressed rows with Q constant as the "
+    "corpus grows. The PQ expression texts are shared verbatim with the "
+    "pq_topk gate on BOTH engines, so the combined index cannot "
+    "rank-drift from the flat scan; probe=K degenerates to exactly "
+    "pq_topk (pinned by test_ivfpq_probe_all_equals_flat_pq).",
+)
+def ann_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import ann_ivfpq_topk
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    emb = fan_out(raw)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
+    out = ann_ivfpq_topk(
+        emb, queries, _fitted_centroids(raw, sf_dir), _pq_codebooks(sf_dir),
+        n_probe=_IVFPQ_PROBE, k=_PQ_TOPK,
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -204,16 +204,23 @@ def warc_documents(
     spark: SparkSession, path: str, min_status: int = 200, max_status: int = 299
 ) -> DataFrame:
     """Crawl → curation bridge: successful HTML responses as
-    ``(doc_id, url, text)`` — the shape every text operator in this
-    repo consumes (dedup, quality, language-ID, containment, the
-    streaming ingest filters).
+    ``(doc_id, url, canon_url, text)`` — the shape every text operator
+    in this repo consumes (dedup, quality, language-ID, containment,
+    the streaming ingest filters).
 
     ``doc_id`` is the portable 64-bit hash of the record id (stable
-    across runs and engines); ``text`` is the JVM-side
-    :func:`cruncher_spark.functions.text.html_to_text` extraction —
-    the only Python in the whole path is the WARC frame parse.
+    across runs and engines); ``canon_url`` is the frontier-dedup key
+    (:func:`cruncher_spark.functions.text.canonicalize_url` — NULL for
+    a non-absolute WARC-Target-URI, the quarantine signal); ``text`` is
+    the JVM-side :func:`cruncher_spark.functions.text.html_to_text`
+    extraction — the only Python in the whole path is the WARC frame
+    parse.
     """
-    from cruncher_spark.functions.text import html_to_text, portable_hash64
+    from cruncher_spark.functions.text import (
+        canonicalize_url,
+        html_to_text,
+        portable_hash64,
+    )
 
     recs = read_warc(spark, path, types=("response",))
     return (
@@ -231,4 +238,6 @@ def warc_documents(
                 F.decode(F.col("payload"), "utf-8")
             ).alias("text"),
         )
+        .withColumn("canon_url", canonicalize_url("url"))
+        .select("doc_id", "url", "canon_url", "text")
     )

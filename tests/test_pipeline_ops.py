@@ -992,3 +992,76 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     assert recall[1] <= recall[4] <= recall[16]
     assert recall[4] > recall[1]  # 4x probed volume must buy recall here
     assert recall[16] == 1.0  # probing every cell IS brute force
+
+
+def test_ivfpq_probe_all_equals_flat_pq(spark):
+    """r8 combined IVF+PQ: the coarse quantizer only PRUNES — with every
+    cell probed the candidate set is the whole corpus and the ADC scoring
+    path is textually shared with pq_topk, so probe=K must reproduce the
+    flat PQ scan row-for-row.
+
+    Recall is asserted against the FLAT PQ ranking, where it is provably
+    monotone in n_probe: a flat-top-k member inside the probed candidate
+    set is beaten by < k candidates corpus-wide, so by < k in any subset
+    — top-k(S) ∩ flat-top-k = flat-top-k ∩ S, monotone in S. (Vs BRUTE
+    force it is NOT monotone — extra probed candidates can displace a
+    true neighbor via PQ-distorted scores; first run of this test
+    measured exactly that, probe-1 0.240 > probe-4 0.198 — which is why
+    IVF-flat's brute-force-recall assertion does not transfer here.)"""
+    from cruncher_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        centroid_sample,
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+        pq_topk,
+    )
+    from cruncher_spark.sources.tables import Star, fan_out
+
+    emb = fan_out(Star(spark, "/root/testdata/sf0.001").embeddings)
+    queries = emb.filter("vec_id < 32")
+    k_cells = 16
+    sample = centroid_sample(emb, "vec_id", "embedding")
+    cents = fit_ivf_centroids(sample, k_cells)
+    books = fit_pq_codebooks(sample, 8, 16)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    flat = rows(pq_topk(emb, queries, books, k=3))
+    probe_all = rows(
+        ann_ivfpq_topk(emb, queries, cents, books, n_probe=k_cells, k=3)
+    )
+    assert probe_all == flat  # pruning off == flat compressed scan
+
+    def pairs(got):
+        return {(q, n) for q, n, *_ in got}
+
+    pq_truth = pairs(flat)
+    r = {
+        n_probe: len(
+            pairs(
+                rows(
+                    ann_ivfpq_topk(
+                        emb, queries, cents, books, n_probe=n_probe, k=3
+                    )
+                )
+            )
+            & pq_truth
+        )
+        / len(pq_truth)
+        for n_probe in (1, 4, k_cells)
+    }
+    assert r[1] <= r[4] <= r[16]
+    assert r[4] > r[1]  # 4x probed volume must buy recall here
+    assert r[16] == 1.0  # probing every cell IS the flat scan
+
+
+def test_ivfpq_input_guards(spark):
+    from cruncher_spark.operators.similarity import ann_ivfpq_topk
+
+    df = spark.range(1)
+    with __import__("pytest").raises(ValueError, match="backtick"):
+        ann_ivfpq_topk(df, df, [[0.0] * 4], [[[0.0] * 2]], vec_col="a`b")
+    with __import__("pytest").raises(ValueError, match="dim"):
+        # codebooks cover 2 dims, centroids say 4
+        ann_ivfpq_topk(df, df, [[0.0] * 4], [[[0.0, 0.0]]])

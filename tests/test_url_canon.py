@@ -1,0 +1,111 @@
+"""URL canonicalization: cross-engine parity of the one-generator
+expression (functions/text.py canonicalize_url_sql), rule-by-rule
+behavior, and the dup_ngram_profile memorization scan's hand-checkable
+semantics."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cruncher_spark.functions.text import (
+    canonicalize_url,
+    canonicalize_url_sql,
+)
+
+CASES = [
+    # (raw, expected canonical or None)
+    (
+        "HTTP://WWW.Example.COM:80//a//b/?utm_source=x&b=2&a=1#frag",
+        "http://example.com/a/b?a=1&b=2",
+    ),
+    ("https://user:pw@example.com.:443/a/b/", "https://example.com/a/b"),
+    ("https://example.com:8080/x?gclid=1", "https://example.com:8080/x"),
+    ("http://example.com", "http://example.com/"),
+    ("http://www.example.com/?fbclid=abc&msclkid=1&utm_medium=m", "http://example.com/"),
+    ("ftp://Example.com:21/file", "ftp://example.com:21/file"),  # non-http port kept
+    ("http://example.com/?", "http://example.com/"),
+    ("http://example.com/a?z=1&a=2&m=3", "http://example.com/a?a=2&m=3&z=1"),
+    ("not a url", None),
+    ("//protocol-relative.example.com/x", None),
+    ("/relative/path", None),
+    ("", None),
+]
+
+
+def test_canonicalize_rules(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "u string")
+    got = [
+        r.c
+        for r in df.select(canonicalize_url("u").alias("c"))
+        .collect()
+    ]
+    assert got == [want for _, want in CASES]
+
+
+def test_cross_engine_parity(spark):
+    """The same generator rendered for DuckDB must produce identical
+    canonical forms — this is the gate's actual correctness surface."""
+    sql = canonicalize_url_sql("u", "duckdb")
+    con = duckdb.connect()
+    duck = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS u)", [raw]).fetchone()[0]
+        for raw, _ in CASES
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "u string")
+    sp = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    assert duck == sp
+
+
+def test_canonical_form_is_idempotent(spark):
+    """canon(canon(u)) == canon(u): a canonical URL re-entering the
+    frontier (e.g. from a recrawl log) must not collapse further."""
+    df = spark.createDataFrame(
+        [(r,) for r, want in CASES if want is not None], "u string"
+    )
+    two = df.select(
+        canonicalize_url("u").alias("c1")
+    ).select("c1", F.expr(canonicalize_url_sql("c1", "spark")).alias("c2"))
+    for row in two.collect():
+        assert row.c1 == row.c2
+
+
+def test_column_name_guards():
+    with pytest.raises(TypeError):
+        canonicalize_url(F.lit("http://x"))
+    with pytest.raises(ValueError, match="backtick"):
+        canonicalize_url("a`b")
+
+
+def test_dup_ngram_profile_hand_case(spark):
+    """Three docs: A and B share their full text (every shingle shared),
+    C is disjoint except one shingle planted in A."""
+    from cruncher_spark.operators.dedup import dup_ngram_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),       # 3 shingles, all in doc 2
+            (2, "the quick brown fox jumps"),
+            (3, "entirely different words here quick brown fox"),  # shares 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.dup_frac)
+        for r in dup_ngram_profile(docs).collect()
+    }
+    # doc1: shingles {the quick brown, quick brown fox, brown fox jumps};
+    # all 3 occur in doc2; 'quick brown fox' also in doc3
+    assert out[1] == (3, 3, 1.0)
+    assert out[2] == (3, 3, 1.0)
+    # doc3: 5 shingles, only 'quick brown fox' shared
+    assert out[3] == (5, 1, 0.2)
+
+
+def test_dup_ngram_profile_short_docs_drop(spark):
+    from cruncher_spark.operators.dedup import dup_ngram_profile
+
+    docs = spark.createDataFrame(
+        [(1, "two words"), (2, "one two three")], "doc_id long, text string"
+    )
+    got = {r.doc_id for r in dup_ngram_profile(docs).collect()}
+    assert got == {2}  # <3-word doc has no shingles on either engine
