@@ -233,6 +233,17 @@ class PointTable:
 
         ``version`` must be in :meth:`versions` — versions older than the
         retention window are garbage-collected at commit time.
+
+        LAZINESS CAVEAT: the returned DataFrame lists this version's
+        files on demand. A plan that will be evaluated AFTER a later
+        :meth:`merge` on the same table (e.g. a frontier anti-join fed
+        to a downstream sink after the frontier itself is updated) can
+        find those files garbage-collected — LSM compaction and bucket
+        rewrites retire old versions at commit (FAILED_READ_FILE).
+        Either evaluate/`localCheckpoint()` such a plan before the next
+        merge (what the ingest filters do internally), or construct the
+        table with ``retain_versions >= 2`` so the read's pinned version
+        survives one subsequent commit.
         """
         if version is not None:
             vdir = self.path / f"v_{version:06d}"
