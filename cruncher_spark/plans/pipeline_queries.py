@@ -437,6 +437,89 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_lsh_eval",
+    oracle=f"""
+    WITH {_SH_CTE},
+    mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_TAIL},
+    truth AS (
+      SELECT c.id_a, c.id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.5
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(SUM(CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit
+      FROM cand LEFT JOIN truth t
+        ON t.id_a = cand.id_a AND t.id_b = cand.id_b
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth)
+    SELECT n_true, n_cand, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall,
+           round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS lsh_precision
+    FROM m, n
+    """,
+    doc="LSH banding evaluation — candidate-stage recall/precision vs the "
+    "exact-Jaccard ground truth at tau=0.5, the measurement that tunes a "
+    "band/rows config before a 100 TB dedup run (the S-curve "
+    "P[cand] = 1-(1-j^rows)^bands made empirical on the actual corpus). "
+    "Recall = share of true near-dup pairs the banding surfaces (what "
+    "dedup would MISS); precision = share of candidates worth verifying "
+    "(wasted verification cost). One summary row: counts joined via the "
+    "broadcast scalar-attach pattern, never a second corpus scan; the "
+    "exact truth side is the quadratic verification primitive, so this "
+    "is an offline evaluation query, not a production-path operator.",
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        prefix_jaccard_pairs,
+        shingle_arrays,
+    )
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    arrs = shingle_arrays(docs, "doc_id", "text", 3).persist()
+    truth = (
+        prefix_jaccard_pairs(arrs, "doc_id", min_jaccard=0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    sigs = minhash_signatures(arrs, "doc_id", _NUM_HASHES)
+    cands = lsh_candidate_pairs(sigs, "doc_id", _NUM_HASHES, _BAND_SIZE)
+    m = (
+        cands.join(
+            truth.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    n = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    out = (
+        m.crossJoin(F.broadcast(n))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias("recall"),
+            F.round(F.col("n_hit").cast("double") / F.col("n_cand"), 6).alias("lsh_precision"),
+        )
+        .localCheckpoint()
+    )
+    truth.unpersist()
+    arrs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components over verified MinHash pairs
 # ---------------------------------------------------------------------------
