@@ -334,3 +334,51 @@ def phrase_oracle_sql(
     )
     SELECT {id_col}, count(*) AS n_matches FROM hits GROUP BY {id_col}
     """
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    over N ranked lists — the standard hybrid-retrieval combiner
+    (lexical BM25 + semantic ANN being the canonical pair): each list
+    contributes ``1/(rrf_k + rank)`` and items are re-ranked by the sum.
+    Rank-based, so the lists' incomparable score scales never need
+    calibration — exactly why RRF is the production default.
+
+    Inputs carry (id, rank) with rank 1-based and deterministic
+    (round-then-rank with an id tie-break, the repo-wide discipline —
+    otherwise fusion output depends on partitioning). Fusion is one
+    union + one map-side-combinable groupBy over ~N*k rows (the lists
+    are top-k sized, never corpus-sized), then TakeOrdered — no joins,
+    no corpus scan, trivially parallel at any N.
+
+    The per-list term is written ``CAST(1 AS DOUBLE)/(rrf_k+rank)``
+    (never a bare ``1.0`` literal: DuckDB parses that as DECIMAL(2,1)
+    and its decimal division would drift from Spark's double). With the
+    canonical two lists the sum has <= 2 addends, so IEEE addition
+    order cannot change the rounded value.
+
+    Output: (id, rrf, n_lists) — top ``k`` by fused score, id tie-break.
+    """
+    from functools import reduce
+
+    u = reduce(
+        DataFrame.unionByName,
+        [df.select(F.col(id_col), F.col("rank")) for df in ranked],
+    )
+    term = F.lit(1).cast("double") / (F.lit(rrf_k) + F.col("rank"))
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(F.sum(term), round_digits).alias("rrf"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )

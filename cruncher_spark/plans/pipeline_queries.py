@@ -1860,6 +1860,100 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
 
 
+#: hybrid-retrieval contract: each retriever contributes its top-20, RRF
+#: re-ranks to 10. The semantic query is vector 0 (fixed, the production
+#: fixed-Q contract); the embeddings table stands in for the documents'
+#: embeddings by id (the fixture ships them as parallel id domains).
+_RRF_LIST_K, _RRF_OUT_K, _RRF_K = 20, 10, 60
+_RRF_QVEC = 0
+
+
+def _hybrid_rrf_oracle(sf_dir: str) -> str:
+    bm25 = bm25_oracle_sql(_BM25_TERMS, k=_RRF_LIST_K)
+    return f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM ({bm25})
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_RRF_QVEC}),
+    sem_scored AS (
+      SELECT vec_id AS doc_id, {_COS.replace('cv', 'v')} AS cos
+      FROM e CROSS JOIN q WHERE vec_id <> {_RRF_QVEC}
+    ),
+    sem AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+        FROM sem_scored) t
+      WHERE rank <= {_RRF_LIST_K}
+    ),
+    u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+    SELECT doc_id,
+           round(SUM(CAST(1 AS DOUBLE) / ({_RRF_K} + rank)), 6) AS rrf,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT_K}
+    """
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=_hybrid_rrf_oracle,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "SIGIR'09): BM25 lexical top-20 and embedding-cosine semantic top-20 "
+    "re-ranked by sum of 1/(60+rank) — the production default for "
+    "combining retrievers whose score scales are incomparable (rank-based, "
+    "so no calibration). Each retriever keeps its own audited scale shape "
+    "(BM25 postings-only shuffle; fixed-query cosine scan — swap in "
+    "ann_ivfpq at scale); fusion itself is one union + groupBy over 40 "
+    "rows. Scores round before ranking on both engines so ranks, and "
+    "therefore the fused order, are bit-deterministic.",
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cruncher_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from cruncher_spark.operators.similarity import cosine
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    emb = fan_out(Star(spark, sf_dir).embeddings)
+
+    lex = bm25_topk(docs, _BM25_TERMS, k=_RRF_LIST_K).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    q = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qv")
+    )
+    # TakeOrdered top-k FIRST (distributed, no global sort), then the
+    # single-partition window ranks only the 20 survivors — ranking the
+    # scored corpus directly would drag N rows through one partition
+    sem_top = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv"), EMB_DIM), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(_RRF_LIST_K)
+    )
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex, sem], k=_RRF_OUT_K, rrf_k=_RRF_K)
+
+
 # ---------------------------------------------------------------------------
 # paragraph-level dedup (Dolma-style) with reconstruction
 # ---------------------------------------------------------------------------

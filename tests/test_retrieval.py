@@ -110,3 +110,30 @@ def test_phrase_plan_has_no_shuffle(spark):
     docs = _docs(spark, [(1, "a b c")])
     plan = phrase_match_counts(docs, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero-shuffle narrow scan
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF semantics pinned by hand: doc 1 ranks 1st+2nd -> 1/61+1/62;
+    doc 2 only in list A (1/62); doc 3 only in list B (1/61); fusion
+    favors multi-list presence, ties break by id."""
+    from cruncher_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank int")
+    got = {r.doc_id: (r.rrf, r.n_lists) for r in rrf_fuse([a, b]).collect()}
+    assert got[1] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert got[2] == (round(1 / 62, 6), 1)
+    assert got[3] == (round(1 / 61, 6), 1)
+    order = [r.doc_id for r in rrf_fuse([a, b]).collect()]
+    assert order == [1, 3, 2]  # fused score desc, 3 (1/61) beats 2 (1/62)
+
+
+def test_rrf_fuse_topk_and_single_list(spark):
+    from cruncher_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "doc_id long, rank int"
+    )
+    out = rrf_fuse([a], k=3).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+    assert all(r.n_lists == 1 for r in out)
