@@ -520,6 +520,144 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: cross-snapshot fixture offsets: the "new snapshot" is derived from the
+#: corpus deterministically — every 10th doc recrawled verbatim (must be
+#: dropped against history) and every (10k+5)th doc word-REVERSED (shares
+#: no 3-gram shingles with its source, so it is genuinely new content);
+#: verification is exact either way, so the gate pins whatever both
+#: engines compute, not the construction's intent.
+_XSNAP_RE_OFF, _XSNAP_FR_OFF = 10_000_000, 20_000_000
+
+
+def _xsnap_band_sel(table: str) -> str:
+    """_BAND_SELECTS parameterized by mh-table name (it hardcodes ``mh``)."""
+    return "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM {t}".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"CAST(mh_{b * _BAND_SIZE + j} AS VARCHAR)"
+                for j in range(_BAND_SIZE)
+            ),
+            t=table,
+        )
+        for b in range(_N_BANDS)
+    )
+
+
+@register(
+    "dedup_cross_snapshot",
+    oracle=f"""
+    WITH newdocs AS (
+      SELECT doc_id + {_XSNAP_RE_OFF} AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + {_XSNAP_FR_OFF},
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    wo AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    sho AS (
+      SELECT DISTINCT doc_id,
+        wl[CAST(g AS INT)] || ' ' || wl[CAST(g AS INT)+1] || ' ' || wl[CAST(g AS INT)+2] AS shingle
+      FROM wo, unnest(range(1, len(wl)-1)) t(g)
+    ),
+    wn AS (SELECT doc_id, string_split(text, ' ') AS wl FROM newdocs),
+    shn AS (
+      SELECT DISTINCT doc_id,
+        wl[CAST(g AS INT)] || ' ' || wl[CAST(g AS INT)+1] || ' ' || wl[CAST(g AS INT)+2] AS shingle
+      FROM wn, unnest(range(1, len(wl)-1)) t(g)
+    ),
+    mho AS (SELECT doc_id, {_MH_COLS} FROM sho GROUP BY doc_id),
+    mhn AS (SELECT doc_id, {_MH_COLS} FROM shn GROUP BY doc_id),
+    bo AS ({_xsnap_band_sel("mho")}),
+    bn AS ({_xsnap_band_sel("mhn")}),
+    cand AS (
+      SELECT DISTINCT bo.doc_id AS old_id, bn.doc_id AS new_id
+      FROM bo JOIN bn USING (band_idx, band_key)
+    ),
+    so AS (SELECT doc_id, count(*) AS n FROM sho GROUP BY doc_id),
+    sn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+    common AS (
+      SELECT c.old_id, c.new_id, count(*) AS cnt
+      FROM cand c
+      JOIN sho a ON a.doc_id = c.old_id
+      JOIN shn b ON b.doc_id = c.new_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT new_id, min(old_id) AS dup_of
+      FROM common
+      JOIN so ON so.doc_id = common.old_id
+      JOIN sn ON sn.doc_id = common.new_id
+      WHERE CAST(cnt AS DOUBLE) / (so.n + sn.n - cnt) >= 0.5
+      GROUP BY new_id
+    )
+    SELECT n.doc_id AS new_id, v.dup_of, (v.dup_of IS NULL) AS kept
+    FROM newdocs n LEFT JOIN verified v ON v.new_id = n.doc_id
+    """,
+    doc="Cross-snapshot incremental dedup — the production RECRAWL shape: "
+    "a new snapshot is near-dup-checked against the existing corpus only "
+    "(new x old banded candidates, NEVER old x old — history never "
+    "re-pairs with itself, so ingesting a snapshot costs "
+    "O(new x corpus/band-buckets) regardless of how much history has "
+    "accumulated). Candidates via lsh_cross_candidates: the snapshot "
+    "side's band rows broadcast, the corpus side never shuffles for "
+    "candidate generation; exact-Jaccard verification, min-old-id "
+    "provenance. Verbatim recrawls (every 10th doc) must be dropped; "
+    "word-reversed variants (no shared 3-grams) must survive.",
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.dedup import (
+        lsh_cross_candidates,
+        minhash_signatures,
+        shingle_arrays,
+    )
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    recrawl = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _XSNAP_RE_OFF).alias("doc_id"), "text"
+    )
+    fresh = docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + _XSNAP_FR_OFF).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+    )
+    new = recrawl.unionByName(fresh)
+
+    old_sh = shingle_arrays(
+        docs.select(F.col("doc_id").alias("old_id"), "text"), "old_id", "text"
+    ).persist()
+    new_sh = shingle_arrays(
+        new.select(F.col("doc_id").alias("new_id"), "text"), "new_id", "text"
+    ).persist()
+    sig_o = minhash_signatures(old_sh, "old_id", _NUM_HASHES)
+    sig_n = minhash_signatures(new_sh, "new_id", _NUM_HASHES)
+    cand = lsh_cross_candidates(
+        sig_o, sig_n, "old_id", "new_id", _NUM_HASHES, _BAND_SIZE
+    )
+    pairs = cand.join(
+        old_sh.select("old_id", F.col("sh").alias("sh_a")), "old_id"
+    ).join(F.broadcast(new_sh.select("new_id", F.col("sh").alias("sh_b"))), "new_id")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    verified = (
+        pairs.where(jac >= 0.5)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"))
+    )
+    out = (
+        new.select(F.col("doc_id").alias("new_id"))
+        .join(verified, "new_id", "left")
+        .select("new_id", "dup_of", F.col("dup_of").isNull().alias("kept"))
+        .localCheckpoint()
+    )
+    old_sh.unpersist()
+    new_sh.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components over verified MinHash pairs
 # ---------------------------------------------------------------------------
