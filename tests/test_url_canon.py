@@ -109,3 +109,77 @@ def test_dup_ngram_profile_short_docs_drop(spark):
     )
     got = {r.doc_id for r in dup_ngram_profile(docs).collect()}
     assert got == {2}  # <3-word doc has no shingles on either engine
+
+
+# -- property fuzz: cross-engine parity on generated URL-ish inputs ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1,
+    max_size=8,
+)
+_scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", "Custom"])
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":0080"])
+_www = st.sampled_from(["", "www.", "WWW."])
+_userinfo = st.sampled_from(["", "u@", "user:pw@"])
+_trail_dot = st.sampled_from(["", "."])
+_pathseg = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789._~%-", min_size=0, max_size=6
+)
+_param = st.one_of(
+    st.tuples(_pathseg, _pathseg).map(lambda t: f"{t[0]}={t[1]}"),
+    st.sampled_from(
+        ["utm_source=x", "utm_medium", "gclid=1", "fbclid=z", "msclkid=q",
+         "ref=keepme", "a", ""]
+    ),
+)
+_urlish = st.builds(
+    lambda sch, ui, www, labels, dot, port, segs, dupslash, params, frag: (
+        f"{sch}://{ui}{www}{'.'.join(labels)}{dot}{port}"
+        + ("//" if dupslash else "/").join([""] + segs)
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    _scheme,
+    _userinfo,
+    _www,
+    st.lists(_label, min_size=1, max_size=3),
+    _trail_dot,
+    _port,
+    st.lists(_pathseg, min_size=0, max_size=3),
+    st.booleans(),
+    st.lists(_param, min_size=0, max_size=4),
+    st.sampled_from(["", "#f", "#a?b=1"]),
+)
+_garbage = st.text(max_size=20).filter(lambda s: "'" not in s)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.one_of(_urlish, _garbage.map(lambda s: s)), min_size=1, max_size=24))
+def test_fuzz_cross_engine_parity_and_idempotence(spark, urls):
+    """For ANY input (well-formed or garbage): DuckDB and Spark render the
+    SAME canonical form (or both NULL), and re-canonicalizing a canonical
+    form is a fixed point."""
+    urls = [u for u in urls if "'" not in u]  # duckdb literal quoting only
+    if not urls:
+        return
+    sql = canonicalize_url_sql("u", "duckdb")
+    con = duckdb.connect()
+    duck = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS u)", [u]).fetchone()[0]
+        for u in urls
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    out = df.select(
+        "u",
+        canonicalize_url("u").alias("c1"),
+    ).select("u", "c1", F.expr(canonicalize_url_sql("c1", "spark")).alias("c2"))
+    rows = out.collect()
+    sp = [r.c1 for r in rows]
+    assert sp == duck, list(zip(urls, sp, duck))
+    for r in rows:
+        if r.c1 is not None:
+            assert r.c2 == r.c1, (r.u, r.c1, r.c2)
