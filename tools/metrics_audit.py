@@ -81,6 +81,23 @@ _NOTES = {
         "the documented cost of exact triangle counting, not a plan "
         "defect"
     ),
+    "dedup_lsh_eval": (
+        "0-byte rows: the gate localCheckpoints its one-row summary so "
+        "both persisted inputs can be released before the plan escapes "
+        "(the r6 cache-leak discipline), so the audited plan reads the "
+        "checkpoint; the shuffles it would show are exactly "
+        "dedup_minhash_lsh's (bands) + dedup_ngram_jaccard's (exact "
+        "truth) — both measured on their own rows; wall clock is the "
+        "signal here, and STRESS.md carries the unique-content curve"
+    ),
+    "dedup_cross_snapshot": (
+        "0-byte rows for the same localCheckpoint reason (two persisted "
+        "shingle tables released before return); the candidate join "
+        "broadcasts the snapshot side by construction "
+        "(lsh_cross_candidates), so the only corpus-sized exchange is "
+        "the old side's band shuffle — dedup_minhash_lsh's measured "
+        "shape; STRESS.md carries the unique-content curve"
+    ),
 }
 
 
