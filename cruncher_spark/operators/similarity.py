@@ -1103,6 +1103,80 @@ def ann_ivfpq_topk(
     )
 
 
+def ann_ivfpq_refine(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    refine: int = 10,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF+PQ search with an exact re-rank tail — the full FAISS
+    ``index.search`` + refine recipe: the compressed-domain scan
+    (:func:`ann_ivfpq_topk`) keeps ``refine`` candidates per query by
+    ADC score, then ONE raw-vector fetch re-scores exactly and the
+    final top-``k`` ranks on true cosine. PQ distortion decides only
+    which ``refine`` candidates surface, never the returned order —
+    the two-stage trade every production ANN deployment runs (scan
+    8-byte codes for the corpus, touch raw floats for Q x refine rows
+    only).
+
+    The raw fetch broadcasts the Q x refine candidate list into the
+    corpus scan (one pass, no corpus shuffle); queries broadcast with
+    their raw vectors. If the true top-k survive the compressed stage,
+    the output IS the brute-force answer — probe=K with corpus-sized
+    ``refine`` is pinned equal to :func:`brute_force_topk` by
+    ``test_ivfpq_refine_probe_all_is_brute_force``.
+
+    Output: (query_id, neighbor_id, rank, cos) — exact cosine, the
+    :func:`brute_force_topk` contract (so refined results are directly
+    comparable to the exact baseline, unlike the ADC ``score``).
+    """
+    dim = len(centroids[0])
+    cand = ann_ivfpq_topk(
+        vectors, queries, centroids, codebooks,
+        id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, k=refine, round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    vn = "__refine_vnorm__"
+    raw_n = vectors.withColumn(vn, norm(F.col(vec_col), dim)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col(vn).alias("n_norm"),
+    )
+    raw_q = queries.withColumn(vn, norm(F.col(vec_col), dim)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(vn).alias("q_norm"),
+    )
+    scored = (
+        raw_n.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(raw_q), "query_id")
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"), dim)
+                / (F.col("q_norm") * F.col("n_norm")),
+                round_digits,
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # domain fingerprints: per-group centroid similarity matrix
 # ---------------------------------------------------------------------------

@@ -2323,6 +2323,64 @@ def ann_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+#: refine width: the compressed stage keeps 10 ADC candidates per query,
+#: the exact tail re-ranks them to the final 3
+_IVFPQ_REFINE = 10
+
+
+def _ivfpq_refine_oracle(sf_dir: str) -> str:
+    adc = _ivfpq_oracle(sf_dir)
+    # the ADC oracle ends by selecting its top _PQ_TOPK; widen to the
+    # refine width by swapping the final LIMIT-equivalent rank bound
+    adc_wide = adc.replace(
+        f"WHERE rank <= {_PQ_TOPK}", f"WHERE rank <= {_IVFPQ_REFINE}"
+    )
+    return f"""
+    WITH adc AS ({adc_wide}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exact AS (
+      SELECT adc.query_id, adc.neighbor_id,
+        round(list_dot_product(q.v, n.v)
+              / (sqrt(list_dot_product(q.v, q.v))
+                 * sqrt(list_dot_product(n.v, n.v))), 6) AS cos
+      FROM adc
+      JOIN e q ON q.vec_id = adc.query_id
+      JOIN e n ON n.vec_id = adc.neighbor_id
+    ),
+    rr AS (SELECT *, row_number() OVER
+           (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM exact)
+    SELECT query_id, neighbor_id, rank, cos FROM rr WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@register(
+    "ann_ivfpq_refine",
+    oracle=_ivfpq_refine_oracle,
+    doc="IVF+PQ search with exact re-rank — the full production ANN "
+    f"recipe: the compressed stage (ann_ivfpq's exact plan) keeps "
+    f"{_IVFPQ_REFINE} ADC candidates per query, one raw-vector fetch "
+    "(Q x refine candidate list BROADCAST into a single corpus pass — "
+    "no corpus shuffle) re-scores exactly, and the final top-3 ranks on "
+    "true cosine, so PQ distortion picks candidates but never the "
+    "returned order. Output is exact cosine (brute_force_topk's "
+    "contract); probe=K with corpus-wide refine is pinned equal to "
+    "brute force by test_ivfpq_refine_probe_all_is_brute_force.",
+)
+def ann_ivfpq_refine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import ann_ivfpq_refine
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    emb = fan_out(raw)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
+    out = ann_ivfpq_refine(
+        emb, queries, _fitted_centroids(raw, sf_dir), _pq_codebooks(sf_dir),
+        n_probe=_IVFPQ_PROBE, refine=_IVFPQ_REFINE, k=_PQ_TOPK,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # fuzzy join: edit-distance <= 1 record linkage via symmetric deletes
 # ---------------------------------------------------------------------------

@@ -1,3 +1,4 @@
+from cruncher_spark.streaming.frontier import UrlFrontier
 from cruncher_spark.streaming.worker import CrunchWorker
 
-__all__ = ["CrunchWorker"]
+__all__ = ["CrunchWorker", "UrlFrontier"]

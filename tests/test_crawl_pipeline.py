@@ -1,14 +1,17 @@
 """End-to-end crawl ingestion: WARC segments arriving as micro-batches,
-frontier URL dedup (canonical-URL PointTable, KEEP policy) in front of
-the streaming content near-dup filter — the composition a continuous
-crawl pipeline actually runs:
+frontier URL dedup (UrlFrontier — replay-stable seen-set over a KEEP-policy
+LSM PointTable) in front of the streaming content near-dup filter:
 
-    segment.warc.gz -> warc_documents -> canon_url frontier -> NearDupIngest
+    segment.warc.gz -> warc_documents -> UrlFrontier.filter_fresh -> NearDupIngest
 
 Pins that (a) a refetch of an already-seen canonical URL (tracker-param
 variant) never reaches the content filter, (b) a mirrored page at a NEW
 URL passes the frontier and is dropped by content dedup against history,
-(c) everything else survives with its text extracted.
+(c) everything else survives, and (d) the frontier's fresh set is
+REPLAY-STABLE: a batch that crashed between the frontier merge and the
+downstream ingest is NOT lost on replay (the hazard a naive
+anti-join-then-merge frontier has — its replayed anti-join drops the
+whole batch because its own crashed run already recorded the URLs).
 """
 
 from __future__ import annotations
@@ -62,41 +65,20 @@ SEGMENTS = [
 
 
 def test_crawl_frontier_plus_content_dedup(spark, tmp_path):
-    from cruncher_spark.merge.upsert import MergePolicy, PointTable
     from cruncher_spark.sources.warc import warc_documents
+    from cruncher_spark.streaming.frontier import UrlFrontier
     from cruncher_spark.streaming.neardup import NearDupIngest
 
-    url_state = PointTable(
-        spark,
-        str(tmp_path / "urls"),
-        key=["canon_url"],
-        policies={"first_doc": MergePolicy.KEEP},
-        mode="lsm",
-    )
+    frontier = UrlFrontier(spark, str(tmp_path / "urls"))
     ingest = NearDupIngest(spark, str(tmp_path / "state"))
 
     doc_ids: dict[str, int] = {}  # record url -> doc_id, for assertions
-    seen_any = False
     for i, pages in enumerate(SEGMENTS):
         seg = _segment(tmp_path / f"segment-{i}.warc", pages)
-        docs = warc_documents(spark, seg).where(F.col("canon_url").isNotNull())
+        docs = warc_documents(spark, seg)
         for r in docs.select("url", "doc_id").collect():
             doc_ids[r.url] = r.doc_id
-        if seen_any:
-            seen = url_state.read().select("canon_url")
-            # materialize BEFORE the frontier merge below: the anti-join
-            # reads the frontier's current version lazily, and the merge's
-            # LSM compaction garbage-collects that version's files (the
-            # read() docstring caveat — this test hit FAILED_READ_FILE
-            # without the checkpoint)
-            fresh = docs.join(seen, "canon_url", "left_anti").localCheckpoint()
-        else:
-            fresh = docs
-        url_state.merge(
-            fresh.select("canon_url", F.col("doc_id").alias("first_doc")),
-            batch_id=f"urls-{i}",
-        )
-        seen_any = True
+        fresh = frontier.filter_fresh(docs, batch_id=f"crawl-{i}")
         ingest.process_batch(fresh.select("doc_id", "text"), batch_id=i)
 
     retained = {r.doc_id for r in ingest.retained().select("doc_id").collect()}
@@ -119,46 +101,74 @@ def test_crawl_frontier_plus_content_dedup(spark, tmp_path):
     )
 
     # the refetch was dropped by the FRONTIER: the content filter never saw
-    # it — no decision row, not retained, and its changed text is nowhere
-    # (retained() holds signatures, not text — identity checks only)
+    # it — no decision row, not retained
     refetch_id = doc_ids["HTTP://b.example:80/page?utm_source=recrawl"]
     assert refetch_id not in decisions
     assert refetch_id not in retained
 
-    # frontier state holds one row per canonical URL (refetch collapsed
-    # onto the original's row by the KEEP policy)
+    # frontier state holds one row per canonical URL, crediting the batch
+    # that introduced it (refetch collapsed onto the original's row)
     urls = {
-        r.canon_url: r.first_doc for r in url_state.read().collect()
+        r.canon_url: (r.first_doc, r.first_batch)
+        for r in frontier.seen_urls().collect()
     }
-    assert urls["http://b.example/page"] == doc_ids["http://b.example/page"]
+    assert urls["http://b.example/page"] == (
+        doc_ids["http://b.example/page"],
+        "crawl-0",
+    )
     assert len(urls) == 5  # a, b, c, d, mirror
 
 
-def test_crawl_frontier_replay_is_idempotent(spark, tmp_path):
-    """Re-processing a segment with the same batch ids (crash-replay) must
-    change neither the frontier nor the retained set — both state stores
-    sit behind the batch-id ledger."""
-    from cruncher_spark.merge.upsert import MergePolicy, PointTable
+def test_frontier_replay_returns_identical_fresh_set(spark, tmp_path):
+    """The hazard this class exists for: crash AFTER the frontier merge,
+    BEFORE the downstream ingest — replaying the batch must return the
+    SAME fresh set (a naive anti-join frontier returns the empty set and
+    silently loses the batch)."""
     from cruncher_spark.sources.warc import warc_documents
-    from cruncher_spark.streaming.neardup import NearDupIngest
+    from cruncher_spark.streaming.frontier import UrlFrontier
 
-    url_state = PointTable(
-        spark,
-        str(tmp_path / "urls"),
-        key=["canon_url"],
-        policies={"first_doc": MergePolicy.KEEP},
-        mode="lsm",
+    frontier = UrlFrontier(spark, str(tmp_path / "urls"))
+    seg0 = _segment(tmp_path / "seg0.warc", SEGMENTS[0])
+    docs0 = warc_documents(spark, seg0)
+    first = {r.doc_id for r in frontier.filter_fresh(docs0, "b-0").collect()}
+    assert len(first) == 2
+    # state committed; now "crash" and replay the SAME batch id
+    replay = {r.doc_id for r in frontier.filter_fresh(docs0, "b-0").collect()}
+    assert replay == first  # not empty — the batch is not lost
+    assert frontier.seen_urls().count() == 2  # and state did not double
+
+    # a LATER batch refetching one of those URLs is still filtered
+    seg1 = _segment(
+        tmp_path / "seg1.warc",
+        [("rec-a2", "http://a.example/page?utm_source=x", "changed alpha")],
     )
-    ingest = NearDupIngest(spark, str(tmp_path / "state"))
-    seg = _segment(tmp_path / "seg.warc", SEGMENTS[0])
-    docs = warc_documents(spark, seg).where(F.col("canon_url").isNotNull())
+    later = frontier.filter_fresh(warc_documents(spark, seg1), "b-1")
+    assert later.count() == 0
 
-    for _ in range(2):  # second pass = replay after a crash
-        url_state.merge(
-            docs.select("canon_url", F.col("doc_id").alias("first_doc")),
-            batch_id="urls-0",
-        )
-        ingest.process_batch(docs.select("doc_id", "text"), batch_id=0)
 
-    assert url_state.read().count() == 2
-    assert ingest.retained().count() == 2
+def test_frontier_in_batch_refetch_collapses_deterministically(spark, tmp_path):
+    """Two fetches of the same canonical URL inside ONE batch keep exactly
+    the lowest-id row, regardless of partitioning."""
+    from cruncher_spark.streaming.frontier import UrlFrontier
+
+    rows = [
+        (7, "http://x.example/p?utm_source=a", "http://x.example/p", "late"),
+        (3, "http://x.example/p", "http://x.example/p", "early"),
+        (9, "http://y.example/q", "http://y.example/q", "other"),
+        (11, None, None, "quarantined"),  # non-absolute target URI
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, canon_url string, text string"
+    ).repartition(8)
+    frontier = UrlFrontier(spark, str(tmp_path / "urls"))
+    fresh = {r.doc_id: r.text for r in frontier.filter_fresh(docs, "b-0").collect()}
+    assert fresh == {3: "early", 9: "other"}
+    assert frontier.seen_urls().count() == 2  # NULL canon never recorded
+
+
+def test_frontier_requires_canon_url(spark, tmp_path):
+    from cruncher_spark.streaming.frontier import UrlFrontier
+
+    frontier = UrlFrontier(spark, str(tmp_path / "urls"))
+    with pytest.raises(ValueError, match="canon_url"):
+        frontier.filter_fresh(spark.range(1), "b-0")

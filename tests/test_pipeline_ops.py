@@ -1065,3 +1065,48 @@ def test_ivfpq_input_guards(spark):
     with __import__("pytest").raises(ValueError, match="dim"):
         # codebooks cover 2 dims, centroids say 4
         ann_ivfpq_topk(df, df, [[0.0] * 4], [[[0.0, 0.0]]])
+
+
+def test_ivfpq_refine_probe_all_is_brute_force(spark):
+    """With every cell probed and a corpus-sized refine width, the exact
+    re-rank tail sees every vector — the output must BE brute force.
+    With the production widths, refined recall (exact cosine order over
+    ADC-picked candidates) must be >= the pure compressed ranking's."""
+    from cruncher_spark.operators.similarity import (
+        ann_ivfpq_refine,
+        ann_ivfpq_topk,
+        brute_force_topk,
+        centroid_sample,
+        fit_ivf_centroids,
+        fit_pq_codebooks,
+    )
+    from cruncher_spark.sources.tables import Star, fan_out
+
+    emb = fan_out(Star(spark, "/root/testdata/sf0.001").embeddings)
+    queries = emb.filter("vec_id < 32")
+    k_cells = 16
+    sample = centroid_sample(emb, "vec_id", "embedding")
+    cents = fit_ivf_centroids(sample, k_cells)
+    books = fit_pq_codebooks(sample, 8, 16)
+    n = emb.count()
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    truth = rows(brute_force_topk(emb, queries, dim=64, k=3))
+    full = rows(
+        ann_ivfpq_refine(
+            emb, queries, cents, books, n_probe=k_cells, refine=n, k=3
+        )
+    )
+    assert full == truth  # candidates = everything, exact order = brute force
+
+    def pairs(got):
+        return {(q, nb) for q, nb, *_ in got}
+
+    t = pairs(truth)
+    refined = pairs(
+        rows(ann_ivfpq_refine(emb, queries, cents, books, n_probe=4, refine=10, k=3))
+    )
+    adc = pairs(rows(ann_ivfpq_topk(emb, queries, cents, books, n_probe=4, k=3)))
+    assert len(refined & t) >= len(adc & t)
