@@ -212,7 +212,12 @@ def canonicalize_url_sql(url: str, dialect: str) -> str:
     path = rep(path, "/{2,}", "/")
     path = rep(path, "/$", "")
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
-    query = f"regexp_extract({url}, '[?]([^#]*)', 1)"
+    # anchored: the first '?' counts only if it precedes the first '#' —
+    # an unanchored '[?]' scanned the WHOLE URL, so a '?' inside the
+    # fragment ('/page#a?b=1', hash-router URLs) leaked fragment content
+    # into the canonical query and collided with genuinely distinct URLs
+    # (ADVICE r8 high; '#-before-?' cases pinned in tests/test_url_canon.py)
+    query = f"regexp_extract({url}, '^[^#?]*[?]([^#]*)', 1)"
     keep = d["rmatch"].format(x="p", p=URL_TRACKER_PATTERN)
     params = (
         f"{d['lfilter']}({d['split']}({query}, '&'), "

@@ -2252,7 +2252,14 @@ def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_PROBE = 4
 
 
-def _ivfpq_oracle(sf_dir: str) -> str:
+def _ivfpq_oracle(sf_dir: str, rank_bound: int | None = None) -> str:
+    """ADC oracle; ``rank_bound`` widens the final top-k cut (the refine
+    oracle keeps :data:`_IVFPQ_REFINE` ADC candidates before its exact
+    re-rank) — a real parameter, not post-hoc string surgery on the
+    rendered SQL, which silently no-ops if the text is ever reworded
+    (ADVICE r8 low)."""
+    if rank_bound is None:
+        rank_bound = _PQ_TOPK
     cents = _ivf_fitted_centroids_duckdb(sf_dir)
     vals = ", ".join(
         f"({cid}, [{', '.join(repr(x) for x in cv)}])"
@@ -2287,7 +2294,7 @@ def _ivfpq_oracle(sf_dir: str) -> str:
     ranked AS (SELECT *, row_number() OVER
                (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
                FROM scored)
-    SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {_PQ_TOPK}
+    SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= {rank_bound}
     """
 
 
@@ -2329,12 +2336,7 @@ _IVFPQ_REFINE = 10
 
 
 def _ivfpq_refine_oracle(sf_dir: str) -> str:
-    adc = _ivfpq_oracle(sf_dir)
-    # the ADC oracle ends by selecting its top _PQ_TOPK; widen to the
-    # refine width by swapping the final LIMIT-equivalent rank bound
-    adc_wide = adc.replace(
-        f"WHERE rank <= {_PQ_TOPK}", f"WHERE rank <= {_IVFPQ_REFINE}"
-    )
+    adc_wide = _ivfpq_oracle(sf_dir, rank_bound=_IVFPQ_REFINE)
     return f"""
     WITH adc AS ({adc_wide}),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -37,6 +37,10 @@ from cruncher_spark.merge.upsert import MergePolicy, PointTable
 
 __all__ = ["UrlFrontier"]
 
+#: reserved alias for the state's first_batch column inside filter_fresh's
+#: left join — never collides with a user frame (rejected if present)
+_SEEN_BATCH_COL = "__frontier_first_batch__"
+
 
 class UrlFrontier:
     """Persistent canonical-URL seen-set with replay-stable fresh-set
@@ -83,6 +87,10 @@ class UrlFrontier:
         """
         if "canon_url" not in docs.columns:
             raise ValueError("docs must carry a canon_url column")
+        if _SEEN_BATCH_COL in docs.columns:
+            raise ValueError(
+                f"docs must not carry the reserved column {_SEEN_BATCH_COL}"
+            )
         batch = docs.where(F.col("canon_url").isNotNull())
         # in-batch refetch collapse: lowest id wins, deterministically —
         # a groupBy min-struct, not dropDuplicates (whose survivor depends
@@ -106,8 +114,8 @@ class UrlFrontier:
             if seen is not None:
                 joined = winner.join(seen, "canon_url", "left")
                 fresh = joined.where(
-                    F.col("first_batch").isNull()
-                    | (F.col("first_batch") == F.lit(batch_id))
+                    F.col(_SEEN_BATCH_COL).isNull()
+                    | (F.col(_SEEN_BATCH_COL) == F.lit(batch_id))
                 ).select(*docs.columns)
             else:
                 fresh = winner
@@ -124,13 +132,24 @@ class UrlFrontier:
         return fresh
 
     def _seen(self) -> DataFrame | None:
-        try:
-            state = self.state.read()
-        except Exception:
+        """State's (canon_url, first_batch) with the batch column under a
+        reserved alias, or None before the first commit. Only the
+        not-yet-initialized case maps to None — a real state-read failure
+        (transient I/O, corrupted commit) PROPAGATES: swallowing it would
+        treat the whole frontier as empty and wave every already-seen URL
+        through as fresh, the silent-refetch-retention failure the e2e
+        test pins against (ADVICE r8 medium)."""
+        if not self.state.exists():
             return None
+        state = self.state.read()
         if "canon_url" not in state.columns:
             return None  # empty pre-first-commit table
-        return state.select("canon_url", "first_batch")
+        # reserved alias: a docs frame legitimately carrying a
+        # 'first_batch'/'first_doc' column must not make the post-join
+        # filter ambiguous or silently read the wrong side (ADVICE r8 low)
+        return state.select(
+            "canon_url", F.col("first_batch").alias(_SEEN_BATCH_COL)
+        )
 
     def seen_urls(self) -> DataFrame:
         """Current frontier state: (canon_url, first_doc, first_batch)."""

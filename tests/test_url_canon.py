@@ -25,6 +25,12 @@ CASES = [
     ("ftp://Example.com:21/file", "ftp://example.com:21/file"),  # non-http port kept
     ("http://example.com/?", "http://example.com/"),
     ("http://example.com/a?z=1&a=2&m=3", "http://example.com/a?a=2&m=3&z=1"),
+    # '#' BEFORE '?': the query lives inside the fragment and must be
+    # dropped with it, not leaked into the canonical form (ADVICE r8 high —
+    # 'page#a?b=1' used to collide with the distinct 'page?b=1')
+    ("http://example.com/page#a?b=1", "http://example.com/page"),
+    ("http://example.com/#/route?id=1", "http://example.com/"),
+    ("http://example.com/p?real=1#frag?fake=2", "http://example.com/p?real=1"),
     ("not a url", None),
     ("//protocol-relative.example.com/x", None),
     ("/relative/path", None),
