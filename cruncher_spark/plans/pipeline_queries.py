@@ -957,7 +957,14 @@ _COS = (
     "round(list_dot_product(qv, cv)"
     " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
 )
-_Q_FILTER = "vec_id % 20 = 0"
+#: fixed query-set size shared by EVERY ANN/top-k gate — the production
+#: contract (r7 VERDICT #2, extended to the whole family in r9 per r8
+#: VERDICT #1): Q stays constant as the corpus grows, so every gate's
+#: cost is Q x (corpus-side work) — linear in the corpus. The old
+#: corpus-derived vec_id%20 query sets made the GATES themselves
+#: Q x N quadratic even where the operators accept any query frame.
+_NDUP_FIXED_Q = 32
+_Q_FILTER = f"vec_id < {_NDUP_FIXED_Q}"
 
 
 @register(
@@ -975,14 +982,16 @@ _Q_FILTER = "vec_id % 20 = 0"
                FROM scored)
     SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
     """,
-    doc="Brute-force cosine top-3 per query (every 20th vector as query set): "
-    "broadcast queries, JVM-side zip_with/aggregate fold, windowed rank — the "
-    "exact ANN baseline.",
+    doc="Brute-force cosine top-3 per query under the PRODUCTION contract "
+    f"(fixed driver-sized query set, vec_id < {_NDUP_FIXED_Q}, constant as "
+    "the corpus grows — r8 VERDICT #1): broadcast queries, JVM-side "
+    "zip_with/aggregate fold, windowed rank — the exact ANN baseline, "
+    "Q x N with Q pinned, so gate cost is corpus-linear.",
 )
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = fan_out(Star(spark, sf_dir).embeddings)
-    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
     out = score_topk_arrow(emb, queries, k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -992,11 +1001,6 @@ def _plane_sql(signs: list[int]) -> str:
 
 
 _NDUP_BANDS, _NDUP_BAND_PLANES = 4, 4
-#: fixed query-set size for the near-dup gate — the production contract
-#: (r7 VERDICT #2): Q stays constant as the corpus grows, matching the
-#: embedding_dup_fixed STRESS shape (32 fixed queries) instead of the
-#: corpus-derived vec_id%20 set whose gate shape was Q x N
-_NDUP_FIXED_Q = 32
 _NDUP_PLANES = _hyperplane_signs(EMB_DIM, _NDUP_BANDS * _NDUP_BAND_PLANES)
 
 
@@ -1073,12 +1077,14 @@ _BUCKET_SQL = " + ".join(
     """,
     doc="ANN scale path: random-hyperplane LSH (8 deterministic ±1 planes) "
     "buckets vectors; scoring becomes an equi-join on bucket instead of a "
-    "cross join — N x N/256 pairs instead of N x N.",
+    "cross join — Q x N/256 pairs under the PRODUCTION contract (fixed "
+    f"driver-sized query set, vec_id < {_NDUP_FIXED_Q}, constant as the "
+    "corpus grows — r8 VERDICT #1).",
 )
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = fan_out(Star(spark, sf_dir).embeddings)
-    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
     out = ann_lsh_topk(emb, queries, dim=EMB_DIM, k=3, n_planes=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1119,14 +1125,16 @@ _PROBE_UNION = "\n      UNION ALL ".join(
     "ZERO extra index state: the corpus stays bucketed once (probe "
     "candidate sets are disjoint, no dedup), only the broadcast query "
     "side fans out 9x (operators/similarity.py ann_lsh_multiprobe). "
-    "Recall >= single-probe on identical buckets is pinned by test.",
+    "Recall >= single-probe on identical buckets is pinned by test. "
+    f"PRODUCTION query contract since r9 (vec_id < {_NDUP_FIXED_Q}, "
+    "constant as the corpus grows — r8 VERDICT #1).",
 )
 def ann_lsh_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.similarity import ann_lsh_multiprobe
 
     tune(spark)
     emb = fan_out(Star(spark, sf_dir).embeddings)
-    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
     out = ann_lsh_multiprobe(emb, queries, dim=EMB_DIM, k=3, n_planes=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1211,7 +1219,10 @@ def _ivf_oracle_shape(sf_dir: str, n_probe: int, q_filter: str) -> str:
     "deterministic driver-side sample (FAISS train-on-sample recipe), "
     "map-side cell assignment (16 inlined centroids, zero shuffle), queries "
     "probe their 2 nearest cells, scoring equi-joins on cell "
-    "(~N*probe/K pairs). The cell column doubles as a partition key at scale.",
+    "(~Q*N*probe/K pairs). The cell column doubles as a partition key at "
+    f"scale. PRODUCTION query contract since r9 (vec_id < {_NDUP_FIXED_Q}, "
+    "constant as the corpus grows — r8 VERDICT #1; the ann_ivf_fixed "
+    "STRESS row that proved this shape linear retired into this gate).",
 )
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.similarity import ann_ivf_topk
@@ -1219,7 +1230,7 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     raw = Star(spark, sf_dir).embeddings
     emb = fan_out(raw)
-    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
     cents = _fitted_centroids(raw, sf_dir)
     out = ann_ivf_topk(
         emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=3,
@@ -1257,6 +1268,10 @@ def ann_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+#: fitted-quantizer caches hold a few datasets (the stress harness
+#: cycles u1/u10/u100 per query — a single-entry cache refitted on
+#: every scale switch, putting the train-once fit inside the timers)
+_FIT_CACHE_MAX = 4
 _IVF_FIT_CACHE: dict[tuple, list[list[float]]] = {}
 
 
@@ -1283,7 +1298,8 @@ def _fitted_centroids(raw: DataFrame, sf_dir: str) -> list[list[float]]:
             centroid_sample(raw, "vec_id", "embedding", every=_IVF_SAMPLE_EVERY),
             _IVF_K,
         )
-        _IVF_FIT_CACHE.clear()  # one live dataset per process; no unbounded growth
+        while len(_IVF_FIT_CACHE) >= _FIT_CACHE_MAX:  # bounded; no unbounded growth
+            _IVF_FIT_CACHE.pop(next(iter(_IVF_FIT_CACHE)))
         _IVF_FIT_CACHE[key] = cents
     return cents
 
@@ -2156,7 +2172,8 @@ def _pq_codebooks(sf_dir: str) -> list:
         books = fit_pq_codebooks(
             [(r[0], list(r[1])) for r in rows], _PQ_M, _PQ_KW
         )
-        _PQ_FIT_CACHE.clear()
+        while len(_PQ_FIT_CACHE) >= _FIT_CACHE_MAX:
+            _PQ_FIT_CACHE.pop(next(iter(_PQ_FIT_CACHE)))
         _PQ_FIT_CACHE[key] = books
     return books
 
@@ -2210,7 +2227,7 @@ def _pq_oracle(sf_dir: str) -> str:
       FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv,
             sqrt(list_dot_product(v, v)) AS qnorm
-          FROM e WHERE vec_id % 20 = 0),
+          FROM e WHERE {_Q_FILTER}),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
         round(({num}) / (q.qnorm * sqrt({norm2hat})), 6) AS score
@@ -2233,14 +2250,17 @@ def _pq_oracle(sf_dir: str) -> str:
     "score the compressed corpus through broadcast 128-entry lookup tables "
     "(ADC). The discrete encode path is generated from ONE expression text "
     "for both engines, so codes are bit-identical; the continuous score is "
-    "rounded before ranking.",
+    "rounded before ranking. PRODUCTION query contract since r9 "
+    f"(vec_id < {_NDUP_FIXED_Q}, constant as the corpus grows — r8 "
+    "VERDICT #1), so the ADC scan is Q x N over 8-byte codes with Q "
+    "pinned.",
 )
 def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.similarity import pq_topk
 
     tune(spark)
     emb = fan_out(Star(spark, sf_dir).embeddings)
-    queries = emb.filter((F.col("vec_id") % 20) == 0)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
     out = pq_topk(emb, queries, _pq_codebooks(sf_dir), k=_PQ_TOPK)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
