@@ -146,6 +146,67 @@ def test_frontier_replay_returns_identical_fresh_set(spark, tmp_path):
     assert later.count() == 0
 
 
+def test_frontier_crash_replay_across_lsm_fold(spark, tmp_path):
+    """r8 VERDICT #5: pin BOTH documented frontier hazards in one
+    crash-replay scenario that spans LSM fold boundaries.
+
+    Equal-sized batches b-0..b-3 commit first, so the seen-set's LSM
+    binary-counter compaction folds fire along the way and the replayed
+    read sees those batches' ``first_batch`` rows only as FOLD PRODUCTS,
+    not the runs that originally recorded them. b-4's fresh set is
+    computed and its merge COMMITS, then the process "crashes" before
+    the downstream ingest consumes the set (simulated by a brand-new
+    UrlFrontier instance on the same state dir). The replay of b-4 must
+    (a) return the identical fresh set — replay stability via
+    ``first_batch`` (hazard #1), (b) append no new run and record no new
+    state rows (batch-id ledger idempotence), and (c) the PRE-crash
+    fresh DataFrame must still be consumable after a LATER batch's
+    merge+fold garbage-collects the version it was derived from —
+    ``localCheckpoint`` materialization (hazard #2)."""
+    from cruncher_spark.streaming.frontier import UrlFrontier
+
+    def batch(i: int, extra: list[tuple[int, str]] = ()) -> "DataFrame":
+        rows = [
+            (i * 10 + j, f"http://site{i}-{j}.example/p", f"text {i} {j}")
+            for j in range(3)
+        ] + [(doc, url, "refetched text") for doc, url in extra]
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, text string"
+        ).withColumn("canon_url", F.col("url"))
+
+    frontier = UrlFrontier(spark, str(tmp_path / "urls"))
+    for i in range(4):
+        # each batch also refetches one batch-0 URL — must stay filtered
+        # no matter how many folds have rewritten the state layout
+        extra = [(900 + i, "http://site0-0.example/p")] if i else []
+        fresh = frontier.filter_fresh(batch(i, extra), f"b-{i}")
+        assert {r.doc_id for r in fresh.collect()} == {i * 10 + j for j in range(3)}
+
+    state = frontier.state
+    runs_before = [d.name for d in state._run_dirs(state._current_version())]
+    assert len(runs_before) < 4  # compaction actually folded prior runs
+
+    # b-4 commits, then the process crashes before downstream consume
+    fresh4 = frontier.filter_fresh(batch(4), "b-4")
+    runs_at_crash = [d.name for d in state._run_dirs(state._current_version())]
+    seen_at_crash = frontier.seen_urls().count()
+
+    replayer = UrlFrontier(spark, str(tmp_path / "urls"))  # "new process"
+    replay = replayer.filter_fresh(batch(4), "b-4")
+    assert {r.doc_id for r in replay.collect()} == {40, 41, 42}  # not lost
+    rstate = replayer.state
+    assert [
+        d.name for d in rstate._run_dirs(rstate._current_version())
+    ] == runs_at_crash  # ledger made the re-merge a no-op: no new run
+    assert replayer.seen_urls().count() == seen_at_crash  # no double-record
+
+    # hazard #2: a later batch merges and folds (retain_versions=1 GCs
+    # the version fresh4's plan referenced) — the pre-crash frame must
+    # still be consumable because filter_fresh localCheckpointed it
+    replayer.filter_fresh(batch(5, [(905, "http://site4-0.example/p")]), "b-5")
+    assert {r.doc_id for r in fresh4.collect()} == {40, 41, 42}
+
+
 def test_frontier_in_batch_refetch_collapses_deterministically(spark, tmp_path):
     """Two fetches of the same canonical URL inside ONE batch keep exactly
     the lowest-id row, regardless of partitioning."""
