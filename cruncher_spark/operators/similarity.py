@@ -450,10 +450,18 @@ def ann_ivf_topk(
 
     The coarse quantizer is k-means fitted on a deterministic driver-side
     sample (:func:`fit_ivf_centroids`); pass ``centroids`` to reuse a
-    fit. Every vector is assigned to its nearest of ``n_centroids`` coarse
-    cells (map-side, centroids inlined as literals — no shuffle); each
-    query probes its ``n_probe`` nearest cells and scores only the
-    vectors living there. The cross join becomes an equi-join on
+    fit — the production train-once contract. STALENESS / refit trigger
+    (r8 VERDICT #6, measured in STRESS.md "IVF quantizer staleness"): a
+    continuously-ingesting corpus drifts from the centroids it was
+    fitted on; on distribution-stationary growth the measured stale-fit
+    recall tracks a fresh fit across two decades, so the refit trigger
+    is DRIFT-based, not size-based — refit when probe-cell population
+    skew grows (cell-count histogram vs fit-time) or when recall against
+    a sampled exact brute-force baseline degrades, not merely because
+    the corpus grew. Every vector is assigned to its nearest of
+    ``n_centroids`` coarse cells (map-side, centroids inlined as
+    literals — no shuffle); each query probes its ``n_probe`` nearest
+    cells and scores only the vectors living there. The cross join becomes an equi-join on
     ``cell``: ~Q x N*(n_probe/n_centroids) scored pairs. At 100 TB the
     cell column doubles as a partition key, so one cell's postings list
     is one co-located scan.
