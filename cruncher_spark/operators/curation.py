@@ -848,3 +848,65 @@ def weighted_sample_per_key(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = ("the", "a", "of"),
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, table A1's
+    heuristic filters) as ONE map-side projection — the composite gate a
+    crawl-curation pass runs on every document before the expensive
+    dedup/classifier tiers:
+
+    - word count within ``[min_words, max_words]``;
+    - mean word length within ``[min_mean_word_len, max_mean_word_len]``
+      (kills character-soup and concatenated-token pages);
+    - fraction of words containing an alphabetic character >=
+      ``min_alpha_frac`` (kills symbol/number tables);
+    - at least ``min_distinct_stopwords`` DISTINCT stopwords present
+      (the "real prose" signal — machine-generated keyword stuffing
+      rarely carries function words).
+
+    Scale shape: pure whole-stage-codegen expressions over one corpus
+    scan — zero shuffle, zero Python, trivially 100 TB-safe; the output
+    is the per-document flag table downstream stages semi-join against.
+
+    Output: (id, n_words, mean_word_len, alpha_frac, n_stop_distinct,
+    kept) with ratios rounded to 6 digits for cross-engine stability.
+    """
+    w = F.split(F.trim(F.col(text_col)), " ")
+    n_words = F.size(w).cast("long")
+    sum_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = F.round(sum_len.cast("double") / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words,
+        6,
+    )
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.array_intersect(F.array_distinct(w), stop)).cast("long")
+    out = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop_distinct"),
+    )
+    kept = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stop_distinct") >= min_distinct_stopwords)
+    )
+    return out.withColumn("kept", kept)

@@ -138,6 +138,30 @@ def threshold_neighbor_counts(
     candidates, deterministic across engines (banding uses the same md5
     hyperplane family as :func:`lsh_bucket`).
     """
+    scored = _banded_scored_pairs(
+        vectors, queries, dim, id_col, vec_col, round_digits,
+        n_bands, band_planes,
+    )
+    return scored.groupBy("query_id").agg(
+        F.sum((F.col("cos") >= min_cos).cast("int")).alias("n_near"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+def _banded_scored_pairs(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    n_bands: int = 4,
+    band_planes: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) for banded-LSH colliding pairs,
+    exactly re-scored — the shared candidate engine behind
+    :func:`threshold_neighbor_counts` (per-QUERY rollup) and
+    :func:`semantic_contamination` (per-CORPUS-row rollup)."""
     planes = _hyperplane_signs(dim, n_bands * band_planes)
 
     def band_keys() -> Column:
@@ -197,9 +221,55 @@ def threshold_neighbor_counts(
             ),
         )
     )
-    return scored.groupBy("query_id").agg(
-        F.sum((F.col("cos") >= min_cos).cast("int")).alias("n_near"),
-        F.max("cos").alias("max_cos"),
+    return scored.select("query_id", "neighbor_id", "cos")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.8,
+    round_digits: int = 6,
+    n_bands: int = 4,
+    band_planes: int = 4,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    document whose embedding is near-duplicate (cosine >= ``min_cos``)
+    to ANY benchmark/eval embedding — the semantic tier of test-set
+    decontamination (n-gram tiers catch verbatim leakage,
+    :func:`cruncher_spark.operators.curation.contaminated_ids`; this
+    catches paraphrased/translated leakage the lexical tiers miss).
+
+    Same banded signed-random-projection candidate engine as
+    :func:`threshold_neighbor_counts` — the benchmark side is
+    driver-sized (eval suites are thousands of rows, not corpora) and
+    BROADCASTS, so the corpus is scanned once, pays band-key equi-joins
+    only on colliding rows, and never shuffles on its own size:
+    O(corpus + collisions), never corpus x benchmark.
+
+    Output: one row per corpus id — (id, max_bench_cos NULL when no
+    candidate collided, contaminated bool) — the drop-list join shape
+    curation pipelines consume.
+    """
+    scored = _banded_scored_pairs(
+        corpus, benchmark, dim, id_col, vec_col, round_digits,
+        n_bands, band_planes,
+    )
+    flagged = scored.groupBy("neighbor_id").agg(
+        F.max("cos").alias("max_bench_cos")
+    )
+    return (
+        corpus.select(F.col(id_col).alias("neighbor_id"))
+        .join(flagged, "neighbor_id", "left")
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "max_bench_cos",
+            F.coalesce(
+                F.col("max_bench_cos") >= min_cos, F.lit(False)
+            ).alias("contaminated"),
+        )
     )
 
 

@@ -1062,6 +1062,72 @@ def embedding_dup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: semantic-decontamination fixture: every 4th benchmark embedding
+#: re-enters the corpus as an exact copy at this id offset — the
+#: synthetic embeddings have no planted near-dups (max pairwise cosine
+#: ~0.51), so the copies are the rows the gate MUST flag (cos 1.0 with
+#: their benchmark source, same bands by construction) while everything
+#: else must pass.
+_SEMCON_OFFSET, _SEMCON_EVERY = 300_000, 4
+
+
+@register(
+    "contamination_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SEMCON_OFFSET}, CAST(embedding AS DOUBLE[])
+      FROM embeddings
+      WHERE vec_id < {_NDUP_FIXED_Q} AND vec_id % {_SEMCON_EVERY} = 0
+    ),
+    sig AS (SELECT vec_id, v,
+                   {", ".join(f"{_ndup_band_key_sql(b)} AS k{b}" for b in range(_NDUP_BANDS))}
+            FROM e),
+    cands AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      q.v AS qv, c.v AS cv
+      FROM sig q JOIN sig c
+        ON ({" OR ".join(f"q.k{b} = c.k{b}" for b in range(_NDUP_BANDS))})
+      WHERE q.vec_id < {_NDUP_FIXED_Q} AND q.vec_id <> c.vec_id
+    ),
+    scored AS (SELECT neighbor_id, {_COS} AS cos FROM cands),
+    fl AS (SELECT neighbor_id, MAX(cos) AS max_bench_cos
+           FROM scored GROUP BY neighbor_id)
+    SELECT e.vec_id AS vec_id, fl.max_bench_cos,
+           coalesce(fl.max_bench_cos >= 0.8, FALSE) AS contaminated
+    FROM e LEFT JOIN fl ON fl.neighbor_id = e.vec_id
+    """,
+    doc="Embedding-space benchmark decontamination — the semantic tier "
+    "of test-set decontamination: flag every corpus document whose "
+    "embedding is near-duplicate (cos >= 0.8) to ANY benchmark/eval "
+    "embedding, catching the paraphrased/translated leakage the n-gram "
+    "tiers (contamination_check / contamination_fuzzy) structurally "
+    "miss. Benchmark side is driver-sized (fixed "
+    f"{_NDUP_FIXED_Q}-row eval set) and BROADCASTS through the same "
+    "banded random-hyperplane candidate engine as "
+    "embedding_dup_threshold, so the corpus scans once and cost is "
+    "O(corpus + collisions), never corpus x benchmark. Planted exact "
+    "copies of benchmark rows must flag; everything else must pass "
+    "(operators/similarity.py semantic_contamination).",
+)
+def contamination_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import semantic_contamination
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    copies = raw.where(
+        (F.col("vec_id") < _NDUP_FIXED_Q)
+        & (F.col("vec_id") % _SEMCON_EVERY == 0)
+    ).select((F.col("vec_id") + _SEMCON_OFFSET).alias("vec_id"), "embedding")
+    corpus = fan_out(raw.select("vec_id", "embedding").unionAll(copies))
+    bench = corpus.where(F.col("vec_id") < _NDUP_FIXED_Q)
+    return semantic_contamination(
+        corpus, bench, dim=EMB_DIM, min_cos=0.8,
+        n_bands=_NDUP_BANDS, band_planes=_NDUP_BAND_PLANES,
+    )
+
+
 _PLANES = _hyperplane_signs(EMB_DIM, 8)
 _BUCKET_SQL = " + ".join(
     f"(CASE WHEN list_dot_product(v, {_plane_sql(_PLANES[p])}) > 0 THEN {1 << p} ELSE 0 END)"
@@ -1669,6 +1735,47 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.sum("n_words")).alias("chars_per_word"),
         (F.sum("n_stop").cast("double") / F.sum("n_words")).alias("stopword_ratio"),
     )
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS wl FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(wl) AS BIGINT) AS n_words,
+        round(CAST(list_sum(list_transform(wl, x -> len(x))) AS DOUBLE)
+              / len(wl), 6) AS mean_word_len,
+        round(CAST(len(list_filter(wl,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / len(wl), 6) AS alpha_frac,
+        CAST(len(list_intersect(list_distinct(wl), {_STOP_SQL}))
+             AS BIGINT) AS n_stop_distinct
+      FROM per
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_distinct,
+      (n_words BETWEEN 50 AND 100000
+       AND mean_word_len BETWEEN 3.0 AND 10.0
+       AND alpha_frac >= 0.8
+       AND n_stop_distinct >= 2) AS kept
+    FROM m
+    """,
+    doc="Gopher document-quality rule set (Rae et al. 2021 table A1) as "
+    "one composite map-side pass: word-count window, mean-word-length "
+    "window, alphabetic-word fraction, distinct-stopword floor — the "
+    "cheap heuristic gate a curation pipeline runs on EVERY crawled "
+    "document before the expensive dedup/classifier tiers. Pure "
+    "whole-stage-codegen expressions over one corpus scan: zero "
+    "shuffle, zero Python (operators/curation.py gopher_rules).",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import gopher_rules
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return gopher_rules(docs, "doc_id", "text", stopwords=_STOPWORDS)
 
 
 _DICT_VALUES = ", ".join(f"('{w}', '{lang}', {wt})" for w, lang, wt in LANG_DICT)

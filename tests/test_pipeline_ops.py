@@ -1110,3 +1110,52 @@ def test_ivfpq_refine_probe_all_is_brute_force(spark):
     )
     adc = pairs(rows(ann_ivfpq_topk(emb, queries, cents, books, n_probe=4, k=3)))
     assert len(refined & t) >= len(adc & t)
+
+
+def test_gopher_rules_hand_case(spark):
+    """Each rule kills exactly its target: short doc, character soup
+    (mean word length), symbol table (alpha fraction), stopword-free
+    keyword stuffing — and a prose-like doc passes all four."""
+    from cruncher_spark.operators.curation import gopher_rules
+
+    prose = "the quick brown fox " * 15 + "a tale of foxes"  # 64 words
+    short = "the quick a of"
+    soup = " ".join(["supercalifragilistic"] * 60) + " the a"
+    symbols = " ".join(["123"] * 30 + ["the", "off", "a"] + ["456"] * 30)
+    stuffing = " ".join(f"keyword{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, prose), (2, short), (3, soup), (4, symbols), (5, stuffing)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].kept is True
+    assert out[2].kept is False and out[2].n_words < 50
+    assert out[3].kept is False and out[3].mean_word_len > 10
+    assert out[4].kept is False and out[4].alpha_frac < 0.8
+    assert out[5].kept is False and out[5].n_stop_distinct == 0
+
+
+def test_semantic_contamination_hand_case(spark):
+    """The planted copy of a benchmark vector flags; orthogonal corpus
+    rows pass with NULL max_bench_cos (no band collision) or a sub-tau
+    score; benchmark self-pairs are excluded."""
+    from cruncher_spark.operators.similarity import semantic_contamination
+
+    dim = 4
+    bench_v = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, bench_v),               # the benchmark row itself
+        (10, bench_v),              # exact copy -> must flag
+        (11, [0.0, 1.0, 0.0, 0.0]),  # orthogonal -> must pass
+        (12, [-1.0, 0.0, 0.0, 0.0]),  # anti-parallel -> cos -1, passes
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = corpus.where("vec_id = 0")
+    out = {r.vec_id: r for r in semantic_contamination(
+        corpus, bench, dim=dim, min_cos=0.8
+    ).collect()}
+    assert set(out) == {0, 10, 11, 12}  # one row per corpus id
+    assert out[10].contaminated is True and out[10].max_bench_cos == 1.0
+    assert out[11].contaminated is False
+    assert out[12].contaminated is False
+    assert out[0].contaminated is False  # self-pair excluded
