@@ -592,6 +592,81 @@ def bigram_nll(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    sample_mod: int = 5,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per language, documents are split into three quality tiers
+    by LM perplexity — *head* (most fluent third), *middle*, *tail* —
+    so downstream consumers can train on head+middle and audit tail.
+
+    Faithful to CCNet's two-phase shape: the tier CUTOFFS are fitted
+    once on a bounded sample (CCNet computes them from the perplexity
+    distribution of one Common Crawl dump, then applies them as
+    constants to every dump), and the corpus-wide assignment is a pure
+    map-side comparison against the per-language cutoff row. The fit
+    sample here is the deterministic stride ``id % sample_mod == 0``
+    (the IVF quantizer-fit convention); ``sample_mod`` is the
+    production dial — at 100 TB you raise it until the per-language
+    rank fit is driver-trivial, and ONLY the fit pays the per-language
+    sort. The apply side broadcasts the one-row-per-language cutoffs,
+    so assignment adds zero shuffles beyond the scorer's own.
+
+    Cutoff definition (integer-exact cross-engine): order the sample
+    within each language by ``(avg_nll, id)``; ``c1`` = the avg_nll at
+    rank ``ceil(n/3)`` (max of the first third), ``c2`` at
+    ``ceil(2n/3)``. Rank predicates are the integer forms
+    ``3*rn <= n+2`` / ``3*rn <= 2n+2`` — no float division anywhere.
+    Bucket: head iff ``avg_nll <= c1``, else middle iff ``<= c2``,
+    else tail; a language absent from the sample falls to tail (CASE
+    over NULL cutoffs — same in both engines).
+
+    Scorer: the corpus-trained add-one bigram LM of
+    :func:`bigram_nll` (its rounded avg_nll is the ordering key, so
+    ties resolve on the id). Documents with fewer than two words have
+    no bigrams and are dropped by the scorer, as in doc_perplexity.
+
+    Output: (id, lang, avg_nll, bucket).
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_nll(docs, id_col=id_col, text_col=text_col).join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    samp = scored.where(F.col(id_col) % sample_mod == 0)
+    wl = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_nll").asc(), F.col(id_col).asc()
+    )
+    ranked = samp.select(
+        F.col(lang_col),
+        F.col("avg_nll"),
+        F.row_number().over(wl).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(lang_col)).alias("nn"),
+    )
+    cuts = ranked.groupBy(lang_col).agg(
+        F.max(
+            F.when(3 * F.col("rn") <= F.col("nn") + 2, F.col("avg_nll"))
+        ).alias("c1"),
+        F.max(
+            F.when(3 * F.col("rn") <= 2 * F.col("nn") + 2, F.col("avg_nll"))
+        ).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts), lang_col, "left").select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("avg_nll"),
+        F.when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-frequency boilerplate removal (CCNet-style)
 # ---------------------------------------------------------------------------

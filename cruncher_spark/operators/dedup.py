@@ -820,6 +820,121 @@ def dup_ngram_profile(
     )
 
 
+def duplicate_span_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL with reconstruction —
+    the surgical tier of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", §3's ExactSubstr): instead of
+    dropping whole near-duplicate documents, remove only the word
+    positions covered by a duplicated span and keep the rest. The
+    span unit here is the word ``n``-gram occurrence (Lee et al. use
+    50-BPE-token windows over a suffix array; the window length is the
+    same knob).
+
+    Contract (deterministic, engine-independent): every positional
+    occurrence of an n-gram that appears >= 2 times in the corpus is a
+    *loser* except the single canonical occurrence at the lowest
+    ``(doc, pos)`` — self-repeats inside one document count too, exactly
+    as in Lee et al. A word position is removed iff at least one loser
+    occurrence covers it; the canonical copy of every span therefore
+    survives verbatim, and a fully-duplicated document is stripped to
+    nothing while its lowest-id twin keeps every word.
+
+    Scale shape: positional occurrences (corpus-sized, ~len-n+1 rows per
+    doc) take ONE wide exchange — a window over ``partitionBy(shingle)``
+    computes global count and canonical owner in the same shuffle+sort a
+    suffix-array build would need anyway, with no corpus-sized join
+    against anything (the dup_ngram_profile r9 lesson: the join
+    formulation paid x265 wall at x100 data; the window pays one
+    exchange). Loser positions then collapse per document (map-side
+    combined groupBy), and interval expansion + reconstruction is pure
+    map-side array work on the doc-keyed join — covered-position sets
+    are built per row from the collected loser starts
+    (``flatten(transform(...sequence...))``), never exploded through a
+    shuffle. Boilerplate spans hot across 10^6 documents are window
+    partitions, which AQE skew-handling splits; the canonical-owner
+    ``min`` is decomposable so partial aggregation still flattens them
+    map-side in the window's partial step.
+
+    Output: (id, n_words, n_removed, clean_digest) — ``n_removed``
+    counts removed word positions; ``clean_digest`` is the md5 of the
+    surviving words re-joined with single spaces (cross-engine
+    hashable without shipping the rebuilt text). Documents shorter
+    than ``n`` words have no occurrences and survive whole.
+    """
+    from pyspark.sql import Window
+
+    from cruncher_spark.functions.text import words
+
+    w = words(text_col)
+    base = docs.select(F.col(id_col), w.alias("wl"))
+    starts = F.sequence(F.lit(1), F.size("wl") - (n - 1))
+    occ = (
+        base.where(F.size("wl") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(starts).alias("pos"),
+            F.col("wl"),
+        )
+        .select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", F.slice(F.col("wl"), F.col("pos"), n)).alias(
+                "sh"
+            ),
+            (F.col(id_col) * 100000 + F.col("pos")).alias("packed"),
+        )
+    )
+    win = Window.partitionBy("sh")
+    flagged = occ.select(
+        F.col(id_col),
+        "pos",
+        F.count(F.lit(1)).over(win).alias("c"),
+        F.min("packed").over(win).alias("mp"),
+        "packed",
+    )
+    losers = flagged.where(
+        (F.col("c") >= 2) & (F.col("packed") != F.col("mp"))
+    ).groupBy(id_col).agg(F.collect_list("pos").alias("loser_starts"))
+
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("loser_starts"),
+                lambda p: F.sequence(p, p + (n - 1)),
+            )
+        )
+    )
+    rebuilt = (
+        base.join(losers, id_col, "left")
+        .withColumn(
+            "removed",
+            F.coalesce(covered, F.array().cast("array<int>")),
+        )
+        .select(
+            F.col(id_col),
+            F.size("wl").cast("long").alias("n_words"),
+            F.size("removed").cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.filter(
+                        F.col("wl"),
+                        lambda x, i: ~F.array_contains(
+                            F.col("removed"), i + 1
+                        ),
+                    ),
+                )
+            ).alias("clean_digest"),
+        )
+    )
+    return rebuilt
+
+
 # ---------------------------------------------------------------------------
 # content-defined fingerprints: exact shared-substring detection
 # ---------------------------------------------------------------------------

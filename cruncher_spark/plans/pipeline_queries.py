@@ -329,6 +329,50 @@ def dup_ngram_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_profile(docs, "doc_id", "text")
 
 
+_SPAN_N = 5  # removal window in words (Lee et al.'s 50-BPE-token knob)
+
+
+@register(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    occ AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+        array_to_string(wl[CAST(i AS INT):(CAST(i AS INT)+{_SPAN_N - 1})], ' ') AS sh,
+        doc_id*100000 + i AS packed
+      FROM w, unnest(range(1, len(wl)-{_SPAN_N - 2})) t(i)
+    ),
+    g AS (SELECT *, count(*) OVER (PARTITION BY sh) AS c,
+                 min(packed) OVER (PARTITION BY sh) AS mp FROM occ),
+    losers AS (SELECT doc_id, pos FROM g WHERE c >= 2 AND packed <> mp),
+    cov AS (SELECT DISTINCT doc_id, pos + CAST(off AS INT) AS rp
+            FROM losers, unnest(range(0, {_SPAN_N})) t(off)),
+    rem AS (SELECT doc_id, list(rp) AS rl FROM cov GROUP BY doc_id)
+    SELECT w.doc_id,
+      CAST(len(wl) AS BIGINT) AS n_words,
+      CAST(coalesce(len(rl), 0) AS BIGINT) AS n_removed,
+      md5(coalesce(array_to_string(
+        list_filter(wl, (x, i) -> NOT list_contains(coalesce(rl, []), i)),
+        ' '), '')) AS clean_digest
+    FROM w LEFT JOIN rem USING (doc_id)
+    """,
+    doc="ExactSubstr-style duplicated-span removal (Lee et al. 2022 §3): "
+    f"every positional word-{_SPAN_N}-gram occurring >=2 times corpus-wide "
+    "is removed at every site but its lowest-(doc,pos) canonical one, and "
+    "documents are rebuilt from surviving positions — the surgical dedup "
+    "tier that strips boilerplate without dropping documents. One wide "
+    "exchange (window over shingle) replaces the suffix-array build; "
+    "interval expansion and reconstruction are map-side array folds "
+    "(operators/dedup.py duplicate_span_removal).",
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.dedup import duplicate_span_removal
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return duplicate_span_removal(docs, "doc_id", "text", n=_SPAN_N)
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization + dedup: the crawl-frontier collapse
 # ---------------------------------------------------------------------------
@@ -1342,6 +1386,109 @@ def ann_ivf_multiprobe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ivf_recall_oracle(sf_dir: str) -> str:
+    """Exact brute-force truth and the production IVF shape in one
+    statement; recall@3 per query is the fraction of true neighbors the
+    probe=2 IVF retrieves — same centroid fit as ann_ivf_topk."""
+    cents = _ivf_fitted_centroids_duckdb(sf_dir)
+    vals = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}])"
+        for cid, cv in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT cid, CAST(cv AS DOUBLE[]) AS cv FROM (VALUES {vals}) t(cid, cv)),
+    cellscore AS (SELECT e.vec_id, cid, {_CCOS} AS ccos FROM e CROSS JOIN cent),
+    rcells AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+      FROM cellscore
+    ),
+    q AS (SELECT query_id, cell, v AS qv FROM
+            (SELECT vec_id AS query_id, cid AS cell FROM rcells
+             WHERE crn <= {_IVF_PROBE} AND {_Q_FILTER}) p
+          JOIN e ON e.vec_id = p.query_id),
+    c AS (SELECT a.vec_id AS neighbor_id, cell, v AS cv FROM
+            (SELECT vec_id, cid AS cell FROM rcells WHERE crn = 1) a
+          JOIN e ON e.vec_id = a.vec_id),
+    ivf_scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos
+      FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id
+    ),
+    ivf AS (SELECT query_id, neighbor_id FROM
+            (SELECT *, row_number() OVER
+               (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             FROM ivf_scored) WHERE rank <= 3),
+    qx AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {_Q_FILTER}),
+    cx AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+    ex_scored AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos
+      FROM qx, cx WHERE query_id <> neighbor_id
+    ),
+    exact AS (SELECT query_id, neighbor_id FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM ex_scored) WHERE rank <= 3)
+    SELECT x.query_id,
+      CAST(count(*) AS BIGINT) AS n_exact,
+      CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_hit,
+      round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS recall
+    FROM exact x LEFT JOIN ivf i
+      ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_ivf_recall_oracle,
+    doc="ANN quality measurement as a first-class query: recall@3 of the "
+    f"production IVF shape (probe={_IVF_PROBE} of {_IVF_K} cells, fixed "
+    f"vec_id < {_NDUP_FIXED_Q} query contract) against exact brute-force "
+    "cosine truth, per query. The offline recall audit every ANN "
+    "deployment runs after (re)fitting a quantizer — here it is the same "
+    "engine, same gates: exact side is the pinned-Q brute-force scorer "
+    "(corpus-linear), IVF side the gated cell-probe plan, and the "
+    "comparison is a Q-sized left join. Recall < 1 rows are the multi-"
+    "probe/refit signal (see the IVF staleness STRESS section).",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.similarity import ann_ivf_topk
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    emb = fan_out(raw)
+    queries = emb.filter(F.col("vec_id") < _NDUP_FIXED_Q)
+    cents = _fitted_centroids(raw, sf_dir)
+    ivf = ann_ivf_topk(
+        emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=3,
+        centroids=cents,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    exact = score_topk_arrow(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
 
 
 #: fitted-quantizer caches hold a few datasets (the stress harness
@@ -2801,6 +2948,70 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
     return bigram_nll(docs)
+
+
+_PPL_SAMPLE_MOD = 5  # CCNet cutoff-fit sample stride (the production dial)
+
+
+@register(
+    "ccnet_ppl_bucket",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    g AS (
+      SELECT doc_id, wl[CAST(i AS INT)] AS w1, wl[CAST(i AS INT)+1] AS w2
+      FROM w, unnest(range(1, len(wl))) t(i)
+    ),
+    dg AS (SELECT doc_id, w1, w2, count(*) AS m FROM g GROUP BY doc_id, w1, w2),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM g GROUP BY w1, w2),
+    ctx AS (SELECT w1, w2, cb, sum(cb) OVER (PARTITION BY w1) AS cu FROM cb),
+    v AS (SELECT count(DISTINCT tok) AS v FROM w, unnest(wl) t(tok)),
+    model AS (
+      SELECT w1, w2,
+        CAST(round(-ln(CAST(cb + 1 AS DOUBLE) / (cu + 1 * v)), 6)
+             AS DECIMAL(18,6)) AS nll
+      FROM ctx, v
+    ),
+    scored AS (
+      SELECT dg.doc_id, d.lang,
+        round(CAST(sum(m * nll) AS DOUBLE) / sum(m), 6) AS avg_nll
+      FROM dg JOIN model USING (w1, w2)
+      JOIN documents d ON d.doc_id = dg.doc_id
+      GROUP BY dg.doc_id, d.lang
+    ),
+    ranked AS (
+      SELECT lang, avg_nll,
+        row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn,
+        count(*) OVER (PARTITION BY lang) AS nn
+      FROM scored WHERE doc_id % {_PPL_SAMPLE_MOD} = 0
+    ),
+    cuts AS (
+      SELECT lang,
+        max(CASE WHEN 3*rn <= nn + 2 THEN avg_nll END) AS c1,
+        max(CASE WHEN 3*rn <= 2*nn + 2 THEN avg_nll END) AS c2
+      FROM ranked GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.avg_nll,
+      CASE WHEN s.avg_nll <= c.c1 THEN 'head'
+           WHEN s.avg_nll <= c.c2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM scored s LEFT JOIN cuts c USING (lang)
+    """,
+    doc="CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020): "
+    "per-language quality tiers from the corpus-trained bigram LM's "
+    "avg_nll. Faithful two-phase shape — tier cutoffs fitted ONCE on a "
+    f"deterministic id-stride sample (mod {_PPL_SAMPLE_MOD}; the "
+    "production dial that keeps the per-language rank fit bounded at "
+    "100 TB), corpus assignment a map-side comparison against the "
+    "broadcast one-row-per-language cutoffs. Integer-exact rank "
+    "predicates (3*rn <= n+2), rounded-then-compared nll — no float "
+    "ordering hazards (operators/curation.py perplexity_buckets).",
+)
+def ccnet_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import perplexity_buckets
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return perplexity_buckets(docs, sample_mod=_PPL_SAMPLE_MOD)
 
 
 _TFIDF_TERMS = ["merge", "hash", "window"]

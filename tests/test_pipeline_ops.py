@@ -1159,3 +1159,60 @@ def test_semantic_contamination_hand_case(spark):
     assert out[11].contaminated is False
     assert out[12].contaminated is False
     assert out[0].contaminated is False  # self-pair excluded
+
+
+def test_duplicate_span_removal_hand_case(spark):
+    """Lee et al. ExactSubstr removal semantics on constructed docs: the
+    canonical (lowest doc,pos) copy of every duplicated 5-gram survives
+    verbatim; a verbatim twin is stripped to nothing; an embedded span
+    is excised leaving the flanks; sub-window docs survive whole; a
+    SELF-repeat inside one document loses to its own first occurrence."""
+    import hashlib
+
+    from cruncher_spark.operators.dedup import duplicate_span_removal
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    d1 = "a b c d e f g h"               # canonical owner
+    d2 = d1                               # verbatim twin -> fully removed
+    d3 = "u v w q1 q2 q3 q4 q5"           # unique -> untouched
+    d4 = "too short now"                  # < n words -> no occurrences
+    d5 = "x y a b c d e z w"              # embedded copy of d1's span
+    d6 = "p q r s t p q r s t"            # self-repeat
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4), (5, d5), (6, d6)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_span_removal(docs, n=5).collect()}
+    assert (out[1].n_removed, out[1].clean_digest) == (0, md5(d1))
+    assert (out[2].n_removed, out[2].clean_digest) == (8, md5(""))
+    assert (out[3].n_removed, out[3].clean_digest) == (0, md5(d3))
+    assert (out[4].n_words, out[4].n_removed) == (3, 0)
+    assert out[4].clean_digest == md5(d4)
+    assert (out[5].n_removed, out[5].clean_digest) == (5, md5("x y z w"))
+    assert (out[6].n_removed, out[6].clean_digest) == (5, md5("p q r s t"))
+
+
+def test_perplexity_buckets_hand_case(spark):
+    """CCNet bucketing: with the whole corpus as the fit sample, one
+    language's nine docs split head/middle/tail 3/3/3 in avg_nll order;
+    a language absent from the fit sample falls entirely to tail."""
+    from cruncher_spark.operators.curation import perplexity_buckets
+
+    texts = []
+    for i in range(1, 10):
+        # doc i repeats a common bigram (low nll) i times then adds
+        # increasingly rare word pairs -> avg_nll grows with i
+        common = "the cat " * (10 - i)
+        rare = " ".join(f"w{i}x{j} w{i}y{j}" for j in range(i))
+        texts.append((i, (common + rare).strip(), "en"))
+    docs = spark.createDataFrame(texts, "doc_id long, text string, lang string")
+
+    full = perplexity_buckets(docs, sample_mod=1)
+    got = {r.doc_id: r for r in full.collect()}
+    order = sorted(got, key=lambda d: (got[d].avg_nll, d))
+    buckets = [got[d].bucket for d in order]
+    assert buckets == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+    # ids 1..9 are never 0 mod 100 -> empty fit sample -> all tail
+    unfit = perplexity_buckets(docs, sample_mod=100)
+    assert {r.bucket for r in unfit.collect()} == {"tail"}
