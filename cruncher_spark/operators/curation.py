@@ -635,8 +635,12 @@ def perplexity_buckets(
     """
     from pyspark.sql import Window
 
-    scored = bigram_nll(docs, id_col=id_col, text_col=text_col).join(
-        docs.select(F.col(id_col), F.col(lang_col)), id_col
+    # persisted: both the cutoff fit and the assignment read it — without
+    # this the corpus-sized LM scorer runs twice (minhash/graph convention)
+    scored = (
+        bigram_nll(docs, id_col=id_col, text_col=text_col)
+        .join(docs.select(F.col(id_col), F.col(lang_col)), id_col)
+        .persist()
     )
     samp = scored.where(F.col(id_col) % sample_mod == 0)
     wl = Window.partitionBy(lang_col).orderBy(
