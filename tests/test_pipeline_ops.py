@@ -1216,3 +1216,63 @@ def test_perplexity_buckets_hand_case(spark):
     # ids 1..9 are never 0 mod 100 -> empty fit sample -> all tail
     unfit = perplexity_buckets(docs, sample_mod=100)
     assert {r.bucket for r in unfit.collect()} == {"tail"}
+
+
+def test_duplicate_span_removal_matches_reference(spark):
+    """Seeded random corpora vs a pure-Python reference of the removal
+    contract (loser = any non-canonical occurrence of a >=2x n-gram),
+    plus partitioning invariance — the digest must not depend on how
+    the input is split across tasks."""
+    import hashlib
+    import random
+
+    from cruncher_spark.operators.dedup import duplicate_span_removal
+
+    n = 3
+
+    def reference(texts):
+        occ: dict[str, list[tuple[int, int]]] = {}
+        for d, t in texts:
+            wl = t.split(" ")
+            for p in range(1, len(wl) - n + 2):
+                occ.setdefault(" ".join(wl[p - 1 : p - 1 + n]), []).append(
+                    (d, p)
+                )
+        removed: dict[int, set[int]] = {d: set() for d, _ in texts}
+        for sites in occ.values():
+            if len(sites) < 2:
+                continue
+            win = min(sites, key=lambda dp: dp[0] * 100000 + dp[1])
+            for site in sites:
+                if site != win:
+                    removed[site[0]].update(range(site[1], site[1] + n))
+        out = {}
+        for d, t in texts:
+            wl = t.split(" ")
+            kept = [w for i, w in enumerate(wl, 1) if i not in removed[d]]
+            out[d] = (
+                len(wl),
+                len(removed[d]),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        return out
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "d", "e", "f"]  # tiny -> heavy collisions
+        texts = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for d in range(1, 21)
+        ]
+        expect = reference(texts)
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_words, r.n_removed, r.clean_digest)
+            for r in duplicate_span_removal(docs, n=n).collect()
+        }
+        assert got == expect, f"seed {seed}"
+        rep = {
+            r.doc_id: (r.n_words, r.n_removed, r.clean_digest)
+            for r in duplicate_span_removal(docs.repartition(7), n=n).collect()
+        }
+        assert rep == expect, f"seed {seed} (repartitioned)"
