@@ -850,7 +850,12 @@ def duplicate_span_removal(
     suffix-array build would need anyway, with no corpus-sized join
     against anything (the dup_ngram_profile r9 lesson: the join
     formulation paid x265 wall at x100 data; the window pays one
-    exchange). Loser positions then collapse per document (map-side
+    exchange). The window key is the shingle's 60-bit ``portable_hash64``
+    rather than the n-word string, so the one wide exchange moves ~20
+    bytes/occurrence instead of the text itself; a hash collision
+    (~N²/2⁶¹ — 1e-5 at 5M spans, the same exposure the MinHash family
+    accepts) can only over-remove, and the belt-and-braces swap is the
+    md5-pair 128-bit key with the identical plan. Loser positions then collapse per document (map-side
     combined groupBy), and interval expansion + reconstruction is pure
     map-side array work on the doc-keyed join — covered-position sets
     are built per row from the collected loser starts
@@ -883,9 +888,10 @@ def duplicate_span_removal(
         .select(
             F.col(id_col),
             "pos",
-            F.concat_ws(" ", F.slice(F.col("wl"), F.col("pos"), n)).alias(
-                "sh"
-            ),
+            portable_hash64(
+                F.concat_ws(" ", F.slice(F.col("wl"), F.col("pos"), n)),
+                "span",
+            ).alias("sh"),
             (F.col(id_col) * 100000 + F.col("pos")).alias("packed"),
         )
     )

@@ -338,7 +338,11 @@ _SPAN_N = 5  # removal window in words (Lee et al.'s 50-BPE-token knob)
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
     occ AS (
       SELECT doc_id, CAST(i AS INT) AS pos,
-        array_to_string(wl[CAST(i AS INT):(CAST(i AS INT)+{_SPAN_N - 1})], ' ') AS sh,
+        {_oracle_hash(
+            "array_to_string(wl[CAST(i AS INT):(CAST(i AS INT)+"
+            + str(_SPAN_N - 1) + ")], ' ')",
+            "span",
+        )} AS sh,
         doc_id*100000 + i AS packed
       FROM w, unnest(range(1, len(wl)-{_SPAN_N - 2})) t(i)
     ),
@@ -361,7 +365,9 @@ _SPAN_N = 5  # removal window in words (Lee et al.'s 50-BPE-token knob)
     "is removed at every site but its lowest-(doc,pos) canonical one, and "
     "documents are rebuilt from surviving positions — the surgical dedup "
     "tier that strips boilerplate without dropping documents. One wide "
-    "exchange (window over shingle) replaces the suffix-array build; "
+    "exchange (window over the shingle's 60-bit portable hash — ~20 "
+    "bytes/occurrence moved, never the text) replaces the suffix-array "
+    "build; "
     "interval expansion and reconstruction are map-side array folds "
     "(operators/dedup.py duplicate_span_removal).",
 )
