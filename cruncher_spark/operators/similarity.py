@@ -209,8 +209,15 @@ def _banded_scored_pairs(
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col), dim).alias("c_norm"),
     )
+    # the candidate list is the BOUNDED side by the banding contract
+    # (collisions ~ true-pair rate when band width is tuned to the
+    # corpus), so it broadcasts EXPLICITLY into the vector fetch — the
+    # corpus-vector table streams and never exchanges. Left to the
+    # planner, the x1 plan broadcast cv instead and flipped to a
+    # sort-merge at x100 (r9 STRESS: the contamination_semantic x148
+    # byte transition was exactly this corpus exchange appearing).
     scored = (
-        cands.join(cv, "neighbor_id")
+        cv.join(F.broadcast(cands), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn(
             "cos",
@@ -260,9 +267,12 @@ def semantic_contamination(
     flagged = scored.groupBy("neighbor_id").agg(
         F.max("cos").alias("max_bench_cos")
     )
+    # flagged is bounded by collisions (same banding contract as the
+    # candidate list) — broadcast it so the corpus-wide flag attach
+    # stays a map-side stream instead of exchanging the corpus
     return (
         corpus.select(F.col(id_col).alias("neighbor_id"))
-        .join(flagged, "neighbor_id", "left")
+        .join(F.broadcast(flagged), "neighbor_id", "left")
         .select(
             F.col("neighbor_id").alias(id_col),
             "max_bench_cos",
