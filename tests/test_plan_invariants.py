@@ -31,6 +31,7 @@ SF_DIR = "/root/testdata/sf0.001"
 PYTHON_ALLOWED = {
     "bpe_token_count",  # merge-rank replay is sequential-scan semantics
     "embedding_topk",
+    "ann_ivf_recall",  # exact-truth side is the Arrow brute-force scorer
     "image_dhash_dedup",  # perceptual hashes: the codec IS the boundary
     "audio_fingerprint_dedup",
     "video_frame_dedup",
