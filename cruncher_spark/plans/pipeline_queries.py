@@ -3263,7 +3263,10 @@ def _logreg_round_sql(i: int) -> str:
              FROM w{p} w LEFT JOIN g{i} g USING (bucket))"""
 
 
-_LOGREG_ORACLE = f"""
+#: the unrolled-GD CTE chain, shared by the weight gate (logreg_quality)
+#: and the PR-curve gate (quality_pr_curve) — one training definition,
+#: two oracle tails
+_LOGREG_CTES = f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -3279,9 +3282,11 @@ _LOGREG_ORACLE = f"""
     nn AS (SELECT count(*) AS n FROM documents),
     w0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0.0 AS DOUBLE) AS w
            FROM range({_LR_DIM + 1})),
-    {",".join(_logreg_round_sql(i) for i in range(1, _LR_ITERS + 1))}
-    SELECT bucket, w FROM w{_LR_ITERS}
-"""
+    {",".join(_logreg_round_sql(i) for i in range(1, _LR_ITERS + 1))}"""
+
+_LOGREG_ORACLE = (
+    _LOGREG_CTES + f"\n    SELECT bucket, w FROM w{_LR_ITERS}\n"
+)
 
 
 @register(
@@ -3329,6 +3334,135 @@ def logreg_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_logreg(
         feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE,
         checkpoint=False,
+    )
+
+
+_PR_THRESHOLDS = (0.3, 0.45, 0.5, 0.55, 0.7)
+
+_PR_ORACLE = _LOGREG_CTES + f""",
+    wfin AS (SELECT bucket, w FROM w{_LR_ITERS}),
+    sm AS (SELECT x.doc_id,
+                  CAST(SUM(CAST(w.w * x.x AS DECIMAL(28,14))) AS DOUBLE) AS margin
+           FROM x JOIN wfin w USING (bucket) GROUP BY x.doc_id),
+    sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-margin)), 9) AS score FROM sm),
+    th(t) AS (VALUES {", ".join(f"({t})" for t in _PR_THRESHOLDS)}),
+    j AS (SELECT t, score, y FROM sc JOIN y USING (doc_id) CROSS JOIN th),
+    agg AS (
+      SELECT t, count(*) AS c, SUM(y) AS np,
+        SUM(CASE WHEN score >= t THEN 1 ELSE 0 END) AS npred,
+        SUM(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END) AS tp
+      FROM j GROUP BY t
+    )
+    SELECT t AS threshold,
+      CAST(c AS BIGINT) AS n_docs,
+      CAST(np AS BIGINT) AS n_pos,
+      CAST(npred AS BIGINT) AS n_pred,
+      CAST(tp AS BIGINT) AS tp,
+      round(CASE WHEN npred = 0 THEN NULL
+                 ELSE CAST(tp AS DOUBLE) / npred END, 6) AS prec,
+      round(CAST(tp AS DOUBLE) / np, 6) AS rec,
+      round(2.0 * tp / (npred + np), 6) AS f1
+    FROM agg
+"""
+
+
+@register(
+    "quality_pr_curve",
+    oracle=_PR_ORACLE,
+    doc="Classifier-quality measurement as a first-class query (the "
+    "logreg sibling of ann_ivf_recall): train the hashed-feature "
+    "logistic regression exactly as logreg_quality does, score the "
+    "corpus with score_logreg, and sweep "
+    f"{len(_PR_THRESHOLDS)} decision thresholds into a "
+    "precision/recall/F1 table vs the training labels — the threshold-"
+    "selection table a curation pipeline reads before gating on the "
+    "classifier. Sweep is a constant fan-out (broadcast threshold "
+    "crossJoin) that partial aggregation collapses map-side, so the "
+    "audit costs one scoring pass regardless of threshold count; F1 "
+    "computed from exact integer counts (2*tp/(pred+pos)), ratios "
+    "rounded to 6.",
+)
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.classifier import score_logreg
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat").localCheckpoint(
+        eager=True
+    )
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    weights = train_logreg(
+        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE
+    )
+    scored = score_logreg(feats, weights).join(labels, "doc_id")
+    th = spark.createDataFrame(
+        [(float(t),) for t in _PR_THRESHOLDS], "t double"
+    )
+    hit = (F.col("score") >= F.col("t")).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            F.sum(hit).alias("n_pred"),
+            F.sum(hit * F.col("y")).alias("tp"),
+        )
+        .select(
+            F.col("t").alias("threshold"),
+            "n_docs",
+            "n_pos",
+            "n_pred",
+            "tp",
+            F.round(
+                F.when(
+                    F.col("n_pred") > 0,
+                    F.col("tp").cast("double") / F.col("n_pred"),
+                ),
+                6,
+            ).alias("prec"),
+            F.round(F.col("tp").cast("double") / F.col("n_pos"), 6).alias(
+                "rec"
+            ),
+            F.round(
+                2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_pos")), 6
+            ).alias("f1"),
+        )
+    )
+
+
+@register_audit_form("quality_pr_curve")
+def quality_pr_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy form (no feature checkpoint, checkpoint=False training) for
+    plan audits — same convention as logreg_quality_audit."""
+    from cruncher_spark.operators.classifier import score_logreg
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    weights = train_logreg(
+        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE,
+        checkpoint=False,
+    )
+    scored = score_logreg(feats, weights).join(labels, "doc_id")
+    th = spark.createDataFrame(
+        [(float(t),) for t in _PR_THRESHOLDS], "t double"
+    )
+    hit = (F.col("score") >= F.col("t")).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_pos"),
+            F.sum(hit).alias("n_pred"),
+            F.sum(hit * F.col("y")).alias("tp"),
+        )
     )
 
 
