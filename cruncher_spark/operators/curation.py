@@ -512,7 +512,12 @@ def bigram_nll(
     longs; each distinct bigram's nll is ONE double division + ln,
     rounded to 6 decimals, then accumulated exactly — DECIMAL(18,6)
     weighted by the exact long multiplicity, so the per-doc sum is
-    order-independent; only the final mean is a double, rounded to 6.
+    order-independent; the final 6-digit mean is EXACT integer half-up
+    rounding of the decimal sum ((2*N6+n) div (2n), N6 = sum*1e6) —
+    round(double, 6) there is tie-prone because a 6-decimal sum over a
+    small count lands exactly on .5 boundaries, where JVM decimal-
+    render rounding and binary rounding disagree (2 of 5000 docs at
+    sf0.1, caught by the r9 two-scale oracle attestation).
 
     Scale shape (the tfidf lesson): the corpus bigram explode feeds two
     map-side-combined aggregates — per-doc multiplicities shuffling once
@@ -575,6 +580,13 @@ def bigram_nll(
         .alias("nll"),
     )
 
+    # final mean via EXACT integer half-up rounding: nll_sum is
+    # DECIMAL(18,6) exact, so the 6-digit mean is the integer quotient
+    # (2*N6 + n) div (2*n) with N6 = nll_sum*1e6 — round(double, 6)
+    # here is the one tie-prone spot (the quotient of a 6-decimal sum
+    # by a small count lands EXACTLY on .5 boundaries, where Spark
+    # rounds the shortest decimal rendering half-up and DuckDB rounds
+    # in binary: 2 of 5000 docs flipped at sf0.1, r9)
     return (
         dg.join(model, ["w1", "w2"])
         .groupBy(id_col)
@@ -585,8 +597,16 @@ def bigram_nll(
         .select(
             F.col(id_col),
             "n_bigrams",
-            F.round(
-                F.col("nll_sum").cast("double") / F.col("n_bigrams"), 6
+            (F.col("nll_sum") * 1_000_000).cast("long").alias("n6"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            (
+                F.expr("(2*n6 + n_bigrams) div (2*n_bigrams)").cast(
+                    "double"
+                )
+                / F.lit(1_000_000.0)
             ).alias("avg_nll"),
         )
     )

@@ -2936,11 +2936,16 @@ def doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(round(-ln(CAST(cb + 1 AS DOUBLE) / (cu + 1 * v)), 6)
              AS DECIMAL(18,6)) AS nll
       FROM ctx, v
+    ),
+    per AS (
+      SELECT dg.doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        CAST(sum(m * nll) * 1000000 AS BIGINT) AS n6
+      FROM dg JOIN model USING (w1, w2)
+      GROUP BY dg.doc_id
     )
-    SELECT dg.doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-      round(CAST(sum(m * nll) AS DOUBLE) / sum(m), 6) AS avg_nll
-    FROM dg JOIN model USING (w1, w2)
-    GROUP BY dg.doc_id
+    SELECT doc_id, n_bigrams,
+      ((2*n6 + n_bigrams) // (2*n_bigrams)) / 1000000.0 AS avg_nll
+    FROM per
     """,
     doc="Self-trained add-one bigram-LM negative log-likelihood per doc — "
     "the perplexity quality filter (CCNet/Gopher class) next to "
@@ -2977,12 +2982,17 @@ _PPL_SAMPLE_MOD = 5  # CCNet cutoff-fit sample stride (the production dial)
              AS DECIMAL(18,6)) AS nll
       FROM ctx, v
     ),
-    scored AS (
-      SELECT dg.doc_id, d.lang,
-        round(CAST(sum(m * nll) AS DOUBLE) / sum(m), 6) AS avg_nll
+    per AS (
+      SELECT dg.doc_id, d.lang, CAST(sum(m) AS BIGINT) AS nb,
+        CAST(sum(m * nll) * 1000000 AS BIGINT) AS n6
       FROM dg JOIN model USING (w1, w2)
       JOIN documents d ON d.doc_id = dg.doc_id
       GROUP BY dg.doc_id, d.lang
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+        ((2*n6 + nb) // (2*nb)) / 1000000.0 AS avg_nll
+      FROM per
     ),
     ranked AS (
       SELECT lang, avg_nll,
