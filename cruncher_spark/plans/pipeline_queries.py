@@ -3393,18 +3393,33 @@ _PR_ORACLE = _LOGREG_CTES + f""",
     "rounded to 6.",
 )
 def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pr_curve(spark, sf_dir, checkpoint=True)
+
+
+@register_audit_form("quality_pr_curve")
+def quality_pr_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy form (no feature checkpoint, checkpoint=False training) for
+    plan audits — same convention as logreg_quality_audit; value-
+    identical (tests/test_plan_invariants.py audit-form equality)."""
+    return _pr_curve(spark, sf_dir, checkpoint=False)
+
+
+def _pr_curve(
+    spark: SparkSession, sf_dir: str, checkpoint: bool
+) -> DataFrame:
     from cruncher_spark.operators.classifier import score_logreg
 
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
-    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat").localCheckpoint(
-        eager=True
-    )
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
+    if checkpoint:
+        feats = feats.localCheckpoint(eager=True)
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("long").alias("y")
     )
     weights = train_logreg(
-        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE
+        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE,
+        checkpoint=checkpoint,
     )
     scored = score_logreg(feats, weights).join(labels, "doc_id")
     th = spark.createDataFrame(
@@ -3439,39 +3454,6 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_pos")), 6
             ).alias("f1"),
-        )
-    )
-
-
-@register_audit_form("quality_pr_curve")
-def quality_pr_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lazy form (no feature checkpoint, checkpoint=False training) for
-    plan audits — same convention as logreg_quality_audit."""
-    from cruncher_spark.operators.classifier import score_logreg
-
-    tune(spark)
-    docs = fan_out(Star(spark, sf_dir).documents)
-    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
-    labels = docs.select(
-        "doc_id", (F.col("lang") == "en").cast("long").alias("y")
-    )
-    weights = train_logreg(
-        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE,
-        checkpoint=False,
-    )
-    scored = score_logreg(feats, weights).join(labels, "doc_id")
-    th = spark.createDataFrame(
-        [(float(t),) for t in _PR_THRESHOLDS], "t double"
-    )
-    hit = (F.col("score") >= F.col("t")).cast("long")
-    return (
-        scored.crossJoin(F.broadcast(th))
-        .groupBy("t")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("y").alias("n_pos"),
-            F.sum(hit).alias("n_pred"),
-            F.sum(hit * F.col("y")).alias("tp"),
         )
     )
 

@@ -180,7 +180,12 @@ def test_audit_forms_match_registered_queries(spark):
     from cruncher_spark.plans import audit_form_map, query_map
 
     forms = audit_form_map()
-    assert set(forms) == {"triangle_count", "pagerank_topk", "logreg_quality"}
+    assert set(forms) == {
+        "triangle_count",
+        "pagerank_topk",
+        "logreg_quality",
+        "quality_pr_curve",
+    }
     qmap = query_map()
     for name, fn in forms.items():
         real = sorted(map(tuple, qmap[name](spark, SF_DIR).collect()))
