@@ -1276,3 +1276,26 @@ def test_duplicate_span_removal_matches_reference(spark):
             for r in duplicate_span_removal(docs.repartition(7), n=n).collect()
         }
         assert rep == expect, f"seed {seed} (repartitioned)"
+
+
+def test_quality_pr_curve_invariants(spark):
+    """Threshold-sweep sanity on the registered gate at the smoke SF:
+    counts are threshold-monotone (n_pred, tp non-increasing as the
+    cut rises), tp is bounded by both margins, and the fixed corpus
+    totals are constant across rows."""
+    from cruncher_spark.plans import query_map
+
+    rows = sorted(
+        query_map()["quality_pr_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 5
+    assert len({(r.n_docs, r.n_pos) for r in rows}) == 1  # corpus-constant
+    for r in rows:
+        assert 0 <= r.tp <= min(r.n_pred, r.n_pos)
+        if r.n_pred:
+            assert abs(r.prec - round(r.tp / r.n_pred, 6)) < 1e-12
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pred <= a.n_pred and b.tp <= a.tp
