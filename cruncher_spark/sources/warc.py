@@ -102,7 +102,9 @@ def parse_warc_bytes(name: str, data: bytes) -> Iterator[dict]:
         if pos >= n:
             return
         hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0 or not data[pos:].startswith(b"WARC/"):
+        # startswith with an offset — data[pos:].startswith() would COPY
+        # the remaining buffer per record, O(n²) over a 1 GB segment
+        if hdr_end < 0 or not data.startswith(b"WARC/", pos):
             yield {
                 "warc_file": name,
                 "parse_error": f"bad record framing at byte {pos}",
@@ -187,6 +189,18 @@ def read_warc(
                 data = bytes(blob)
                 if name.endswith(".gz"):
                     data = _gunzip_members(data)
+                    if not data and blob:
+                        # a fully-undecompressable file must surface as
+                        # a parse_error row, not vanish silently (the
+                        # damage-visibility contract above)
+                        rows.append([
+                            name if c == "warc_file"
+                            else "gzip decode produced 0 bytes"
+                            if c == "parse_error"
+                            else None
+                            for c in cols
+                        ])
+                        continue
                 for rec in parse_warc_bytes(name, data):
                     rows.append([rec.get(c) for c in cols])
             yield pd.DataFrame(rows, columns=cols)

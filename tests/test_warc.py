@@ -184,3 +184,25 @@ def test_html_to_text_entities_and_whitespace(spark):
     )
     got = df.select(html_to_text("h").alias("t")).head().t
     assert got == "a <b> \"c\" 'd' e"
+
+
+def test_undecompressable_gz_surfaces_as_parse_error(spark, tmp_path):
+    """A .gz segment whose very first member is corrupt must yield a
+    parse_error row — not silently vanish from the scan (the
+    damage-visibility contract); intact sibling files are unaffected."""
+    import gzip
+
+    from cruncher_spark.sources.warc import read_warc
+
+    good = _record(
+        "response", _http(200, "text/html", b"ok"), uri="http://x/", rid="g"
+    )
+    (tmp_path / "ok.warc.gz").write_bytes(gzip.compress(good))
+    (tmp_path / "corrupt.warc.gz").write_bytes(b"\x1f\x8b\x08\xff garbage")
+
+    rows = read_warc(spark, str(tmp_path) + "/*.warc.gz", types=None).collect()
+    errs = [r for r in rows if r.parse_error is not None]
+    assert len(errs) == 1
+    assert "gzip" in errs[0].parse_error
+    assert errs[0].warc_file.endswith("corrupt.warc.gz")
+    assert len([r for r in rows if r.parse_error is None]) == 1
