@@ -892,19 +892,31 @@ def duplicate_span_removal(
                 F.concat_ws(" ", F.slice(F.col("wl"), F.col("pos"), n)),
                 "span",
             ).alias("sh"),
-            (F.col(id_col) * 100000 + F.col("pos")).alias("packed"),
         )
     )
+    # Canonical owner = lexicographic min over a (doc, pos) STRUCT — not a
+    # packed id*K+pos integer. The packed form had an undocumented bound
+    # (pos >= K spills into the next doc's range, silently mis-picking the
+    # owner for >K-word documents); struct ordering needs no bound, both
+    # engines compare structs field-by-field, and min over a struct is
+    # still decomposable so the window's partial step flattens hot
+    # boilerplate shingles map-side exactly as before.
     win = Window.partitionBy("sh")
+    owner = F.struct(
+        F.col(id_col).alias("d"), F.col("pos").alias("p")
+    )
     flagged = occ.select(
         F.col(id_col),
         "pos",
         F.count(F.lit(1)).over(win).alias("c"),
-        F.min("packed").over(win).alias("mp"),
-        "packed",
+        F.min(owner).over(win).alias("mp"),
     )
     losers = flagged.where(
-        (F.col("c") >= 2) & (F.col("packed") != F.col("mp"))
+        (F.col("c") >= 2)
+        & ~(
+            (F.col(id_col) == F.col("mp.d"))
+            & (F.col("pos") == F.col("mp.p"))
+        )
     ).groupBy(id_col).agg(F.collect_list("pos").alias("loser_starts"))
 
     covered = F.array_distinct(

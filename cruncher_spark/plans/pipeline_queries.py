@@ -342,13 +342,14 @@ _SPAN_N = 5  # removal window in words (Lee et al.'s 50-BPE-token knob)
             "array_to_string(wl[CAST(i AS INT):(CAST(i AS INT)+"
             + str(_SPAN_N - 1) + ")], ' ')",
             "span",
-        )} AS sh,
-        doc_id*100000 + i AS packed
+        )} AS sh
       FROM w, unnest(range(1, len(wl)-{_SPAN_N - 2})) t(i)
     ),
     g AS (SELECT *, count(*) OVER (PARTITION BY sh) AS c,
-                 min(packed) OVER (PARTITION BY sh) AS mp FROM occ),
-    losers AS (SELECT doc_id, pos FROM g WHERE c >= 2 AND packed <> mp),
+                 min({{'d': doc_id, 'p': pos}}) OVER (PARTITION BY sh) AS mp
+          FROM occ),
+    losers AS (SELECT doc_id, pos FROM g
+               WHERE c >= 2 AND NOT (doc_id = mp.d AND pos = mp.p)),
     cov AS (SELECT DISTINCT doc_id, pos + CAST(off AS INT) AS rp
             FROM losers, unnest(range(0, {_SPAN_N})) t(off)),
     rem AS (SELECT doc_id, list(rp) AS rl FROM cov GROUP BY doc_id)

@@ -1242,7 +1242,7 @@ def test_duplicate_span_removal_matches_reference(spark):
         for sites in occ.values():
             if len(sites) < 2:
                 continue
-            win = min(sites, key=lambda dp: dp[0] * 100000 + dp[1])
+            win = min(sites)  # lexicographic (doc, pos) — no packing bound
             for site in sites:
                 if site != win:
                     removed[site[0]].update(range(site[1], site[1] + n))
@@ -1276,6 +1276,40 @@ def test_duplicate_span_removal_matches_reference(spark):
             for r in duplicate_span_removal(docs.repartition(7), n=n).collect()
         }
         assert rep == expect, f"seed {seed} (repartitioned)"
+
+
+def test_duplicate_span_removal_long_document(spark):
+    """Canonical-owner selection must survive documents longer than any
+    packing stride. The retired ``id*100000+pos`` key made a doc-1
+    occurrence at pos>100000 pack HIGHER than a doc-2 occurrence at a
+    small pos, mis-picking the owner (and equal packed values let both
+    survive). With struct-min ordering, doc 1's late occurrence is
+    still canonical over doc 2's early one.
+
+    Construction: a 100_005-word doc 1 whose final 3 words are the
+    shingle X, and a doc 2 that opens with X. Lowest (doc,pos) is
+    (1, 100003) -> doc 1 keeps every word, doc 2 loses its first 3.
+    Old packing: (1*100000+100003)=200003 > (2*100000+1)=200001, so the
+    owner flipped to doc 2 — this test fails on that formula."""
+    import hashlib
+
+    from cruncher_spark.operators.dedup import duplicate_span_removal
+
+    filler = [f"w{i}" for i in range(100_002)]  # all-unique prefix
+    shingle = ["x", "y", "z"]
+    doc1 = " ".join(filler + shingle)
+    doc2 = " ".join(shingle + ["tail1", "tail2"])
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_digest)
+        for r in duplicate_span_removal(docs, n=3).collect()
+    }
+    d1 = hashlib.md5(doc1.encode()).hexdigest()
+    d2 = hashlib.md5(" ".join(["tail1", "tail2"]).encode()).hexdigest()
+    assert got[1] == (100_005, 0, d1)
+    assert got[2] == (5, 3, d2)
 
 
 def test_quality_pr_curve_invariants(spark):
