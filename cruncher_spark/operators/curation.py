@@ -612,6 +612,11 @@ def bigram_nll(
     )
 
 
+#: the previous perplexity_buckets invocation's corpus-sized cache —
+#: see the lifetime note inside the function
+_PPL_CACHES: list[DataFrame] = []
+
+
 def perplexity_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -656,12 +661,22 @@ def perplexity_buckets(
     from pyspark.sql import Window
 
     # persisted: both the cutoff fit and the assignment read it — without
-    # this the corpus-sized LM scorer runs twice (minhash/graph convention)
+    # this the corpus-sized LM scorer runs twice (minhash/graph convention;
+    # exchange reuse does NOT kick in here because column pruning pushes
+    # different projections into the two branches). Lifetime: the cache is
+    # released when the NEXT perplexity_buckets call arrives — harnesses
+    # that cycle invocations in one session (scale_stress u1/u10/u100)
+    # hold at most ONE corpus-sized cache instead of accumulating them.
+    # An interleaved caller (build plan A, build plan B, materialize A)
+    # loses A's cache and pays a recompute — correctness unaffected.
     scored = (
         bigram_nll(docs, id_col=id_col, text_col=text_col)
         .join(docs.select(F.col(id_col), F.col(lang_col)), id_col)
         .persist()
     )
+    while _PPL_CACHES:
+        _PPL_CACHES.pop().unpersist()
+    _PPL_CACHES.append(scored)
     samp = scored.where(F.col(id_col) % sample_mod == 0)
     wl = Window.partitionBy(lang_col).orderBy(
         F.col("avg_nll").asc(), F.col(id_col).asc()

@@ -120,6 +120,7 @@ def threshold_neighbor_counts(
     round_digits: int = 6,
     n_bands: int = 4,
     band_planes: int = 4,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Per-query count of near-duplicate neighbors (cosine >= min_cos)
     among banded-LSH candidates, exactly re-scored.
@@ -140,7 +141,7 @@ def threshold_neighbor_counts(
     """
     scored = _banded_scored_pairs(
         vectors, queries, dim, id_col, vec_col, round_digits,
-        n_bands, band_planes,
+        n_bands, band_planes, hint_broadcast,
     )
     return scored.groupBy("query_id").agg(
         F.sum((F.col("cos") >= min_cos).cast("int")).alias("n_near"),
@@ -157,11 +158,22 @@ def _banded_scored_pairs(
     round_digits: int = 6,
     n_bands: int = 4,
     band_planes: int = 4,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos) for banded-LSH colliding pairs,
     exactly re-scored — the shared candidate engine behind
     :func:`threshold_neighbor_counts` (per-QUERY rollup) and
-    :func:`semantic_contamination` (per-CORPUS-row rollup)."""
+    :func:`semantic_contamination` (per-CORPUS-row rollup).
+
+    ``hint_broadcast`` (default True) forces the bounded candidate list
+    to broadcast into the vector fetch — the 100 TB plan when the
+    banding contract holds. The hint is a dial, not an axiom: on a
+    DEGENERATE corpus (boilerplate/zero-ish embeddings collapsing into
+    one band bucket) collisions go quadratic, and a forced broadcast
+    then dies on the broadcast-size limit instead of degrading. Pass
+    ``False`` there: the planner falls back to a shuffled join and the
+    run completes slow-but-alive. The results are identical either way
+    (pinned by test_banded_pairs_hint_off_identical)."""
     planes = _hyperplane_signs(dim, n_bands * band_planes)
 
     def band_keys() -> Column:
@@ -216,9 +228,12 @@ def _banded_scored_pairs(
     # planner, the x1 plan broadcast cv instead and flipped to a
     # sort-merge at x100 (r9 STRESS: the contamination_semantic x148
     # byte transition was exactly this corpus exchange appearing).
+    # hint_broadcast=False is the degenerate-corpus escape hatch (see
+    # docstring).
+    hint = F.broadcast if hint_broadcast else (lambda d: d)
     scored = (
-        cv.join(F.broadcast(cands), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        cv.join(hint(cands), "neighbor_id")
+        .join(hint(qv), "query_id")
         .withColumn(
             "cos",
             F.round(
@@ -241,6 +256,7 @@ def semantic_contamination(
     round_digits: int = 6,
     n_bands: int = 4,
     band_planes: int = 4,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: flag every corpus
     document whose embedding is near-duplicate (cosine >= ``min_cos``)
@@ -262,17 +278,20 @@ def semantic_contamination(
     """
     scored = _banded_scored_pairs(
         corpus, benchmark, dim, id_col, vec_col, round_digits,
-        n_bands, band_planes,
+        n_bands, band_planes, hint_broadcast,
     )
     flagged = scored.groupBy("neighbor_id").agg(
         F.max("cos").alias("max_bench_cos")
     )
     # flagged is bounded by collisions (same banding contract as the
     # candidate list) — broadcast it so the corpus-wide flag attach
-    # stays a map-side stream instead of exchanging the corpus
+    # stays a map-side stream instead of exchanging the corpus; the
+    # same hint_broadcast escape hatch applies (degenerate corpus ->
+    # collisions quadratic -> flagged no longer broadcastable)
+    hint = F.broadcast if hint_broadcast else (lambda d: d)
     return (
         corpus.select(F.col(id_col).alias("neighbor_id"))
-        .join(F.broadcast(flagged), "neighbor_id", "left")
+        .join(hint(flagged), "neighbor_id", "left")
         .select(
             F.col("neighbor_id").alias(id_col),
             "max_bench_cos",

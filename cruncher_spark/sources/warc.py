@@ -49,24 +49,42 @@ WARC_SCHEMA = (
 )
 
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes) -> tuple[bytes, str | None]:
     """Inflate a concatenation of gzip members (per-record gzip — the
-    Common Crawl layout; also handles the single-member whole-file
-    case and trailing garbage, which terminates the loop)."""
+    Common Crawl layout; also the single-member whole-file case).
+
+    Returns ``(payload, damage)``. ``damage`` is ``None`` only when the
+    whole byte range decoded as complete members; it carries a
+    description when zlib errored with input still unconsumed (a
+    damaged or garbage member mid-file — indistinguishable from
+    "trailing garbage", and the damage-visibility contract treats both
+    as reportable rather than silently truncating) or when the final
+    member ended mid-stream (truncated download). A valid member whose
+    DECOMPRESSED payload is 0 bytes is a clean decode, not damage —
+    callers must key off this signal, never off empty output."""
     import zlib
 
     out = []
+    total = len(data)
     while data:
         d = zlib.decompressobj(wbits=31)
         try:
             out.append(d.decompress(data))
             out.append(d.flush())
-        except zlib.error:
-            break
+        except zlib.error as e:
+            return (
+                b"".join(out),
+                f"gzip member damaged at byte {total - len(data)}: {e}",
+            )
+        if not d.eof:
+            return (
+                b"".join(out),
+                f"gzip member truncated at byte {total - len(data)}",
+            )
         if not d.unused_data or d.unused_data == data:
             break
         data = d.unused_data
-    return b"".join(out)
+    return b"".join(out), None
 
 
 def _parse_http(body: bytes) -> tuple[int | None, str | None, bytes]:
@@ -187,22 +205,23 @@ def read_warc(
             rows = []
             for name, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
+                damage = None
                 if name.endswith(".gz"):
-                    data = _gunzip_members(data)
-                    if not data and blob:
-                        # a fully-undecompressable file must surface as
-                        # a parse_error row, not vanish silently (the
-                        # damage-visibility contract above)
-                        rows.append([
-                            name if c == "warc_file"
-                            else "gzip decode produced 0 bytes"
-                            if c == "parse_error"
-                            else None
-                            for c in cols
-                        ])
-                        continue
+                    data, damage = _gunzip_members(data)
                 for rec in parse_warc_bytes(name, data):
                     rows.append([rec.get(c) for c in cols])
+                if damage is not None:
+                    # Damage anywhere in the member chain surfaces as a
+                    # parse_error row AFTER the records that did decode
+                    # (the damage-visibility contract: a mid-file
+                    # corrupt member must not truncate silently, and an
+                    # empty-but-valid payload must not false-alarm).
+                    rows.append([
+                        name if c == "warc_file"
+                        else damage if c == "parse_error"
+                        else None
+                        for c in cols
+                    ])
             yield pd.DataFrame(rows, columns=cols)
 
     out = files.mapInPandas(parse, WARC_SCHEMA)

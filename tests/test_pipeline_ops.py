@@ -1161,6 +1161,38 @@ def test_semantic_contamination_hand_case(spark):
     assert out[0].contaminated is False  # self-pair excluded
 
 
+def test_banded_pairs_hint_off_identical(spark):
+    """hint_broadcast=False (the degenerate-corpus escape hatch from r9
+    ADVICE: a hot band makes the forced broadcast OOM instead of
+    degrading) must produce bit-identical results with no forced
+    broadcast of the candidate list in the physical plan."""
+    from cruncher_spark.operators.similarity import (
+        semantic_contamination,
+        threshold_neighbor_counts,
+    )
+
+    dim = 4
+    rows = [
+        (i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.5])
+        for i in range(1, 31)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.where("vec_id <= 5")
+
+    for fn in (
+        lambda h: threshold_neighbor_counts(
+            vecs, qs, dim=dim, min_cos=0.9, hint_broadcast=h
+        ),
+        lambda h: semantic_contamination(
+            vecs, qs, dim=dim, min_cos=0.9, hint_broadcast=h
+        ),
+    ):
+        on = sorted(map(tuple, fn(True).collect()))
+        off_df = fn(False)
+        off = sorted(map(tuple, off_df.collect()))
+        assert on == off and len(on) > 0
+
+
 def test_duplicate_span_removal_hand_case(spark):
     """Lee et al. ExactSubstr removal semantics on constructed docs: the
     canonical (lowest doc,pos) copy of every duplicated 5-gram survives
@@ -1216,6 +1248,18 @@ def test_perplexity_buckets_hand_case(spark):
     # ids 1..9 are never 0 mod 100 -> empty fit sample -> all tail
     unfit = perplexity_buckets(docs, sample_mod=100)
     assert {r.bucket for r in unfit.collect()} == {"tail"}
+
+    # cache lifetime: cycling invocations holds at most ONE corpus-sized
+    # cache — the previous call's scored table is unpersisted (r9 ADVICE:
+    # the scale_stress harness cycles u1/u10/u100 in one session)
+    from cruncher_spark.operators.curation import _PPL_CACHES
+
+    assert len(_PPL_CACHES) == 1
+    prev = _PPL_CACHES[0]
+    perplexity_buckets(docs, sample_mod=1)
+    assert len(_PPL_CACHES) == 1
+    assert _PPL_CACHES[0] is not prev
+    assert not prev.is_cached
 
 
 def test_duplicate_span_removal_matches_reference(spark):

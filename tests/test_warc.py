@@ -206,3 +206,61 @@ def test_undecompressable_gz_surfaces_as_parse_error(spark, tmp_path):
     assert "gzip" in errs[0].parse_error
     assert errs[0].warc_file.endswith("corrupt.warc.gz")
     assert len([r for r in rows if r.parse_error is None]) == 1
+
+
+def test_mid_file_damaged_gz_member_reports_not_truncates(spark, tmp_path):
+    """A multi-member .gz whose FIRST member is intact but a LATER one
+    is damaged must keep the decoded leading records AND surface a
+    parse_error row — the old behavior truncated silently because the
+    damage signal was 'decoded 0 bytes', which a partial decode never
+    trips."""
+    import gzip
+
+    from cruncher_spark.sources.warc import read_warc
+
+    good = _record(
+        "response", _http(200, "text/html", b"ok"), uri="http://x/", rid="g"
+    )
+    blob = gzip.compress(good) + b"\x1f\x8b\x08\xff damaged-member"
+    (tmp_path / "partial.warc.gz").write_bytes(blob)
+
+    rows = read_warc(spark, str(tmp_path) + "/*.warc.gz", types=None).collect()
+    clean = [r for r in rows if r.parse_error is None]
+    errs = [r for r in rows if r.parse_error is not None]
+    assert len(clean) == 1 and clean[0].target_uri == "http://x/"
+    assert len(errs) == 1 and "damaged" in errs[0].parse_error
+
+
+def test_truncated_final_gz_member_reports(spark, tmp_path):
+    """A download cut mid-member (valid gzip prefix, no stream end)
+    must surface as a parse_error row, not a clean short read."""
+    import gzip
+
+    from cruncher_spark.sources.warc import read_warc
+
+    good = _record(
+        "response", _http(200, "text/html", b"ok"), uri="http://x/", rid="g"
+    )
+    member = gzip.compress(good)
+    (tmp_path / "cut.warc.gz").write_bytes(member + member[: len(member) // 2])
+
+    rows = read_warc(spark, str(tmp_path) + "/*.warc.gz", types=None).collect()
+    errs = [r for r in rows if r.parse_error is not None]
+    # two honest error rows: the WARC-level truncated record parsed out
+    # of the partial payload, plus the gzip-level truncation signal
+    assert any("gzip member truncated" in e.parse_error for e in errs)
+    assert len([r for r in rows if r.parse_error is None]) == 1
+
+
+def test_empty_payload_gz_member_is_not_damage(spark, tmp_path):
+    """A syntactically valid gzip member whose decompressed payload is
+    genuinely 0 bytes is a clean (empty) decode — the old empty-output
+    heuristic misfiled it as 'gzip decode produced 0 bytes'."""
+    import gzip
+
+    from cruncher_spark.sources.warc import read_warc
+
+    (tmp_path / "empty.warc.gz").write_bytes(gzip.compress(b""))
+
+    rows = read_warc(spark, str(tmp_path) + "/*.warc.gz", types=None).collect()
+    assert rows == []  # no records, and no false parse_error row
