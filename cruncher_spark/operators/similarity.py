@@ -554,10 +554,12 @@ def ann_ivf_topk(
     continuously-ingesting corpus drifts from the centroids it was
     fitted on; on distribution-stationary growth the measured stale-fit
     recall tracks a fresh fit across two decades, so the refit trigger
-    is DRIFT-based, not size-based — refit when probe-cell population
-    skew grows (cell-count histogram vs fit-time) or when recall against
-    a sampled exact brute-force baseline degrades, not merely because
-    the corpus grew. Every vector is assigned to its nearest of
+    is DRIFT-based, not size-based — implemented as
+    :class:`IvfQuantizerMonitor` (cell-population total-variation drift
+    + optional sampled recall vs brute force; hook point:
+    ``streaming/neardup.py EmbeddingDedupIngest(ivf_monitor=...)``),
+    never merely because the corpus grew. Every vector is assigned to
+    its nearest of
     ``n_centroids`` coarse cells (map-side, centroids inlined as
     literals — no shuffle); each query probes its ``n_probe`` nearest
     cells and scores only the vectors living there. The cross join becomes an equi-join on
@@ -625,6 +627,161 @@ def ann_ivf_topk(
     )
 
 
+def ivf_cell_fractions(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> dict[int, float]:
+    """Cell-population fractions of ``vectors`` under a fitted coarse
+    quantizer: the same map-side nearest-centroid assignment the IVF
+    index computes, followed by ONE groupBy whose output is K rows —
+    the cheap distributed measurement the refit monitor runs. Cells
+    with no members are present with fraction 0.0."""
+    if "`" in vec_col:
+        raise ValueError(f"vec_col must not contain backticks: {vec_col!r}")
+    vn = "__ivf_vnorm__"
+    if vn in vectors.columns:
+        raise ValueError(f"vectors already has internal column {vn!r}")
+    dim = len(centroids[0])
+    cells_sql = _cell_scores_sql(
+        f"`{vec_col}`", f"`{vn}`", centroids, round_digits
+    )
+    counts = (
+        vectors.withColumn(vn, norm(F.col(vec_col), dim))
+        .select(F.expr(f"-element_at({cells_sql}, 1).ncid").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r.n for r in counts) or 1
+    got = {int(r.cell): r.n / total for r in counts}
+    return {c: got.get(c, 0.0) for c in range(len(centroids))}
+
+
+class IvfQuantizerMonitor:
+    """Drift-based refit trigger for a served IVF coarse quantizer —
+    the CODE form of the policy r9 documented as prose (r9 VERDICT #4;
+    STRESS.md "IVF quantizer staleness" measured WHY the trigger is
+    drift-based: on distribution-stationary growth a stale fit's recall
+    tracks a fresh fit across two decades, so corpus SIZE alone must
+    not refit).
+
+    Two signals, both bounded-cost:
+
+    - **drift**: total-variation distance (``L1/2``, in [0,1]) between
+      the current cell-population fractions and the fit-time baseline —
+      one groupBy over the same map-side assignment the index already
+      computes (:func:`ivf_cell_fractions`), K rows collected. A
+      population that migrated into cells the fit never saw shows up
+      here before recall degrades.
+    - **recall** (optional, when ``probe_queries`` is set): recall@k of
+      the CURRENT centroids vs the exact brute-force scorer on the
+      fixed probe set — Q*k rows per side, the sampled ground-truth
+      check. Costlier than drift (scores the corpus once), so meant for
+      a lower cadence or as confirmation after drift trips.
+
+    ``maybe_refit`` re-runs the standard bounded fit
+    (:func:`centroid_sample` + :func:`fit_ivf_centroids`) when either
+    signal trips, and resets the drift baseline to the post-refit
+    assignment — the train-once contract becomes train-rarely, with
+    every refit logged in ``events``.
+    """
+
+    def __init__(
+        self,
+        centroids: list[list[float]],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        *,
+        drift_threshold: float = 0.25,
+        recall_floor: float | None = None,
+        probe_queries: DataFrame | None = None,
+        n_probe: int = 2,
+        k: int = 3,
+    ):
+        if recall_floor is not None and probe_queries is None:
+            raise ValueError("recall_floor requires probe_queries")
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.drift_threshold = drift_threshold
+        self.recall_floor = recall_floor
+        self.probe_queries = probe_queries
+        self.n_probe = n_probe
+        self.k = k
+        self.baseline: dict[int, float] | None = None
+        self.events: list[dict] = []
+
+    def set_baseline(self, vectors: DataFrame) -> None:
+        """Record the fit-time cell-population fractions."""
+        self.baseline = ivf_cell_fractions(
+            vectors, self.centroids, self.id_col, self.vec_col
+        )
+
+    def drift(self, vectors: DataFrame) -> float:
+        """Total-variation distance of the current cell histogram from
+        the baseline (0 = identical populations, 1 = disjoint)."""
+        if self.baseline is None:
+            raise ValueError("set_baseline() before drift()")
+        cur = ivf_cell_fractions(
+            vectors, self.centroids, self.id_col, self.vec_col
+        )
+        return 0.5 * sum(
+            abs(cur[c] - self.baseline[c]) for c in range(len(self.centroids))
+        )
+
+    def sampled_recall(self, vectors: DataFrame) -> float:
+        """recall@k of the current quantizer vs exact brute force on the
+        fixed probe queries (1.0 when the probe set finds no neighbors)."""
+        if self.probe_queries is None:
+            raise ValueError("no probe_queries configured")
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(
+                vectors, self.probe_queries, self.id_col, self.vec_col,
+                k=self.k,
+            ).collect()
+        }
+        if not truth:
+            return 1.0
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_topk(
+                vectors, self.probe_queries, self.id_col, self.vec_col,
+                n_probe=self.n_probe, k=self.k, centroids=self.centroids,
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    def maybe_refit(self, vectors: DataFrame, tag: object = None) -> bool:
+        """Run the monitor once: measure drift (and recall when
+        configured), refit + rebaseline when a signal trips. Returns
+        True when a refit happened; the measurement is appended to
+        ``events`` either way (``tag`` labels the event, e.g. a
+        batch id)."""
+        d = self.drift(vectors)
+        rec = (
+            self.sampled_recall(vectors)
+            if self.recall_floor is not None
+            else None
+        )
+        fire = d > self.drift_threshold or (
+            rec is not None and rec < self.recall_floor
+        )
+        if fire:
+            self.centroids = fit_ivf_centroids(
+                centroid_sample(vectors, self.id_col, self.vec_col),
+                len(self.centroids),
+            )
+            self.set_baseline(vectors)
+        self.events.append(
+            {"tag": tag, "drift": d, "recall": rec, "refit": fire}
+        )
+        return fire
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -649,6 +806,16 @@ def semantic_dedup(
     instead of N^2, and each cell's pairs co-locate in one task. Cross-
     cluster near-dups are invisible by design; that recall/cost trade is
     the SemDeDup contract (raise K for cheaper cells, lower K for recall).
+
+    Scale boundary (why the registered ``semantic_dedup`` gate uses
+    :func:`semantic_dedup_lsh` instead, r10): holding cell population
+    constant requires K ∝ N, but flat quantizer ASSIGNMENT is O(N*K)
+    compute — growing K with the corpus just moves the quadratic from
+    the pair join into assignment (and the driver-side Lloyd fit caps K
+    anyway). This k-means flavor is the bounded-K auditable form: use
+    it when K is a fixed index parameter (e.g. sharing the IVF coarse
+    quantizer); use the hash-cell form when cells must track corpus
+    growth.
 
     Output: one row per input vector — (id, cell, kept).
     """

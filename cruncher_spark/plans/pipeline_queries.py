@@ -1543,16 +1543,33 @@ _SDD_MIN_COS = 0.9
 _SDD_COPY_EVERY, _SDD_COPY_OFFSET = 25, 100_000
 
 
+#: expected cell population the adaptive gate holds constant as the
+#: corpus grows — cells = ceil(n / target), planes = ceil(log2(cells))
+_SDD_CELL_TARGET = 64
+
+
+def _sdd_planes_for(n: int) -> int:
+    """Plane count for a corpus of ``n`` embeddings: enough sign-pattern
+    cells (2^p) that the EXPECTED cell population stays ~_SDD_CELL_TARGET
+    — SemDeDup's cells-grow-with-the-corpus contract, integer-exact so
+    both engines derive the same p from the same count. Floor of 4
+    planes keeps small fixtures from degenerating to a handful of
+    giant cells."""
+    cells = max(1, -(-n // _SDD_CELL_TARGET))
+    return max(4, (cells - 1).bit_length())
+
+
 def _semantic_dedup_oracle(sf_dir: str) -> str:
-    cents = _ivf_fitted_centroids_duckdb(sf_dir)
-    vals = ", ".join(
-        f"({cid}, [{', '.join(repr(x) for x in cv)}])"
-        for cid, cv in enumerate(cents)
-    )
-    pair_cos = (
-        "round(list_dot_product(lo.v, hi.v)"
-        " / (sqrt(list_dot_product(lo.v, lo.v))"
-        " * sqrt(list_dot_product(hi.v, hi.v))), 6)"
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    planes = _hyperplane_signs(EMB_DIM, _sdd_planes_for(n))
+    cell_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(planes[p])}) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(len(planes))
     )
     return f"""
     WITH e AS (
@@ -1561,19 +1578,14 @@ def _semantic_dedup_oracle(sf_dir: str) -> str:
       SELECT vec_id + {_SDD_COPY_OFFSET}, CAST(embedding AS DOUBLE[])
       FROM embeddings WHERE vec_id % {_SDD_COPY_EVERY} = 0
     ),
-    cent AS (SELECT cid, CAST(cv AS DOUBLE[]) AS cv FROM (VALUES {vals}) t(cid, cv)),
-    cellscore AS (SELECT e.vec_id, cid, {_CCOS} AS ccos FROM e CROSS JOIN cent),
-    assigned AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-        FROM cellscore) t WHERE crn = 1
-    ),
-    av AS (SELECT a.vec_id, a.cell, e.v FROM assigned a JOIN e USING (vec_id)),
+    assigned AS (SELECT vec_id, v, {cell_sql} AS cell FROM e),
     dropped AS (
       SELECT DISTINCT hi.vec_id AS id
-      FROM av lo JOIN av hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
-      WHERE {pair_cos} >= {_SDD_MIN_COS}
+      FROM assigned lo JOIN assigned hi
+        ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+      WHERE round(list_dot_product(lo.v, hi.v)
+            / (sqrt(list_dot_product(lo.v, lo.v))
+             * sqrt(list_dot_product(hi.v, hi.v))), 6) >= {_SDD_MIN_COS}
     )
     SELECT a.vec_id AS id, CAST(a.cell AS INT) AS cell,
            (d.id IS NULL) AS kept
@@ -1584,31 +1596,41 @@ def _semantic_dedup_oracle(sf_dir: str) -> str:
 @register(
     "semantic_dedup",
     oracle=_semantic_dedup_oracle,
-    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): the "
-    "k-means coarse quantizer (SAME fitted centroids the IVF index uses — "
-    "train once, reuse everywhere) assigns every embedding to a cell "
-    "map-side, then near-duplicate pairs (cosine >= 0.9) are searched "
-    "ONLY within each cell — a self-equi-join on the cell key, so the "
-    "quadratic pair cost is bounded per cluster (~(N/K)^2 x K), never "
-    "all-pairs. Keep-lowest-id survivor rule matches the exact/MinHash "
-    "dedup family. Oracle re-derives the identical fit and inlines the "
-    "centroids as literals, like the IVF gate. The synthetic corpus has "
-    "no near-dups (max pairwise cos ~0.51), so the gate injects exact "
-    "copies of every 25th vector — the operator must drop precisely "
-    "those copies and keep everything else.",
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023) under "
+    "the PRODUCTION cells-proportional-to-corpus contract (r9 VERDICT "
+    "#1): the cell is the sign pattern of p deterministic hyperplanes "
+    "with p = ceil(log2(ceil(n/64))) derived from the corpus count by "
+    "BOTH engines, so cell count grows with the corpus (constant ~64 "
+    "expected population) and within-cell pair volume stays linear in "
+    "n at every scale — the shape the r8/r9 stress runs demanded. The "
+    "k-means flavor (operators/similarity.py semantic_dedup) remains "
+    "the bounded-K auditable sibling: flat quantizer ASSIGNMENT is "
+    "O(n*K) compute, so growing K with the corpus there would merely "
+    "move the quadratic from the pair join into assignment — hash "
+    "cells pay O(log n) per row instead. Assignment is a pure "
+    "map-side projection (p dot products, zero fit); the dedup tail "
+    "(within-cell lo<hi exact cosine >= 0.9, keep-lowest-id) is the "
+    "family-standard survivor rule. The synthetic corpus has no "
+    "near-dups (max pairwise cos ~0.51), so the gate injects exact "
+    "copies of every 25th vector — an exact copy always shares its "
+    "original's cell (identical projections), so recall on the "
+    "planted set is deterministic and the operator must drop exactly "
+    "the copies.",
 )
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cruncher_spark.operators.similarity import semantic_dedup
+    from cruncher_spark.operators.similarity import semantic_dedup_lsh
 
     tune(spark)
     raw = Star(spark, sf_dir).embeddings
+    # metadata-only count: both engines derive the SAME plane count
+    # from the same corpus cardinality (the adaptive-p contract)
+    p = _sdd_planes_for(raw.count())
     copies = raw.where(F.col("vec_id") % _SDD_COPY_EVERY == 0).select(
         (F.col("vec_id") + _SDD_COPY_OFFSET).alias("vec_id"), "embedding"
     )
     emb = fan_out(raw.select("vec_id", "embedding").unionAll(copies))
-    cents = _fitted_centroids(raw, sf_dir)
-    return semantic_dedup(
-        emb, n_centroids=_IVF_K, min_cos=_SDD_MIN_COS, centroids=cents
+    return semantic_dedup_lsh(
+        emb, dim=EMB_DIM, n_planes=p, min_cos=_SDD_MIN_COS
     )
 
 
@@ -1642,17 +1664,18 @@ _SDL_CELL_SQL = " + ".join(
            (d.id IS NULL) AS kept
     FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id
     """,
-    doc="semantic_dedup with a QUANTIZER-FREE cell assignment (r7): the "
-    "cell is the sign pattern of 4 deterministic md5 hyperplanes, so "
-    "assignment is a pure map-side expression with zero fit cost — the "
-    "production-scaling form of SemDeDup's cells-grow-with-the-corpus "
-    "contract (2^p cells cost nothing to fit; the k-means quantizer's "
-    "driver sample caps K). Same within-cell exact-cosine keep-lowest-id "
-    "tail; same injected-copy acceptance as semantic_dedup (an exact "
-    "copy always shares its original's cell — identical projections — "
-    "so the gate is recall-deterministic). Measured to x100 in "
-    "STRESS.md's unique-content section (operators/similarity.py "
-    "semantic_dedup_lsh).",
+    doc="semantic_dedup's PINNED-p sibling: the identical quantizer-free "
+    "sign-pattern cell engine with p FIXED at 4 planes, kept registered "
+    "so band sensitivity is measurable against the adaptive gate (same "
+    "corpus, same survivor rule, different cell discipline — comparing "
+    "the two gates' kept sets IS the p-sweep). The adaptive "
+    "semantic_dedup gate derives p from the corpus count (r10); this "
+    "one holds it constant, so at x100 its cells grow 100x in "
+    "population — deliberate, as the comparison anchor, not the "
+    "production shape. Same injected-copy acceptance (an exact copy "
+    "always shares its original's cell — identical projections). "
+    "Measured to x100 in STRESS.md's unique-content section "
+    "(operators/similarity.py semantic_dedup_lsh).",
 )
 def semantic_dedup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.similarity import semantic_dedup_lsh
