@@ -518,6 +518,8 @@ class EmbeddingDedupIngest:
         exactly_once: bool = True,
         auto_compact_batches: int | None = 32,
         merge_mode: str = "lsm",
+        ivf_monitor=None,
+        ivf_check_every: int = 8,
     ):
         self.spark = spark
         self.state = Path(state_dir)
@@ -527,6 +529,14 @@ class EmbeddingDedupIngest:
         self.min_cos = min_cos
         self.index_buckets = index_buckets
         self.exactly_once = exactly_once
+        # optional served-IVF staleness monitor (r9 VERDICT #4: the
+        # drift-based refit trigger as code, not prose): every
+        # ivf_check_every batches the monitor measures cell-population
+        # drift of the RETAINED corpus against its fit-time baseline
+        # and refits the quantizer when it trips. Advisory/in-memory —
+        # a replayed batch re-measures, never corrupts state.
+        self.ivf_monitor = ivf_monitor
+        self.ivf_check_every = ivf_check_every
         # see NearDupIngest.auto_compact_batches
         self.auto_compact_batches = auto_compact_batches
         self.stream_id: str | None = None
@@ -692,6 +702,13 @@ class EmbeddingDedupIngest:
         )
         self.survivors.merge(kept, batch_id=lid)
         self._maybe_auto_compact()
+        if (
+            self.ivf_monitor is not None
+            and batch_id % self.ivf_check_every == 0
+        ):
+            self.ivf_monitor.maybe_refit(
+                self.retained().select("vec_id", "embedding"), tag=batch_id
+            )
 
     # -- housekeeping / readers ---------------------------------------------
 

@@ -146,3 +146,116 @@ def test_replay_is_ledger_noop_and_compaction_safe(emb_env, spark):
     )
     got = {r.vec_id for r in nd.retained().collect()}
     assert 31 in got and 30 not in got  # 30 duplicates retained 2
+
+
+def _family(
+    seed: int, lo_dim: int, hi_dim: int, n: int, id0: int,
+    n_clusters: int = 8, noise: float = 0.15,
+):
+    """n unit vectors confined to the [lo_dim, hi_dim) subspace, drawn
+    as a mixture of ``n_clusters`` tight clusters — two disjoint
+    families model a distribution shift: true nearest neighbors are
+    in-cluster, so a quantizer fitted on the OTHER family splits
+    clusters noise-arbitrarily while a fresh fit aligns cells with
+    neighborhoods."""
+    rng = np.random.default_rng(seed)
+    width = hi_dim - lo_dim
+    centers = rng.normal(size=(n_clusters, width))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = np.zeros(DIM)
+        # contiguous blocks (NOT i % n_clusters): the quantizer's
+        # stride-4 training sample must see every cluster
+        c = i * n_clusters // n
+        v[lo_dim:hi_dim] = centers[c] + noise * rng.normal(size=width)
+        v = v / np.linalg.norm(v)
+        rows.append((id0 + i, [float(np.float32(x)) for x in v]))
+    return rows
+
+
+def test_ivf_refit_trigger_fires_on_drift(spark):
+    """r9 VERDICT #4 Done-criterion test: a unit-sphere family shift
+    drifts the corpus away from the fitted quantizer; the monitor's
+    drift signal stays quiet on the fit distribution, FIRES on the
+    shifted one, and the post-refit recall on the drifted corpus is
+    >= the stale-quantizer recall."""
+    from cruncher_spark.operators.similarity import (
+        IvfQuantizerMonitor,
+        fit_ivf_centroids,
+    )
+
+    k_cells = 8
+    fam_a = _family(1, 0, 32, 120, id0=0)
+    # the shifted family OVERLAPS the fit subspace (dims 16..48, not a
+    # fully orthogonal block): a disjoint subspace projects to exact
+    # zeros on every stale centroid and collapses into ONE cell — a
+    # degenerate "drift" that HELPS stale recall. Partial overlap is
+    # the realistic shift: stale assignment splits each new cluster
+    # across cells, so stale recall measurably degrades.
+    fam_b = _family(2, 16, 48, 120, id0=1000)
+    schema = "vec_id long, embedding array<double>"
+    df_a = spark.createDataFrame(fam_a, schema)
+    df_b = spark.createDataFrame(fam_b, schema)
+    # one probe query per drifted cluster (members are contiguous blocks)
+    qids = ",".join(str(1000 + 15 * j) for j in range(8))
+    queries_b = df_b.where(f"vec_id in ({qids})")
+
+    cents = fit_ivf_centroids(fam_a, k_cells)
+    mon = IvfQuantizerMonitor(
+        cents,
+        drift_threshold=0.25,
+        recall_floor=None,
+        probe_queries=queries_b,
+        n_probe=2,
+        k=3,
+    )
+    mon.set_baseline(df_a)
+
+    # stationary corpus: no trigger
+    assert mon.maybe_refit(df_a, tag="stationary") is False
+    assert mon.events[-1]["drift"] <= 0.25
+
+    # family shift: stale recall measured BEFORE the trigger refits
+    stale_recall = mon.sampled_recall(df_b)
+    fired = mon.maybe_refit(df_b, tag="shifted")
+    assert fired is True and mon.events[-1]["refit"] is True
+    fresh_recall = mon.sampled_recall(df_b)
+    # seeded fixture: stale 0.583 -> fresh 1.0 (strict improvement)
+    assert fresh_recall > stale_recall
+
+
+def test_embedding_ingest_refit_hook(spark, tmp_path):
+    """The EmbeddingDedupIngest cadence hook runs the monitor against
+    the RETAINED corpus and logs an event per check; a drifted stream
+    triggers a refit through the hook itself."""
+    from cruncher_spark.operators.similarity import (
+        IvfQuantizerMonitor,
+        fit_ivf_centroids,
+    )
+    from cruncher_spark.streaming.neardup import EmbeddingDedupIngest
+
+    fam_a = _family(3, 0, 32, 60, id0=0)
+    fam_b = _family(4, 32, 64, 60, id0=1000)
+    schema = "vec_id long, embedding array<float>"
+
+    mon = IvfQuantizerMonitor(
+        fit_ivf_centroids(fam_a, 4), drift_threshold=0.25
+    )
+    mon.set_baseline(spark.createDataFrame(fam_a, schema))
+    nd = EmbeddingDedupIngest(
+        spark,
+        str(tmp_path / "state"),
+        ivf_monitor=mon,
+        ivf_check_every=2,
+    )
+    nd.process_batch(spark.createDataFrame(fam_a, schema), 1)  # no check
+    assert mon.events == []
+    nd.process_batch(spark.createDataFrame(fam_b[:30], schema), 2)
+    nd.process_batch(spark.createDataFrame(fam_b[30:], schema), 3)
+    nd.process_batch(
+        spark.createDataFrame(_family(5, 32, 64, 60, 2000), schema), 4
+    )
+    tags = [e["tag"] for e in mon.events]
+    assert tags == [2, 4]  # cadence: every 2nd batch
+    assert any(e["refit"] for e in mon.events)  # the shift fired it
