@@ -178,6 +178,12 @@ def dedup_substring_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NUM_HASHES, _BAND_SIZE = 8, 2
+
+#: dedup_lsh_eval's deterministic doc stride (r9 VERDICT #6): the gate
+#: estimates banding recall/precision on the 1/4 doc sample -> 1/16 of
+#: the pair space, cutting the exact-truth quadratic 16-fold; the
+#: unsampled form is dedup_lsh_eval_exact (unregistered, offline)
+_LSHEVAL_STRIDE = 4
 _N_BANDS = _NUM_HASHES // _BAND_SIZE
 
 # universal-hash family mirror of operators.dedup.minhash_signatures:
@@ -491,7 +497,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_eval",
     oracle=f"""
-    WITH {_SH_CTE},
+    WITH documents AS (
+      SELECT * FROM main.documents WHERE doc_id % {_LSHEVAL_STRIDE} = 0
+    ),
+    {_SH_CTE},
     mh AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
     cand AS (
@@ -518,18 +527,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS lsh_precision
     FROM m, n
     """,
-    doc="LSH banding evaluation — candidate-stage recall/precision vs the "
-    "exact-Jaccard ground truth at tau=0.5, the measurement that tunes a "
-    "band/rows config before a 100 TB dedup run (the S-curve "
-    "P[cand] = 1-(1-j^rows)^bands made empirical on the actual corpus). "
-    "Recall = share of true near-dup pairs the banding surfaces (what "
-    "dedup would MISS); precision = share of candidates worth verifying "
-    "(wasted verification cost). One summary row: counts joined via the "
-    "broadcast scalar-attach pattern, never a second corpus scan; the "
-    "exact truth side is the quadratic verification primitive, so this "
-    "is an offline evaluation query, not a production-path operator.",
+    doc="LSH banding evaluation on a SAMPLED-TRUTH basis (r9 VERDICT #6 "
+    f"— the exact form was the registry's only quadratic in a default "
+    f"loop): candidate-stage recall/precision vs exact-Jaccard ground "
+    f"truth at tau=0.5, measured on the deterministic 1/"
+    f"{_LSHEVAL_STRIDE} doc stride (doc_id % {_LSHEVAL_STRIDE} = 0), "
+    "which samples the pair space uniformly at rate 1/stride^2 — an "
+    "unbiased estimator of the banding S-curve P[cand] = "
+    "1-(1-j^rows)^bands with binomial error ~sqrt(r(1-r)/n_true) on "
+    "n_true sampled true pairs (widen the stride until n_true is the "
+    "precision you need; the truth side's quadratic cost falls "
+    "stride^2-fold). Recall = share of true near-dup pairs the banding "
+    "surfaces; precision = share of candidates worth verifying. One "
+    "summary row via the broadcast scalar-attach pattern. The "
+    "FULL-corpus exact form remains available as dedup_lsh_eval_exact "
+    "(same file, unregistered — the offline band-tuning measurement).",
 )
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = Star(spark, sf_dir).documents.where(
+        F.col("doc_id") % _LSHEVAL_STRIDE == 0
+    )
+    return _lsh_eval_body(spark, fan_out(docs))
+
+
+def dedup_lsh_eval_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-corpus exact-truth banding evaluation — deliberately NOT
+    in the default registry (r9 VERDICT #6: its truth side is the
+    quadratic verification primitive, 5.5 s at sf0.1 / 244 s at u100,
+    and it was the only quadratic anything in a default loop). Run it
+    offline when tuning bands for a new corpus; the registered
+    ``dedup_lsh_eval`` gate estimates the same two ratios on a
+    deterministic 1/stride doc sample with a documented binomial
+    bound."""
+    tune(spark)
+    return _lsh_eval_body(spark, fan_out(Star(spark, sf_dir).documents))
+
+
+def _lsh_eval_body(spark: SparkSession, docs: DataFrame) -> DataFrame:
     from cruncher_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -537,8 +572,6 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_arrays,
     )
 
-    tune(spark)
-    docs = fan_out(Star(spark, sf_dir).documents)
     arrs = shingle_arrays(docs, "doc_id", "text", 3).persist()
     truth = (
         prefix_jaccard_pairs(arrs, "doc_id", min_jaccard=0.5)

@@ -1161,6 +1161,27 @@ def test_semantic_contamination_hand_case(spark):
     assert out[0].contaminated is False  # self-pair excluded
 
 
+def test_dedup_lsh_eval_sampled_vs_exact(spark):
+    """The registered gate is the 1/stride sampled-truth estimator (r9
+    VERDICT #6); the exact full-corpus form stays available offline.
+    On the strided sub-corpus the two are BY CONSTRUCTION the same
+    measurement, and the exact form must still run end-to-end."""
+    from cruncher_spark.plans.pipeline_queries import (
+        _LSHEVAL_STRIDE,
+        dedup_lsh_eval,
+        dedup_lsh_eval_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sampled = dedup_lsh_eval(spark, sf).collect()[0]
+    exact = dedup_lsh_eval_exact(spark, sf).collect()[0]
+    assert sampled.asDict().keys() == exact.asDict().keys()
+    # the sample covers 1/stride of docs -> far fewer pairs than exact
+    assert 0 < sampled.n_true <= exact.n_true
+    assert 0 < sampled.n_cand <= exact.n_cand
+    assert _LSHEVAL_STRIDE >= 2
+
+
 def test_banded_pairs_hint_off_identical(spark):
     """hint_broadcast=False (the degenerate-corpus escape hatch from r9
     ADVICE: a hot band makes the forced broadcast OOM instead of
