@@ -1024,3 +1024,134 @@ def gopher_rules(
         & (F.col("n_stop_distinct") >= min_distinct_stopwords)
     )
     return out.withColumn("kept", kept)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed n-gram importance resampling (target-domain data selection)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_flag: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much more likely its hashed unigram+
+    bigram bag is under the TARGET-domain feature distribution than
+    under the raw-corpus one — the published recipe for selecting
+    pretraining data that "looks like" a small high-quality target set.
+
+    Model (both engines bit-identical): features are the 60-bit
+    portable hash of each unigram (salt ``dsir_u``) and each positional
+    bigram (salt ``dsir_b``) taken mod ``n_buckets`` — DSIR's hashed
+    generative model, so the parameter table is B-bounded regardless of
+    vocabulary. With add-one smoothing over the B buckets,
+    ``lambda(f) = round(ln((ct+1)/(Tt+B)) - ln((cr+1)/(Tr+B)), 6)`` as
+    DECIMAL(18,6) (ct/cr = target/corpus counts of f, Tt/Tr totals);
+    the per-doc log importance weight is the EXACT decimal sum of
+    multiplicity * lambda — order-independent, so no float-accumulation
+    drift across engines (the bigram_nll discipline), and no mean/div
+    rounding tail at all since DSIR uses the sum.
+
+    Scale shape (the bigram_nll lesson): the feature explode feeds one
+    corpus-sized map-side-combined groupBy on (doc, flag, f); every
+    model table after that is B-bounded — cr/ct aggregate to <= B rows,
+    totals are one-row aggregates, and the lambda table BROADCASTS into
+    the per-doc attach, so the smoothing denominators and the ratio
+    model never re-shuffle the corpus. ``target_flag`` is any
+    deterministic predicate column over ``docs`` (a domain label, a
+    hand-curated id set, a quality tier).
+
+    Output: (id, n_feats, log_weight double, selected bool) — selected
+    is ``log_weight > 0`` (more target-like than corpus-like), the
+    DSIR drop-list shape; resample instead by ranking on log_weight.
+    Documents with zero words contribute no features and drop out (a
+    length filter owns those).
+    """
+    from cruncher_spark.functions.text import portable_hash64, words
+
+    B = n_buckets
+    w = words(text_col)
+    base = docs.select(
+        F.col(id_col), target_flag.alias("__tgt__"), w.alias("wl")
+    )
+    uni = base.select(
+        F.col(id_col), "__tgt__", F.explode("wl").alias("tok")
+    ).select(
+        F.col(id_col),
+        "__tgt__",
+        F.pmod(portable_hash64(F.col("tok"), "dsir_u"), F.lit(B)).alias("f"),
+    )
+    big = (
+        base.where(F.size("wl") >= 2)
+        .select(
+            F.col(id_col),
+            "__tgt__",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("wl") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("wl"), i),
+                        F.element_at(F.col("wl"), i + 1),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            F.col(id_col),
+            "__tgt__",
+            F.pmod(portable_hash64(F.col("g"), "dsir_b"), F.lit(B)).alias(
+                "f"
+            ),
+        )
+    )
+    feats = (
+        uni.unionByName(big)
+        .groupBy(id_col, "__tgt__", "f")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cr = feats.groupBy("f").agg(F.sum("m").alias("cr"))
+    ct = feats.where(F.col("__tgt__")).groupBy("f").agg(
+        F.sum("m").alias("ct")
+    )
+    totals = cr.agg(F.sum("cr").alias("tr")).crossJoin(
+        F.broadcast(
+            ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+        )
+    )
+    lam = (
+        cr.join(ct, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("tt") + B)
+                )
+                - F.log((F.col("cr") + 1) / (F.col("tr") + B)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lam"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(lam), "f")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_feats"),
+            F.sum(F.col("m") * F.col("lam")).alias("lw"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            F.col("lw").cast("double").alias("log_weight"),
+            (F.col("lw") > 0).alias("selected"),
+        )
+    )

@@ -1724,6 +1724,77 @@ def semantic_dedup_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_multiprobe_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    planes = _hyperplane_signs(EMB_DIM, _sdd_planes_for(n))
+    cell_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(planes[p])}) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(len(planes))
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SDD_COPY_OFFSET}, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id % {_SDD_COPY_EVERY} = 0
+    ),
+    assigned AS (SELECT vec_id, v, {cell_sql} AS cell FROM e),
+    dropped AS (
+      SELECT DISTINCT hi.vec_id AS id
+      FROM assigned lo JOIN assigned hi
+        ON bit_count(xor(CAST(lo.cell AS BIGINT), CAST(hi.cell AS BIGINT))) <= 1
+       AND lo.vec_id < hi.vec_id
+      WHERE round(list_dot_product(lo.v, hi.v)
+            / (sqrt(list_dot_product(lo.v, lo.v))
+             * sqrt(list_dot_product(hi.v, hi.v))), 6) >= {_SDD_MIN_COS}
+    )
+    SELECT a.vec_id AS id, CAST(a.cell AS INT) AS cell,
+           (d.id IS NULL) AS kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id
+    """
+
+
+@register(
+    "semantic_dedup_multiprobe",
+    oracle=_semantic_dedup_multiprobe_oracle,
+    doc="semantic_dedup's RECALL lever (r10): multi-probe candidate "
+    "generation over the same corpus-adaptive sign-pattern cells — a "
+    "pair is verified when its cells differ in at most ONE bit (the Lv "
+    "et al. 1-bit probe ring the ann_lsh_multiprobe gate applies to "
+    "search, applied to dedup). This matters exactly because the "
+    "adaptive contract grows p with the corpus: single-probe recall "
+    "for a cos-0.9 pair is (1-θ/π)^p ≈ 16% at p=12, while the 1-bit "
+    "ring lifts it ~3x for a (p+1)x candidate factor — O(log n), so "
+    "pair volume stays linear. Exact copies are still found with "
+    "probability 1, so the planted-copy acceptance is deterministic. "
+    "Spark explodes only the lo side of the self-join into its "
+    "(p+1)-cell probe ring (each vector indexed ONCE; a hamming<=1 "
+    "pair matches exactly one probe — no dup candidates); the oracle "
+    "states the same contract declaratively as bit_count(xor(cells)) "
+    "<= 1 (operators/similarity.py semantic_dedup_multiprobe).",
+)
+def semantic_dedup_multiprobe_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cruncher_spark.operators.similarity import semantic_dedup_multiprobe
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    p = _sdd_planes_for(raw.count())
+    copies = raw.where(F.col("vec_id") % _SDD_COPY_EVERY == 0).select(
+        (F.col("vec_id") + _SDD_COPY_OFFSET).alias("vec_id"), "embedding"
+    )
+    emb = fan_out(raw.select("vec_id", "embedding").unionAll(copies))
+    return semantic_dedup_multiprobe(
+        emb, dim=EMB_DIM, n_planes=p, min_cos=_SDD_MIN_COS
+    )
+
+
 def _ivf_cache_key(sf_dir: str) -> tuple:
     """Fingerprint the embeddings dataset: path plus (name, mtime_ns, size)
     of every file under embeddings.parquet (itself for a single file)."""
@@ -1819,6 +1890,75 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", _STRAT_RATES, "doc_id",
         default_rate=_STRAT_DEFAULT, salt=_STRAT_SALT,
     ).select("doc_id", "lang")
+
+
+#: DSIR target-domain fixture: every 20th doc plays the curated
+#: "target" sample the importance model is fitted toward — small
+#: relative to the corpus, as real target sets are
+_DSIR_TARGET_MOD = 20
+_DSIR_BUCKETS = 1024
+
+
+@register(
+    "dsir_selection",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, doc_id % {_DSIR_TARGET_MOD} = 0 AS tgt,
+                      string_split(text, ' ') AS wl
+               FROM documents),
+    occ AS (
+      SELECT doc_id, tgt,
+             {_oracle_hash("tok", "dsir_u")} % {_DSIR_BUCKETS} AS f
+      FROM (SELECT doc_id, tgt, unnest(wl) AS tok FROM w)
+      UNION ALL
+      SELECT doc_id, tgt,
+             {_oracle_hash(
+                 "wl[CAST(g AS INT)] || ' ' || wl[CAST(g AS INT)+1]",
+                 "dsir_b",
+             )} % {_DSIR_BUCKETS} AS f
+      FROM w, unnest(range(1, len(wl))) t(g)
+    ),
+    m AS (SELECT doc_id, tgt, f, count(*) AS m FROM occ
+          GROUP BY doc_id, tgt, f),
+    cr AS (SELECT f, sum(m) AS cr FROM m GROUP BY f),
+    ct AS (SELECT f, sum(m) AS ct FROM m WHERE tgt GROUP BY f),
+    tot AS (SELECT (SELECT sum(cr) FROM cr) AS tr,
+                   (SELECT coalesce(sum(ct), 0) FROM ct) AS tt),
+    lam AS (SELECT f,
+                   CAST(round(
+                     ln((coalesce(ct, 0) + 1) / (tt + {_DSIR_BUCKETS}))
+                     - ln((cr + 1) / (tr + {_DSIR_BUCKETS})), 6)
+                   AS DECIMAL(18,6)) AS lam
+            FROM cr LEFT JOIN ct USING (f), tot),
+    per AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+                   sum(m * lam) AS lw
+            FROM m JOIN lam USING (f) GROUP BY doc_id)
+    SELECT doc_id, n_feats, CAST(lw AS DOUBLE) AS log_weight,
+           lw > 0 AS selected
+    FROM per
+    """,
+    doc="DSIR hashed n-gram importance selection (Xie et al. 2023): "
+    "score each document by the log-ratio of its hashed unigram+bigram "
+    "bag under the target-domain feature distribution (fitted on the "
+    "every-20th-doc fixture sample) vs the raw corpus — the published "
+    "recipe for choosing pretraining data that resembles a curated "
+    "target set. Per-feature log-ratios round to DECIMAL(18,6) and the "
+    "per-doc log weight is the EXACT decimal sum (bigram_nll's "
+    "discipline; DSIR uses the sum, so there is no mean/rounding tail). "
+    "Scale: one corpus-sized map-combined groupBy on (doc,f); the "
+    f"model is {_DSIR_BUCKETS}-bucket-bounded and BROADCASTS into the "
+    "per-doc attach — the smoothing denominators never re-shuffle the "
+    "corpus (operators/curation.py dsir_importance).",
+)
+def dsir_selection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import dsir_importance
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return dsir_importance(
+        docs,
+        F.col("doc_id") % _DSIR_TARGET_MOD == 0,
+        n_buckets=_DSIR_BUCKETS,
+    )
 
 
 #: minimum token count for the curation pipeline's quality screen

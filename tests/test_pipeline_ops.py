@@ -1161,6 +1161,106 @@ def test_semantic_contamination_hand_case(spark):
     assert out[0].contaminated is False  # self-pair excluded
 
 
+def test_dsir_importance_hand_case(spark):
+    """DSIR direction check: docs sharing the target sample's
+    vocabulary score a positive log weight (selected), docs from a
+    disjoint vocabulary score negative; the exact-decimal sum makes
+    the result partitioning-invariant."""
+    from cruncher_spark.operators.curation import dsir_importance
+
+    # counts must be heavy enough that the evidence beats the add-one
+    # smoothing floor (Tt/Tr ~ B): a one-line toy corpus washes out
+    rows = [
+        (0, ("alpha beta gamma delta " * 10).strip()),  # target
+        (3, ("alpha beta gamma delta " * 10).strip()),  # target
+        (1, ("alpha beta gamma delta " * 5).strip()),   # target-like
+        (2, ("zeta eta theta iota " * 5).strip()),      # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(
+            docs, F.col("doc_id").isin(0, 3), n_buckets=64
+        ).collect()
+    }
+    assert out[0].selected and out[0].log_weight > 0
+    assert out[1].selected and out[1].log_weight > 0
+    assert not out[2].selected and out[2].log_weight < 0
+    assert out[1].log_weight > out[2].log_weight
+
+    rep = {
+        r.doc_id: (r.n_feats, r.log_weight, r.selected)
+        for r in dsir_importance(
+            docs.repartition(5), F.col("doc_id").isin(0, 3), n_buckets=64
+        ).collect()
+    }
+    assert rep == {
+        d: (r.n_feats, r.log_weight, r.selected) for d, r in out.items()
+    }
+
+
+def test_semantic_dedup_multiprobe_recovers_boundary_pairs(spark):
+    """The 1-bit probe ring's whole point: a near-dup pair (cos >= 0.9)
+    that one near-threshold hyperplane pushed into an ADJACENT cell is
+    invisible to single-probe cells but verified by multi-probe; a
+    hamming-2 pair stays invisible to both (the documented ring
+    boundary). Pair found by deterministic seeded search against the
+    real md5 plane family."""
+    import numpy as np
+
+    from cruncher_spark.operators.similarity import (
+        _hyperplane_signs,
+        semantic_dedup_lsh,
+        semantic_dedup_multiprobe,
+    )
+
+    dim, p = 8, 4
+    planes = np.array(_hyperplane_signs(dim, p), dtype=float)
+
+    def cell(v):
+        return sum(1 << i for i, s in enumerate(planes @ v) if s > 0)
+
+    def cos(a, b):
+        return float(
+            a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    rng = np.random.default_rng(7)
+    pair1 = pair2 = None  # hamming-1 and hamming-2 near-dup pairs
+    while pair1 is None or pair2 is None:
+        v = rng.normal(size=dim)
+        u = v + 0.35 * rng.normal(size=dim)
+        if cos(u, v) < 0.9:
+            continue
+        h = bin(cell(u) ^ cell(v)).count("1")
+        if h == 1 and pair1 is None:
+            pair1 = (v, u)
+        elif h == 2 and pair2 is None:
+            pair2 = (v, u)
+
+    rows = [
+        (1, [float(x) for x in pair1[0]]),
+        (2, [float(x) for x in pair1[1]]),
+        (10, [float(x) for x in pair2[0]]),
+        (20, [float(x) for x in pair2[1]]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = {
+        r.id: r.kept
+        for r in semantic_dedup_lsh(
+            df, dim=dim, n_planes=p, min_cos=0.9
+        ).collect()
+    }
+    multi = {
+        r.id: r.kept
+        for r in semantic_dedup_multiprobe(
+            df, dim=dim, n_planes=p, min_cos=0.9
+        ).collect()
+    }
+    assert single == {1: True, 2: True, 10: True, 20: True}  # all missed
+    assert multi == {1: True, 2: False, 10: True, 20: True}  # ring=1 caught
+
+
 def test_dedup_lsh_eval_sampled_vs_exact(spark):
     """The registered gate is the 1/stride sampled-truth estimator (r9
     VERDICT #6); the exact full-corpus form stays available offline.
