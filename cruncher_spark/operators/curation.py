@@ -1115,25 +1115,24 @@ def dsir_importance(
         .groupBy(id_col, "__tgt__", "f")
         .agg(F.count(F.lit(1)).alias("m"))
     )
-    cr = feats.groupBy("f").agg(F.sum("m").alias("cr"))
-    ct = feats.where(F.col("__tgt__")).groupBy("f").agg(
-        F.sum("m").alias("ct")
+    # ONE f-keyed aggregation carries both distributions (target count
+    # as a conditional sum) — a separate filtered ct branch would
+    # re-derive the corpus-sized feature subtree a third time
+    model = feats.groupBy("f").agg(
+        F.sum("m").alias("cr"),
+        F.sum(
+            F.when(F.col("__tgt__"), F.col("m")).otherwise(F.lit(0))
+        ).alias("ct"),
     )
-    totals = cr.agg(F.sum("cr").alias("tr")).crossJoin(
-        F.broadcast(
-            ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
-        )
+    totals = model.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     lam = (
-        cr.join(ct, "f", "left")
-        .crossJoin(F.broadcast(totals))
+        model.crossJoin(F.broadcast(totals))
         .select(
             "f",
             F.round(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    / (F.col("tt") + B)
-                )
+                F.log((F.col("ct") + 1) / (F.col("tt") + B))
                 - F.log((F.col("cr") + 1) / (F.col("tr") + B)),
                 6,
             )
