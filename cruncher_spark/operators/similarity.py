@@ -972,11 +972,21 @@ def semantic_dedup_multiprobe(
     the corpus. Exact copies (f=0) are found with probability 1 in
     both forms.
 
-    Plan shape: each vector is bucketed ONCE (primary cell); only the
-    lo side of the lo<hi self-join fans out to its (p+1)-cell probe
-    ring, and a hamming<=1 cell pair matches on exactly one probe, so
-    no candidate is generated twice. Assignment and probe fan-out are
-    map-side; the one shuffle is the cell equi-join.
+    Plan shape — the SET-BIT-CLEARED halving: every vector is bucketed
+    ONCE (primary cell); the probe side emits its primary cell plus its
+    cell with each SET bit cleared (~1 + p/2 rows in expectation, not
+    the naive 1 + p full ring), and joins the other side's PRIMARY
+    cell. Coverage is exact and duplicate-free: a hamming-1 pair
+    differs at one bit k — the member with bit k SET reaches the other
+    member's cell by clearing k (and only k), and the clear-bit member
+    can never reach back by clearing, so the pair is generated exactly
+    once; a same-cell pair is generated once via the primary-primary
+    match under id order. The probe rows carry the full vector so
+    candidate pairs are formed AND cosine-verified inside the one cell
+    equi-join — pairs themselves never shuffle. Assignment and probe
+    fan-out are map-side; the one wide exchange is the cell join, whose
+    probe side moves ~(1+p/2)x rows — the measured O(log n) recall
+    cost (STRESS row vs semantic_dedup's).
 
     Output contract matches :func:`semantic_dedup`: (id, cell, kept) —
     cell is the primary cell.
@@ -999,26 +1009,56 @@ def semantic_dedup_multiprobe(
         norm(F.col(vec_col), dim).alias("nrm"),
         cell.alias("cell"),
     )
-    probe_ring = F.explode(
-        F.array(
-            F.col("cell"),
-            *[
-                F.col("cell").bitwiseXOR(F.lit(1 << p))
-                for p in range(n_planes)
-            ],
+    # primary probe + one probe per SET bit (cleared): struct(cell,
+    # primary?) with unset-bit slots nulled out then compacted
+    probes = F.explode(
+        F.concat(
+            F.array(
+                F.struct(
+                    F.col("cell").alias("c"), F.lit(True).alias("pri")
+                )
+            ),
+            F.filter(
+                F.array(
+                    *[
+                        F.when(
+                            F.col("cell").bitwiseAND(F.lit(1 << p))
+                            != 0,
+                            F.struct(
+                                F.col("cell")
+                                .bitwiseXOR(F.lit(1 << p))
+                                .alias("c"),
+                                F.lit(False).alias("pri"),
+                            ),
+                        )
+                        for p in range(n_planes)
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            ),
         )
     )
     lo = assigned.select(
         F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
-        F.col("nrm").alias("lo_nrm"), probe_ring.alias("cell"),
+        F.col("nrm").alias("lo_nrm"), probes.alias("pr"),
+    ).select(
+        "lo_id", "lo_vec", "lo_nrm",
+        F.col("pr.c").alias("cell"), F.col("pr.pri").alias("pri"),
     )
     hi = assigned.select(
         F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
         F.col("nrm").alias("hi_nrm"), "cell",
     )
+    # primary-primary matches obey id order (each same-cell pair once);
+    # cleared-bit matches arrive in whichever id order the set-bit
+    # member sits on, so the dropped id is the GREATER of the two
     dropped = (
         lo.join(hi, "cell")
-        .where(F.col("lo_id") < F.col("hi_id"))
+        .where(
+            F.when(F.col("pri"), F.col("lo_id") < F.col("hi_id")).otherwise(
+                F.col("lo_id") != F.col("hi_id")
+            )
+        )
         .where(
             F.round(
                 dot(F.col("lo_vec"), F.col("hi_vec"), dim)
@@ -1027,7 +1067,7 @@ def semantic_dedup_multiprobe(
             )
             >= min_cos
         )
-        .select(F.col("hi_id").alias("id"))
+        .select(F.greatest(F.col("lo_id"), F.col("hi_id")).alias("id"))
         .distinct()
     )
     return assigned.join(

@@ -1769,14 +1769,16 @@ def _semantic_dedup_multiprobe_oracle(sf_dir: str) -> str:
     "search, applied to dedup). This matters exactly because the "
     "adaptive contract grows p with the corpus: single-probe recall "
     "for a cos-0.9 pair is (1-θ/π)^p ≈ 16% at p=12, while the 1-bit "
-    "ring lifts it ~3x for a (p+1)x candidate factor — O(log n), so "
-    "pair volume stays linear. Exact copies are still found with "
-    "probability 1, so the planted-copy acceptance is deterministic. "
-    "Spark explodes only the lo side of the self-join into its "
-    "(p+1)-cell probe ring (each vector indexed ONCE; a hamming<=1 "
-    "pair matches exactly one probe — no dup candidates); the oracle "
-    "states the same contract declaratively as bit_count(xor(cells)) "
-    "<= 1 (operators/similarity.py semantic_dedup_multiprobe).",
+    "ring lifts it ~3x for a ~(1+p/2)x probe factor — O(log n), so "
+    "pair volume stays linear-by-log. Exact copies are still found "
+    "with probability 1, so the planted-copy acceptance is "
+    "deterministic. Spark uses the SET-BIT-CLEARED halving: the probe "
+    "side emits its primary cell plus each set bit cleared (~1+p/2 "
+    "rows, not the naive 1+p full ring) against the other side's "
+    "primary cell — exact, duplicate-free coverage of hamming<=1 "
+    "(each vector indexed ONCE); the oracle states the same contract "
+    "declaratively as bit_count(xor(cells)) <= 1 "
+    "(operators/similarity.py semantic_dedup_multiprobe).",
 )
 def semantic_dedup_multiprobe_query(
     spark: SparkSession, sf_dir: str
