@@ -1797,6 +1797,207 @@ def semantic_dedup_multiprobe_query(
     )
 
 
+#: near-copy noise model for the dedup-recall gate: copy_i = v_i +
+#: a(id) * u(id,i) with a(id) = (1 + id%5)/10 and u a deterministic
+#: md5-derived value in [-1,1] — planted cosines span ~0.81..0.94 on
+#: the unit-vector fixture, STRADDLING the 0.9 threshold, so the truth
+#: set is nontrivial (unlike the exact copies the acceptance gates
+#: plant, whose recall is 1 by construction)
+_SDR_NOISE_SALT = "sdrnoise"
+
+
+def _sdr_copy_sql_duckdb() -> str:
+    """DuckDB expression for the near-copy vector (from alias v0/vec_id)."""
+    h = _oracle_hash("vec_id || '#' || i", _SDR_NOISE_SALT)
+    return (
+        "list_transform(range(1, 65), i -> v0[CAST(i AS INT)]"
+        f" + ((1 + vec_id % 5) / 10.0)"
+        f" * (({h} % 2001 - 1000) / 1000.0))"
+    )
+
+
+def _semantic_dedup_recall_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    planes = _hyperplane_signs(EMB_DIM, _sdd_planes_for(n))
+    cell_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(planes[p])}) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(len(planes))
+    )
+    pair_cos = (
+        "round(list_dot_product(lo.v, hi.v)"
+        " / (sqrt(list_dot_product(lo.v, lo.v))"
+        " * sqrt(list_dot_product(hi.v, hi.v))), 6)"
+    )
+    return f"""
+    WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+                 FROM embeddings WHERE vec_id % {_SDD_COPY_EVERY} = 0),
+    copies AS (SELECT vec_id + {_SDD_COPY_OFFSET} AS vec_id,
+                      {_sdr_copy_sql_duckdb()} AS v
+               FROM src),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id, v FROM copies
+    ),
+    assigned AS (SELECT vec_id, v, {cell_sql} AS cell FROM e),
+    drop_s AS (
+      SELECT DISTINCT hi.vec_id AS id
+      FROM assigned lo JOIN assigned hi
+        ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+      WHERE {pair_cos} >= {_SDD_MIN_COS}
+    ),
+    drop_m AS (
+      SELECT DISTINCT hi.vec_id AS id
+      FROM assigned lo JOIN assigned hi
+        ON bit_count(xor(CAST(lo.cell AS BIGINT), CAST(hi.cell AS BIGINT))) <= 1
+       AND lo.vec_id < hi.vec_id
+      WHERE {pair_cos} >= {_SDD_MIN_COS}
+    ),
+    truth AS (
+      SELECT c.vec_id AS cid,
+             round(list_dot_product(s.v0, c.v)
+               / (sqrt(list_dot_product(s.v0, s.v0))
+                * sqrt(list_dot_product(c.v, c.v))), 6)
+               >= {_SDD_MIN_COS} AS is_true
+      FROM copies c JOIN src s
+        ON c.vec_id = s.vec_id + {_SDD_COPY_OFFSET}
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_planted,
+             CAST(sum(CAST(is_true AS INT)) AS BIGINT) AS n_true,
+             CAST(sum(CAST(is_true AND ds.id IS NOT NULL AS INT)) AS BIGINT)
+               AS single_caught,
+             CAST(sum(CAST(is_true AND dm.id IS NOT NULL AS INT)) AS BIGINT)
+               AS multi_caught
+      FROM truth t
+      LEFT JOIN drop_s ds ON t.cid = ds.id
+      LEFT JOIN drop_m dm ON t.cid = dm.id
+    )
+    SELECT n_planted, n_true, single_caught, multi_caught,
+           round(CAST(single_caught AS DOUBLE) / n_true, 6) AS single_recall,
+           round(CAST(multi_caught AS DOUBLE) / n_true, 6) AS multi_recall
+    FROM agg
+    """
+
+
+@register(
+    "semantic_dedup_recall",
+    oracle=_semantic_dedup_recall_oracle,
+    doc="Measured recall of the semantic-dedup cell family — the "
+    "ann_ivf_recall analogue for dedup (r10): plant deterministic "
+    "NEAR-copies (per-dimension md5 noise, amplitudes spanning the "
+    "0.9 threshold so ground truth is nontrivial — exact copies, as "
+    "the acceptance gates plant, have recall 1 by construction), then "
+    "count which true near-dup copies the single-probe cells vs the "
+    "hamming<=1 probe ring actually drop. single_recall <= "
+    "multi_recall structurally (the ring's candidate set is a "
+    "superset), and the gap IS the measured value of the multi-probe "
+    "lever at the corpus-adaptive p — the number the "
+    "(1-θ/π)^p formula only predicts. Truth, both drop sets, and the "
+    "noise model are bit-identical in both engines (IEEE expression "
+    "parity: a(id)=(1+id%5)/10, u=(md5 % 2001 - 1000)/1000).",
+)
+def semantic_dedup_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.functions.text import portable_hash64
+    from cruncher_spark.operators.similarity import (
+        dot,
+        norm,
+        semantic_dedup_lsh,
+        semantic_dedup_multiprobe,
+    )
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    p = _sdd_planes_for(raw.count())
+
+    # the noise lambda references the SOURCE id — renamed to a private
+    # column so the projection that also aliases the SHIFTED id as
+    # `vec_id` can never capture the lambda's reference (Spark resolves
+    # lateral column aliases within a select list; the collision
+    # silently re-noised copies with the shifted id)
+    def noisy(i):
+        u = (
+            portable_hash64(
+                F.concat(
+                    F.col("__sdr_src__").cast("string"),
+                    F.lit("#"),
+                    i.cast("string"),
+                ),
+                _SDR_NOISE_SALT,
+            )
+            % 2001
+            - 1000
+        ) / F.lit(1000.0)
+        a = (F.lit(1) + F.col("__sdr_src__") % 5) / F.lit(10.0)
+        return F.element_at(F.col("embedding"), i.cast("int")).cast(
+            "double"
+        ) + a * u
+
+    src = raw.where(F.col("vec_id") % _SDD_COPY_EVERY == 0).select(
+        F.col("vec_id").alias("__sdr_src__"), "embedding"
+    )
+    copy_vec = F.transform(F.sequence(F.lit(1), F.lit(EMB_DIM)), noisy)
+    copies = src.select(
+        (F.col("__sdr_src__") + _SDD_COPY_OFFSET).alias("vec_id"),
+        copy_vec.alias("embedding"),
+    )
+    emb = fan_out(
+        raw.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionAll(copies)
+    )
+    kept_s = semantic_dedup_lsh(
+        emb, dim=EMB_DIM, n_planes=p, min_cos=_SDD_MIN_COS
+    ).select(F.col("id").alias("cid"), F.col("kept").alias("kept_s"))
+    kept_m = semantic_dedup_multiprobe(
+        emb, dim=EMB_DIM, n_planes=p, min_cos=_SDD_MIN_COS
+    ).select(F.col("id").alias("cid"), F.col("kept").alias("kept_m"))
+    # truth is computed IN-ROW (source vector and its noisy copy live in
+    # the same src row) — a copies⋈src self-join would duplicate the
+    # noise expression across plan branches, the same capture class as
+    # the alias collision above
+    sv = F.col("embedding").cast("array<double>")
+    truth = src.select(
+        (F.col("__sdr_src__") + _SDD_COPY_OFFSET).alias("cid"),
+        (
+            F.round(
+                dot(sv, copy_vec, EMB_DIM)
+                / (norm(sv, EMB_DIM) * norm(copy_vec, EMB_DIM)),
+                6,
+            )
+            >= _SDD_MIN_COS
+        ).alias("is_true"),
+    )
+    agg = (
+        truth.join(kept_s, "cid")
+        .join(kept_m, "cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_planted"),
+            F.sum(F.col("is_true").cast("int")).cast("long").alias("n_true"),
+            F.sum((F.col("is_true") & ~F.col("kept_s")).cast("int"))
+            .cast("long")
+            .alias("single_caught"),
+            F.sum((F.col("is_true") & ~F.col("kept_m")).cast("int"))
+            .cast("long")
+            .alias("multi_caught"),
+        )
+    )
+    return agg.select(
+        "n_planted", "n_true", "single_caught", "multi_caught",
+        F.round(
+            F.col("single_caught").cast("double") / F.col("n_true"), 6
+        ).alias("single_recall"),
+        F.round(
+            F.col("multi_caught").cast("double") / F.col("n_true"), 6
+        ).alias("multi_recall"),
+    )
+
+
 def _ivf_cache_key(sf_dir: str) -> tuple:
     """Fingerprint the embeddings dataset: path plus (name, mtime_ns, size)
     of every file under embeddings.parquet (itself for a single file)."""

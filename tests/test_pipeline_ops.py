@@ -1261,6 +1261,25 @@ def test_semantic_dedup_multiprobe_recovers_boundary_pairs(spark):
     assert multi == {1: True, 2: False, 10: True, 20: True}  # ring=1 caught
 
 
+def test_semantic_dedup_recall_invariants(spark):
+    """The measured-recall gate's structure: the probe ring's candidate
+    set is a superset of the single-probe set, so multi_recall >=
+    single_recall ALWAYS; truth is nontrivial (the noise model must
+    straddle the 0.9 threshold — all-true or all-false would make the
+    recall comparison vacuous); counts bounded by the planted set."""
+    from cruncher_spark.plans.pipeline_queries import (
+        semantic_dedup_recall_query,
+    )
+
+    row = semantic_dedup_recall_query(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0 < row.n_true < row.n_planted  # straddles the threshold
+    assert 0 <= row.single_caught <= row.multi_caught <= row.n_true
+    assert row.multi_recall >= row.single_recall
+    assert row.multi_recall == round(row.multi_caught / row.n_true, 6)
+
+
 def test_dedup_lsh_eval_sampled_vs_exact(spark):
     """The registered gate is the 1/stride sampled-truth estimator (r9
     VERDICT #6); the exact full-corpus form stays available offline.
