@@ -29,6 +29,7 @@ plan prescribes):
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame
@@ -612,9 +613,54 @@ def bigram_nll(
     )
 
 
-#: the previous perplexity_buckets invocation's corpus-sized cache —
-#: see the lifetime note inside the function
-_PPL_CACHES: list[DataFrame] = []
+#: perplexity_buckets' corpus-sized scorer caches, KEYED by the input's
+#: analyzed plan + scorer columns so an interleaved caller (build plan
+#: A, build plan B, materialize A) reuses A's persisted scorer instead
+#: of silently losing it to B's build, and concurrent plan builds on
+#: one driver are lock-safe (r10 ADVICE). Entries are
+#: (params, jvm analyzed plan, scored DF); hits require the JVM's
+#: ``sameResult`` — EXACT semantic plan equality (canonicalized
+#: toString would collide for LocalRelations, whose literal data never
+#: prints), so a wrong hit is impossible; when the JVM plan is
+#: unreachable (connect-mode/API drift) the cache degrades to
+#: always-build, never to a stale hit. Bounded FIFO-LRU: the oldest
+#: entry unpersists past _PPL_CACHE_MAX — harnesses that cycle corpora
+#: (scale_stress u1/u10/u100) hold a handful of caches, never a pile.
+_PPL_CACHE_LOCK = threading.Lock()
+_PPL_CACHES: list[tuple] = []
+_PPL_CACHE_MAX = 4
+
+
+def _ppl_analyzed_plan(docs: DataFrame):
+    """The JVM analyzed logical plan, or None when unreachable."""
+    try:
+        return docs._jdf.queryExecution().analyzed()
+    except Exception:
+        return None
+
+
+def _ppl_cache_lookup(
+    docs: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> DataFrame | None:
+    """Return the cached scorer for this exact input (sameResult match
+    on the analyzed plan, same scorer columns), refreshing its LRU
+    position; None on miss. Caller must hold _PPL_CACHE_LOCK."""
+    jplan = _ppl_analyzed_plan(docs)
+    if jplan is None:
+        return None
+    params = (id_col, text_col, lang_col)
+    for ent in _PPL_CACHES:
+        if ent[0] != params or ent[1] is None:
+            continue
+        try:
+            same = ent[1].sameResult(jplan)
+        except Exception:
+            same = False
+        if same:
+            _PPL_CACHES.remove(ent)
+            _PPL_CACHES.append(ent)
+            return ent[2]
+    return None
 
 
 def perplexity_buckets(
@@ -663,20 +709,27 @@ def perplexity_buckets(
     # persisted: both the cutoff fit and the assignment read it — without
     # this the corpus-sized LM scorer runs twice (minhash/graph convention;
     # exchange reuse does NOT kick in here because column pruning pushes
-    # different projections into the two branches). Lifetime: the cache is
-    # released when the NEXT perplexity_buckets call arrives — harnesses
-    # that cycle invocations in one session (scale_stress u1/u10/u100)
-    # hold at most ONE corpus-sized cache instead of accumulating them.
-    # An interleaved caller (build plan A, build plan B, materialize A)
-    # loses A's cache and pays a recompute — correctness unaffected.
-    scored = (
-        bigram_nll(docs, id_col=id_col, text_col=text_col)
-        .join(docs.select(F.col(id_col), F.col(lang_col)), id_col)
-        .persist()
-    )
-    while _PPL_CACHES:
-        _PPL_CACHES.pop().unpersist()
-    _PPL_CACHES.append(scored)
+    # different projections into the two branches). Lifetime: keyed LRU
+    # over (analyzed plan via sameResult, columns) — the same logical
+    # input reuses the persisted scorer across invocations (including
+    # interleaved builds), distinct inputs evict oldest-first past
+    # _PPL_CACHE_MAX, and the lock makes concurrent plan builds on one
+    # driver safe (r10 ADVICE; sample_mod is excluded from the key
+    # because the scorer is mod-independent — only the downstream fit
+    # stride differs).
+    with _PPL_CACHE_LOCK:
+        scored = _ppl_cache_lookup(docs, id_col, text_col, lang_col)
+        if scored is None:
+            scored = (
+                bigram_nll(docs, id_col=id_col, text_col=text_col)
+                .join(docs.select(F.col(id_col), F.col(lang_col)), id_col)
+                .persist()
+            )
+            while len(_PPL_CACHES) >= _PPL_CACHE_MAX:
+                _PPL_CACHES.pop(0)[2].unpersist()
+            _PPL_CACHES.append(
+                ((id_col, text_col, lang_col), _ppl_analyzed_plan(docs), scored)
+            )
     samp = scored.where(F.col(id_col) % sample_mod == 0)
     wl = Window.partitionBy(lang_col).orderBy(
         F.col("avg_nll").asc(), F.col(id_col).asc()

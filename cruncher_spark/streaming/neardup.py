@@ -706,9 +706,14 @@ class EmbeddingDedupIngest:
             self.ivf_monitor is not None
             and batch_id % self.ivf_check_every == 0
         ):
-            self.ivf_monitor.maybe_refit(
-                self.retained().select("vec_id", "embedding"), tag=batch_id
-            )
+            retained = self.retained().select("vec_id", "embedding")
+            # self-initialize: a monitor attached without a fit-time
+            # baseline takes the first checked batch AS the baseline
+            # (drift 0 by construction) instead of crashing the ingest
+            # inside maybe_refit's drift() (r10 ADVICE)
+            if self.ivf_monitor.baseline is None:
+                self.ivf_monitor.set_baseline(retained)
+            self.ivf_monitor.maybe_refit(retained, tag=batch_id)
 
     # -- housekeeping / readers ---------------------------------------------
 

@@ -1389,17 +1389,46 @@ def test_perplexity_buckets_hand_case(spark):
     unfit = perplexity_buckets(docs, sample_mod=100)
     assert {r.bucket for r in unfit.collect()} == {"tail"}
 
-    # cache lifetime: cycling invocations holds at most ONE corpus-sized
-    # cache — the previous call's scored table is unpersisted (r9 ADVICE:
-    # the scale_stress harness cycles u1/u10/u100 in one session)
-    from cruncher_spark.operators.curation import _PPL_CACHES
+    # cache lifetime (r10 ADVICE: keyed, not last-call-wins): the same
+    # logical input REUSES its persisted scorer across invocations —
+    # including the two sample_mod variants above (the scorer is
+    # mod-independent) — while distinct inputs evict oldest-first past
+    # the bound, so an interleaved caller never silently recomputes
+    from cruncher_spark.operators.curation import (
+        _PPL_CACHE_LOCK,
+        _PPL_CACHE_MAX,
+        _PPL_CACHES,
+        _ppl_cache_lookup,
+    )
 
-    assert len(_PPL_CACHES) == 1
-    prev = _PPL_CACHES[0]
+    with _PPL_CACHE_LOCK:
+        prev = _ppl_cache_lookup(docs, "doc_id", "text", "lang")
+    assert prev is not None and prev.is_cached
     perplexity_buckets(docs, sample_mod=1)
-    assert len(_PPL_CACHES) == 1
-    assert _PPL_CACHES[0] is not prev
+    with _PPL_CACHE_LOCK:
+        assert _ppl_cache_lookup(docs, "doc_id", "text", "lang") is prev
+    assert prev.is_cached  # reused, not rebuilt
+    # interleave: B's build must not drop A's cache (the r10 trap)
+    other = spark.createDataFrame(
+        [(1, "a b a b", "en")], "doc_id long, text string, lang string"
+    )
+    perplexity_buckets(other, sample_mod=1)
+    with _PPL_CACHE_LOCK:
+        assert _ppl_cache_lookup(docs, "doc_id", "text", "lang") is prev
+    assert prev.is_cached
+    # eviction: flood with distinct inputs until A falls off the LRU
+    for i in range(_PPL_CACHE_MAX):
+        filler = spark.createDataFrame(
+            [(1, f"f{i} g{i} f{i} g{i}", "en")],
+            "doc_id long, text string, lang string",
+        )
+        perplexity_buckets(filler, sample_mod=1)
+    with _PPL_CACHE_LOCK:
+        assert _ppl_cache_lookup(docs, "doc_id", "text", "lang") is None
     assert not prev.is_cached
+    assert len(_PPL_CACHES) <= _PPL_CACHE_MAX
+    while _PPL_CACHES:
+        _PPL_CACHES.pop()[2].unpersist()
 
 
 def test_duplicate_span_removal_matches_reference(spark):

@@ -225,6 +225,36 @@ def test_ivf_refit_trigger_fires_on_drift(spark):
     assert fresh_recall > stale_recall
 
 
+def test_embedding_ingest_monitor_auto_baseline(spark, tmp_path):
+    """A monitor attached WITHOUT set_baseline() must not crash the
+    ingest at its first checked batch: the hook self-initializes the
+    baseline from the retained corpus (drift 0 on that check, cadence
+    events still logged) — r10 ADVICE."""
+    from cruncher_spark.operators.similarity import (
+        IvfQuantizerMonitor,
+        fit_ivf_centroids,
+    )
+    from cruncher_spark.streaming.neardup import EmbeddingDedupIngest
+
+    fam = _family(3, 0, 32, 60, id0=0)
+    schema = "vec_id long, embedding array<float>"
+    mon = IvfQuantizerMonitor(
+        fit_ivf_centroids(fam, 4), drift_threshold=0.25
+    )
+    assert mon.baseline is None  # deliberately never set
+    nd = EmbeddingDedupIngest(
+        spark,
+        str(tmp_path / "state"),
+        ivf_monitor=mon,
+        ivf_check_every=1,
+    )
+    nd.process_batch(spark.createDataFrame(fam, schema), 1)
+    assert mon.baseline is not None
+    assert [e["tag"] for e in mon.events] == [1]
+    assert mon.events[0]["drift"] == 0.0  # baseline == first check
+    assert not mon.events[0]["refit"]
+
+
 def test_embedding_ingest_refit_hook(spark, tmp_path):
     """The EmbeddingDedupIngest cadence hook runs the monitor against
     the RETAINED corpus and logs an event per check; a drifted stream
