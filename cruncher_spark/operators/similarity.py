@@ -386,6 +386,25 @@ def _hyperplane_signs(dim: int, n_planes: int) -> list[list[int]]:
     return planes
 
 
+def _sign_pattern_cell(vec_col: Column, planes: list[list[int]]) -> Column:
+    """Sign-pattern cell id for a plane family: bit k = sign of
+    <v, planes[k]> — the shared map-side assignment expression of the
+    semantic-dedup family (p JVM-side fold dot products per row, zero
+    fit, zero shuffle)."""
+    cell = F.lit(0)
+    for p, signs in enumerate(planes):
+        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col, sign_arr, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cell = cell + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return cell
+
+
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id (int) for an embedding column.
 
@@ -899,22 +918,11 @@ def semantic_dedup_lsh(
     Output contract matches :func:`semantic_dedup`: (id, cell, kept).
     """
     planes = _hyperplane_signs(dim, n_planes)
-    cell = F.lit(0)
-    for p, signs in enumerate(planes):
-        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), sign_arr, lambda x, s: x.cast("double") * s
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cell = cell + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     assigned = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col), dim).alias("nrm"),
-        cell.alias("cell"),
+        _sign_pattern_cell(F.col(vec_col), planes).alias("cell"),
     )
     lo = assigned.select(
         F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
@@ -981,33 +989,28 @@ def semantic_dedup_multiprobe(
     member's cell by clearing k (and only k), and the clear-bit member
     can never reach back by clearing, so the pair is generated exactly
     once; a same-cell pair is generated once via the primary-primary
-    match under id order. The probe rows carry the full vector so
-    candidate pairs are formed AND cosine-verified inside the one cell
-    equi-join — pairs themselves never shuffle. Assignment and probe
-    fan-out are map-side; the one wide exchange is the cell join, whose
-    probe side moves ~(1+p/2)x rows — the measured O(log n) recall
-    cost (STRESS row vs semantic_dedup's).
+    match under id order.
+
+    Exchange discipline (r11, closing the r10 STRESS x765.9-byte flag):
+    probe rows carry ONLY (id, cell, pri) — the cell equi-join forms
+    candidate id-PAIRS, and vectors attach AFTERWARD via two id-keyed
+    joins against the corpus, so the corpus vector payload crosses the
+    wire a constant ~2x regardless of p, instead of riding every probe
+    row (~(1+p/2)x, i.e. 7x at the u100 shape's p=12 — the dominant
+    constant in the old byte curve). Candidate volume is unchanged and
+    duplicate-free (the halving argument above is about join keys, not
+    payload), so results are bit-identical; the probe fan-out stays the
+    measured O(log n) recall cost, now priced in ~16-byte keys.
 
     Output contract matches :func:`semantic_dedup`: (id, cell, kept) —
     cell is the primary cell.
     """
     planes = _hyperplane_signs(dim, n_planes)
-    cell = F.lit(0)
-    for p, signs in enumerate(planes):
-        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), sign_arr, lambda x, s: x.cast("double") * s
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cell = cell + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     assigned = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col), dim).alias("nrm"),
-        cell.alias("cell"),
+        _sign_pattern_cell(F.col(vec_col), planes).alias("cell"),
     )
     # primary probe + one probe per SET bit (cleared): struct(cell,
     # primary?) with unset-bit slots nulled out then compacted
@@ -1039,26 +1042,39 @@ def semantic_dedup_multiprobe(
         )
     )
     lo = assigned.select(
-        F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
-        F.col("nrm").alias("lo_nrm"), probes.alias("pr"),
+        F.col("id").alias("lo_id"), probes.alias("pr")
     ).select(
-        "lo_id", "lo_vec", "lo_nrm",
-        F.col("pr.c").alias("cell"), F.col("pr.pri").alias("pri"),
+        "lo_id", F.col("pr.c").alias("cell"), F.col("pr.pri").alias("pri")
     )
-    hi = assigned.select(
-        F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
-        F.col("nrm").alias("hi_nrm"), "cell",
-    )
+    hi = assigned.select(F.col("id").alias("hi_id"), "cell")
     # primary-primary matches obey id order (each same-cell pair once);
     # cleared-bit matches arrive in whichever id order the set-bit
-    # member sits on, so the dropped id is the GREATER of the two
-    dropped = (
+    # member sits on, so the dropped id is the GREATER of the two —
+    # normalized here to (keep_id, drop_id) so the vector-attach joins
+    # see one canonical pair orientation
+    cand = (
         lo.join(hi, "cell")
         .where(
             F.when(F.col("pri"), F.col("lo_id") < F.col("hi_id")).otherwise(
                 F.col("lo_id") != F.col("hi_id")
             )
         )
+        .select(
+            F.least(F.col("lo_id"), F.col("hi_id")).alias("keep_id"),
+            F.greatest(F.col("lo_id"), F.col("hi_id")).alias("drop_id"),
+        )
+    )
+    keep_vecs = assigned.select(
+        F.col("id").alias("keep_id"), F.col("vec").alias("lo_vec"),
+        F.col("nrm").alias("lo_nrm"),
+    )
+    drop_vecs = assigned.select(
+        F.col("id").alias("drop_id"), F.col("vec").alias("hi_vec"),
+        F.col("nrm").alias("hi_nrm"),
+    )
+    dropped = (
+        cand.join(keep_vecs, "keep_id")
+        .join(drop_vecs, "drop_id")
         .where(
             F.round(
                 dot(F.col("lo_vec"), F.col("hi_vec"), dim)
@@ -1067,13 +1083,118 @@ def semantic_dedup_multiprobe(
             )
             >= min_cos
         )
-        .select(F.greatest(F.col("lo_id"), F.col("hi_id")).alias("id"))
+        .select(F.col("drop_id").alias("id"))
         .distinct()
     )
     return assigned.join(
         dropped.withColumn("_drop", F.lit(True)), "id", "left"
     ).select(
         "id", "cell", F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")
+    )
+
+
+def semantic_dedup_banded(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_bands: int = 4,
+    min_cos: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """OR-amplified semantic dedup: ``n_bands`` INDEPENDENT p-plane
+    sign-pattern codes; a pair is a candidate when it shares a cell in
+    ANY band, verified by exact cosine, keep-lowest-id. This is the b×r
+    discipline the text family's ``dedup_minhash_lsh`` already uses
+    (OR of ANDs), applied to the embedding family — the r10 VERDICT's
+    #1: the single-code family's recall (1-θ/π)^p DECAYS as p tracks
+    the corpus (53.8% measured at p=5, ~16% predicted at the u100
+    shape's p=12), while r independent bands give
+    recall = 1 - (1 - s^p)^r with s = 1-θ/π — tunable to a TARGET by
+    raising r, independent of corpus growth (the
+    ``_sdd_params_for`` policy derives r from (n, min_cos,
+    target_recall) in closed form). Bands are disjoint slices of the
+    one deterministic md5 plane family (planes are iid, so consecutive
+    slices ARE independent codes — the exact layout
+    ``_banded_scored_pairs`` uses for contamination); band 0's planes
+    are the single-code family's planes, so the banded candidate set
+    is a strict superset of :func:`semantic_dedup_lsh`'s by
+    construction.
+
+    Scale shape: assignment is map-side (p·r fold dot products per
+    row, zero fit); each band is a self-equi-join on (band, cell) with
+    the family's cells-∝-corpus population bound, so candidate volume
+    is r × the single-code join — linear in the corpus per band. Cost
+    honesty: holding recall FIXED as the corpus grows means r itself
+    grows ~s^(-p) = n^(log2(1/s)) (~n^0.22 at cos 0.9) — the classic
+    sub-quadratic LSH exponent, vastly under the n² of exact dedup and
+    the price of not letting recall decay. Exchange discipline matches
+    the r11 multiprobe trim: the (band, cell) join ships ONLY
+    (id, band, cell) keys, candidate id-pairs dedup across bands
+    (DISTINCT — a pair colliding in 3 bands verifies once), and
+    vectors attach afterward via two id-keyed joins — corpus vector
+    payload is ~2x constant, never ×r.
+
+    Output contract matches :func:`semantic_dedup`: (id, cell, kept) —
+    cell is the BAND-0 cell (= the single-code family's cell).
+    """
+    if n_bands < 1 or n_planes < 1:
+        raise ValueError("n_bands and n_planes must be >= 1")
+    planes = _hyperplane_signs(dim, n_planes * n_bands)
+    assigned = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col), dim).alias("nrm"),
+        *[
+            _sign_pattern_cell(
+                F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
+            ).alias(f"c{b}")
+            for b in range(n_bands)
+        ],
+    )
+    keys = assigned.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"c{b}") for b in range(n_bands)])
+        ).alias("band", "cell"),
+    )
+    lo = keys.select(F.col("id").alias("lo_id"), "band", "cell")
+    hi = keys.select(F.col("id").alias("hi_id"), "band", "cell")
+    cand = (
+        lo.join(hi, ["band", "cell"])
+        .where(F.col("lo_id") < F.col("hi_id"))
+        .select("lo_id", "hi_id")
+        .distinct()
+    )
+    lo_vecs = assigned.select(
+        F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
+        F.col("nrm").alias("lo_nrm"),
+    )
+    hi_vecs = assigned.select(
+        F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
+        F.col("nrm").alias("hi_nrm"),
+    )
+    dropped = (
+        cand.join(lo_vecs, "lo_id")
+        .join(hi_vecs, "hi_id")
+        .where(
+            F.round(
+                dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+                / (F.col("lo_nrm") * F.col("hi_nrm")),
+                round_digits,
+            )
+            >= min_cos
+        )
+        .select(F.col("hi_id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("_drop", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        F.col("c0").alias("cell"),
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
     )
 
 

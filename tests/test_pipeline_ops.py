@@ -1262,12 +1262,17 @@ def test_semantic_dedup_multiprobe_recovers_boundary_pairs(spark):
 
 
 def test_semantic_dedup_recall_invariants(spark):
-    """The measured-recall gate's structure: the probe ring's candidate
-    set is a superset of the single-probe set, so multi_recall >=
-    single_recall ALWAYS; truth is nontrivial (the noise model must
-    straddle the 0.9 threshold — all-true or all-false would make the
-    recall comparison vacuous); counts bounded by the planted set."""
+    """The measured-recall gate's structure: the probe ring's and the
+    banded family's candidate sets are supersets of the single-probe
+    set (band 0 IS the single code), so multi_recall >= single_recall
+    and banded_recall >= single_recall ALWAYS; the banded family must
+    MEET its _sdd_params_for recall target on the planted set (the r10
+    VERDICT #1 done-condition); truth is nontrivial (the amplitude
+    ladder must straddle the 0.9 threshold — all-true or all-false
+    would make the recall comparison vacuous, and the r10 ADVICE dead
+    knob made straddle fragile); counts bounded by the planted set."""
     from cruncher_spark.plans.pipeline_queries import (
+        _SDD_TARGET_RECALL,
         semantic_dedup_recall_query,
     )
 
@@ -1276,8 +1281,120 @@ def test_semantic_dedup_recall_invariants(spark):
     ).collect()[0]
     assert 0 < row.n_true < row.n_planted  # straddles the threshold
     assert 0 <= row.single_caught <= row.multi_caught <= row.n_true
+    assert 0 <= row.single_caught <= row.banded_caught <= row.n_true
     assert row.multi_recall >= row.single_recall
+    assert row.banded_recall >= row.single_recall
+    # the policy's promise, measured: banded recall >= target (the
+    # target bounds recall AT the threshold; planted true pairs sit at
+    # or above it, so measured recall should clear the bound)
+    assert row.banded_recall >= _SDD_TARGET_RECALL
     assert row.multi_recall == round(row.multi_caught / row.n_true, 6)
+    assert row.banded_recall == round(row.banded_caught / row.n_true, 6)
+
+
+def test_sdd_params_policy_sweep():
+    """_sdd_params_for is the recall-target policy as CODE (r10 VERDICT
+    #2): sweeping the corpus over two decades, (a) the predicted banded
+    recall 1-(1-s^p)^r stays >= the target at the cosine threshold,
+    (b) cells/band still track the corpus (expected population bounded
+    — the cost contract p inherits from _sdd_planes_for), and (c) the
+    band count grows (the documented ~n^0.22 price of non-decaying
+    recall) but stays far under any quadratic-ish blow-up."""
+    import math
+
+    from cruncher_spark.plans.pipeline_queries import (
+        _SDD_CELL_TARGET,
+        _SDD_MIN_COS,
+        _SDD_TARGET_RECALL,
+        _sdd_params_for,
+    )
+
+    s = 1.0 - math.acos(_SDD_MIN_COS) / math.pi
+    prev_r = 0
+    for n in [500, 2_000, 5_000, 20_000, 50_000, 200_000, 2_000_000]:
+        p, r = _sdd_params_for(n)
+        predicted = 1.0 - (1.0 - s**p) ** r
+        assert predicted >= _SDD_TARGET_RECALL, (n, p, r, predicted)
+        # cost contract: expected cell population per band stays ~64
+        # (2^p >= ceil(n/64), within a factor-2 rounding band)
+        assert 2**p >= -(-n // _SDD_CELL_TARGET)
+        assert n / 2**p <= _SDD_CELL_TARGET + 1
+        if n >= 4 * _SDD_CELL_TARGET:  # above the 4-plane floor
+            assert n / 2**p > _SDD_CELL_TARGET / 4
+        # r is monotone in n and polynomially small: r <= ~3.2/s^p
+        assert r >= prev_r
+        assert r <= math.ceil(3.2 / s**p)
+        prev_r = r
+    # the two-decade anchor points the VERDICT quotes
+    assert _sdd_params_for(2_000) == (5, 5)
+    assert _sdd_params_for(200_000) == (12, 18)
+
+
+def test_semantic_dedup_banded_superset_and_boundary(spark):
+    """The banded operator: (a) drop set is a superset of the
+    single-code drop set on the same corpus (band 0 is the single
+    code); (b) a planted boundary near-dup that the single code
+    MISSES (a plane separates the pair) is caught by some other band
+    — the OR-amplification the operator exists for; (c) exact copies
+    are always caught; (d) far vectors are never dropped."""
+    import random
+
+    from cruncher_spark.operators.similarity import (
+        _hyperplane_signs,
+        semantic_dedup_banded,
+        semantic_dedup_lsh,
+    )
+
+    dim, p, r = 16, 6, 4
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    # exact copies of every 12th vector
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 120, 12)]
+    # near-copies of every 6th: deterministic nudge sized so cos lands
+    # just above the 0.99 threshold (~0.993-0.996) — close enough to be
+    # true dups, angled enough that single-code planes flip ~20%/copy
+    rows += [
+        (2000 + i, [x + 0.08 * ((i + j) % 3 - 1) for j, x in enumerate(rows[i][1])])
+        for i in range(0, 120, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = {
+        row.id: row.kept
+        for row in semantic_dedup_lsh(
+            df, dim=dim, n_planes=p, min_cos=0.99
+        ).collect()
+    }
+    banded = {
+        row.id: row.kept
+        for row in semantic_dedup_banded(
+            df, dim=dim, n_planes=p, n_bands=r, min_cos=0.99
+        ).collect()
+    }
+    assert set(single) == set(banded) == {i for i, _ in rows}
+    # (a) superset: everything single drops, banded drops
+    assert {i for i, k in single.items() if not k} <= {
+        i for i, k in banded.items() if not k
+    }
+    # (c) exact copies always dropped by both
+    for i in range(0, 120, 12):
+        assert not single[1000 + i] and not banded[1000 + i]
+    # (d) originals (no smaller-id near-dup) never dropped
+    for i in range(0, 120, 12):
+        assert banded[i]
+    # (b) at least one near-copy that flips a band-0 plane is still
+    # caught by another band (probabilistic over the fixture, pinned
+    # by the seed: verify the fixture actually exercises the case)
+    missed_by_single = [
+        i for i in range(0, 120, 6) if single[2000 + i] and not banded[2000 + i]
+    ]
+    assert missed_by_single, (
+        "fixture no longer exercises the single-miss/banded-catch case; "
+        "reseed it"
+    )
+    # sanity: the helper family is deterministic (same planes each call)
+    assert _hyperplane_signs(dim, p) == _hyperplane_signs(dim, p)
 
 
 def test_dedup_lsh_eval_sampled_vs_exact(spark):
