@@ -961,6 +961,7 @@ def semantic_dedup_multiprobe(
     n_planes: int = 4,
     min_cos: float = 0.9,
     round_digits: int = 6,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """:func:`semantic_dedup_lsh` with MULTI-PROBE candidate generation
     (the Lv et al. recall lever :func:`ann_lsh_multiprobe` applies to
@@ -991,16 +992,31 @@ def semantic_dedup_multiprobe(
     once; a same-cell pair is generated once via the primary-primary
     match under id order.
 
-    Exchange discipline (r11, closing the r10 STRESS x765.9-byte flag):
-    probe rows carry ONLY (id, cell, pri) — the cell equi-join forms
-    candidate id-PAIRS, and vectors attach AFTERWARD via two id-keyed
-    joins against the corpus, so the corpus vector payload crosses the
-    wire a constant ~2x regardless of p, instead of riding every probe
-    row (~(1+p/2)x, i.e. 7x at the u100 shape's p=12 — the dominant
-    constant in the old byte curve). Candidate volume is unchanged and
-    duplicate-free (the halving argument above is about join keys, not
-    payload), so results are bit-identical; the probe fan-out stays the
-    measured O(log n) recall cost, now priced in ~16-byte keys.
+    Exchange discipline (r11, closing the r10 STRESS x765.9-byte flag)
+    — TWO shapes, chosen by ``hint_broadcast``, results bit-identical
+    (the halving argument above is about join keys, not payload):
+
+    - ``hint_broadcast=True`` (default — the corpus VECTOR table fits
+      executor memory, as every registered gate's does): probe rows
+      carry ONLY (id, cell, pri) keys (~16 B vs vector+norm ~520 B),
+      the cell equi-join forms candidate id-pairs, and vectors attach
+      map-side via two EXPLICITLY broadcast id-keyed joins — corpus
+      vectors never enter the shuffle at all. The broadcast is forced,
+      not left to AQE: a vector table a shade over the auto threshold
+      silently flips the attach joins to sort-merge, and THAT shape
+      sorts pair-count x vector-width intermediates (~25x(1+p/2)xn
+      rows carrying 520 B — measured as a disk-filling multi-GB spill
+      at the u100 stress scale), strictly worse than either deliberate
+      shape.
+    - ``hint_broadcast=False`` (the unbounded-corpus escape hatch,
+      same convention as :func:`semantic_contamination`): probe rows
+      carry the vector, candidates are formed AND cosine-verified
+      inside the one cell equi-join, pairs never materialize — the
+      corpus vector payload rides the probe exchange ~(1+p/2)x (the
+      O(log n) recall cost priced in vector bytes; the r10 measured
+      shape). This is the right trade precisely when vectors cannot
+      broadcast: pair-attach would move ~25x more vector bytes than
+      the probe fan-out does.
 
     Output contract matches :func:`semantic_dedup`: (id, cell, kept) —
     cell is the primary cell.
@@ -1041,51 +1057,71 @@ def semantic_dedup_multiprobe(
             ),
         )
     )
-    lo = assigned.select(
-        F.col("id").alias("lo_id"), probes.alias("pr")
-    ).select(
-        "lo_id", F.col("pr.c").alias("cell"), F.col("pr.pri").alias("pri")
-    )
-    hi = assigned.select(F.col("id").alias("hi_id"), "cell")
     # primary-primary matches obey id order (each same-cell pair once);
     # cleared-bit matches arrive in whichever id order the set-bit
-    # member sits on, so the dropped id is the GREATER of the two —
-    # normalized here to (keep_id, drop_id) so the vector-attach joins
-    # see one canonical pair orientation
-    cand = (
-        lo.join(hi, "cell")
-        .where(
-            F.when(F.col("pri"), F.col("lo_id") < F.col("hi_id")).otherwise(
-                F.col("lo_id") != F.col("hi_id")
+    # member sits on, so the dropped id is the GREATER of the two
+    pair_rule = F.when(
+        F.col("pri"), F.col("lo_id") < F.col("hi_id")
+    ).otherwise(F.col("lo_id") != F.col("hi_id"))
+    verified = (
+        F.round(
+            dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+            / (F.col("lo_nrm") * F.col("hi_nrm")),
+            round_digits,
+        )
+        >= min_cos
+    )
+    if hint_broadcast:
+        lo = assigned.select(
+            F.col("id").alias("lo_id"), probes.alias("pr")
+        ).select(
+            "lo_id", F.col("pr.c").alias("cell"), F.col("pr.pri").alias("pri")
+        )
+        hi = assigned.select(F.col("id").alias("hi_id"), "cell")
+        # pairs normalized to (keep_id, drop_id) so the broadcast
+        # vector-attach joins see one canonical orientation
+        cand = (
+            lo.join(hi, "cell")
+            .where(pair_rule)
+            .select(
+                F.least(F.col("lo_id"), F.col("hi_id")).alias("keep_id"),
+                F.greatest(F.col("lo_id"), F.col("hi_id")).alias("drop_id"),
             )
         )
-        .select(
-            F.least(F.col("lo_id"), F.col("hi_id")).alias("keep_id"),
-            F.greatest(F.col("lo_id"), F.col("hi_id")).alias("drop_id"),
+        keep_vecs = assigned.select(
+            F.col("id").alias("keep_id"), F.col("vec").alias("lo_vec"),
+            F.col("nrm").alias("lo_nrm"),
         )
-    )
-    keep_vecs = assigned.select(
-        F.col("id").alias("keep_id"), F.col("vec").alias("lo_vec"),
-        F.col("nrm").alias("lo_nrm"),
-    )
-    drop_vecs = assigned.select(
-        F.col("id").alias("drop_id"), F.col("vec").alias("hi_vec"),
-        F.col("nrm").alias("hi_nrm"),
-    )
-    dropped = (
-        cand.join(keep_vecs, "keep_id")
-        .join(drop_vecs, "drop_id")
-        .where(
-            F.round(
-                dot(F.col("lo_vec"), F.col("hi_vec"), dim)
-                / (F.col("lo_nrm") * F.col("hi_nrm")),
-                round_digits,
-            )
-            >= min_cos
+        drop_vecs = assigned.select(
+            F.col("id").alias("drop_id"), F.col("vec").alias("hi_vec"),
+            F.col("nrm").alias("hi_nrm"),
         )
-        .select(F.col("drop_id").alias("id"))
-        .distinct()
-    )
+        dropped = (
+            cand.join(F.broadcast(keep_vecs), "keep_id")
+            .join(F.broadcast(drop_vecs), "drop_id")
+            .where(verified)
+            .select(F.col("drop_id").alias("id"))
+            .distinct()
+        )
+    else:
+        lo = assigned.select(
+            F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
+            F.col("nrm").alias("lo_nrm"), probes.alias("pr"),
+        ).select(
+            "lo_id", "lo_vec", "lo_nrm",
+            F.col("pr.c").alias("cell"), F.col("pr.pri").alias("pri"),
+        )
+        hi = assigned.select(
+            F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
+            F.col("nrm").alias("hi_nrm"), "cell",
+        )
+        dropped = (
+            lo.join(hi, "cell")
+            .where(pair_rule)
+            .where(verified)
+            .select(F.greatest(F.col("lo_id"), F.col("hi_id")).alias("id"))
+            .distinct()
+        )
     return assigned.join(
         dropped.withColumn("_drop", F.lit(True)), "id", "left"
     ).select(
@@ -1102,6 +1138,7 @@ def semantic_dedup_banded(
     n_bands: int = 4,
     min_cos: float = 0.9,
     round_digits: int = 6,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """OR-amplified semantic dedup: ``n_bands`` INDEPENDENT p-plane
     sign-pattern codes; a pair is a candidate when it shares a cell in
@@ -1129,12 +1166,32 @@ def semantic_dedup_banded(
     honesty: holding recall FIXED as the corpus grows means r itself
     grows ~s^(-p) = n^(log2(1/s)) (~n^0.22 at cos 0.9) — the classic
     sub-quadratic LSH exponent, vastly under the n² of exact dedup and
-    the price of not letting recall decay. Exchange discipline matches
-    the r11 multiprobe trim: the (band, cell) join ships ONLY
-    (id, band, cell) keys, candidate id-pairs dedup across bands
-    (DISTINCT — a pair colliding in 3 bands verifies once), and
-    vectors attach afterward via two id-keyed joins — corpus vector
-    payload is ~2x constant, never ×r.
+    the price of not letting recall decay.
+
+    Exchange discipline — TWO shapes, chosen by ``hint_broadcast``,
+    results identical (a pair colliding in several bands verifies more
+    than once in either shape's arithmetic; the drop set dedups):
+
+    - ``hint_broadcast=True`` (default — the corpus VECTOR table fits
+      executor memory, as every registered gate's does): the (band,
+      cell) self-join ships ONLY (id, band, cell) keys (r key rows per
+      vector, ~20 B each), candidate id-pairs form, and vectors attach
+      map-side via two EXPLICITLY broadcast id-keyed joins — corpus
+      vectors never enter the shuffle. Forced, not left to AQE: a
+      vector table a shade over the auto threshold silently flips the
+      attach joins to sort-merge, which sorts pair-count x
+      vector-width intermediates (~r·pop/2 rows PER VECTOR carrying
+      ~520 B — measured as a disk-filling multi-GB spill at the u100
+      stress scale) — strictly worse than either deliberate shape.
+    - ``hint_broadcast=False`` (the unbounded-corpus escape hatch,
+      same convention as :func:`semantic_contamination`): both sides
+      of each band join carry the vector, pairs are cosine-verified
+      inside the join and never materialize — the corpus vector
+      payload rides the band exchange ×r, exactly the per-band
+      signature discipline text MinHash-LSH uses
+      (``operators/dedup.py``). Right when vectors cannot broadcast:
+      pair-attach would move ~pop/2 x more vector bytes than the band
+      fan-out does.
 
     Output contract matches :func:`semantic_dedup`: (id, cell, kept) —
     cell is the BAND-0 cell (= the single-code family's cell).
@@ -1153,42 +1210,60 @@ def semantic_dedup_banded(
             for b in range(n_bands)
         ],
     )
-    keys = assigned.select(
-        "id",
-        F.posexplode(
-            F.array(*[F.col(f"c{b}") for b in range(n_bands)])
-        ).alias("band", "cell"),
+    bands_arr = F.posexplode(
+        F.array(*[F.col(f"c{b}") for b in range(n_bands)])
     )
-    lo = keys.select(F.col("id").alias("lo_id"), "band", "cell")
-    hi = keys.select(F.col("id").alias("hi_id"), "band", "cell")
-    cand = (
-        lo.join(hi, ["band", "cell"])
-        .where(F.col("lo_id") < F.col("hi_id"))
-        .select("lo_id", "hi_id")
-        .distinct()
-    )
-    lo_vecs = assigned.select(
-        F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
-        F.col("nrm").alias("lo_nrm"),
-    )
-    hi_vecs = assigned.select(
-        F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
-        F.col("nrm").alias("hi_nrm"),
-    )
-    dropped = (
-        cand.join(lo_vecs, "lo_id")
-        .join(hi_vecs, "hi_id")
-        .where(
-            F.round(
-                dot(F.col("lo_vec"), F.col("hi_vec"), dim)
-                / (F.col("lo_nrm") * F.col("hi_nrm")),
-                round_digits,
-            )
-            >= min_cos
+    verified = (
+        F.round(
+            dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+            / (F.col("lo_nrm") * F.col("hi_nrm")),
+            round_digits,
         )
-        .select(F.col("hi_id").alias("id"))
-        .distinct()
+        >= min_cos
     )
+    if hint_broadcast:
+        keys = assigned.select("id", bands_arr.alias("band", "cell"))
+        lo = keys.select(F.col("id").alias("lo_id"), "band", "cell")
+        hi = keys.select(F.col("id").alias("hi_id"), "band", "cell")
+        cand = (
+            lo.join(hi, ["band", "cell"])
+            .where(F.col("lo_id") < F.col("hi_id"))
+            .select("lo_id", "hi_id")
+        )
+        lo_vecs = assigned.select(
+            F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
+            F.col("nrm").alias("lo_nrm"),
+        )
+        hi_vecs = assigned.select(
+            F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
+            F.col("nrm").alias("hi_nrm"),
+        )
+        dropped = (
+            cand.join(F.broadcast(lo_vecs), "lo_id")
+            .join(F.broadcast(hi_vecs), "hi_id")
+            .where(verified)
+            .select(F.col("hi_id").alias("id"))
+            .distinct()
+        )
+    else:
+        keys = assigned.select(
+            "id", "vec", "nrm", bands_arr.alias("band", "cell")
+        )
+        lo = keys.select(
+            F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
+            F.col("nrm").alias("lo_nrm"), "band", "cell",
+        )
+        hi = keys.select(
+            F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
+            F.col("nrm").alias("hi_nrm"), "band", "cell",
+        )
+        dropped = (
+            lo.join(hi, ["band", "cell"])
+            .where(F.col("lo_id") < F.col("hi_id"))
+            .where(verified)
+            .select(F.col("hi_id").alias("id"))
+            .distinct()
+        )
     return assigned.join(
         dropped.withColumn("_drop", F.lit(True)), "id", "left"
     ).select(

@@ -1575,7 +1575,14 @@ _SDD_MIN_COS = 0.9
 #: ~0.51), so the gate derives its own duplicates deterministically; both
 #: engines build the same union, and the operator must drop exactly the
 #: copies (cos 1.0 with their originals, same cell by construction).
-_SDD_COPY_EVERY, _SDD_COPY_OFFSET = 25, 100_000
+#: The offset is SCALE-PROOF (1e12, far above any corpus cardinality the
+#: stress decades reach): the old 100_000 collided with real vec_ids once
+#: the u100 stress corpus hit 200k rows, giving the family duplicate ids
+#: and fanning out the recall gate's truth join (r11) — copy ids must
+#: stay disjoint from corpus ids at EVERY measured scale, and must stay
+#: LARGER than every corpus id so keep-lowest-id drops the copy, never
+#: the original (a negative offset would flip the survivor rule).
+_SDD_COPY_EVERY, _SDD_COPY_OFFSET = 25, 1_000_000_000_000
 
 
 #: expected cell population the adaptive gate holds constant as the
@@ -1918,14 +1925,22 @@ def _semantic_dedup_banded_oracle(sf_dir: str) -> str:
     "engines derive (p, r) from the corpus count via _sdd_params_for "
     "— p for the ~64-population cost contract, r from the closed-form "
     "collision probability s = 1-acos(min_cos)/pi). Exchange "
-    "discipline: the (band, cell) join ships only id+key rows, "
-    "candidate pairs dedup across bands, vectors attach once via "
-    "id-keyed joins — corpus vector payload ~2x constant, never ×r "
-    "(operators/similarity.py semantic_dedup_banded). Same "
+    "discipline (hint_broadcast, two shapes, results identical): the "
+    "gate's default ships only (id, band, cell) keys through the band "
+    "join and attaches vectors map-side via EXPLICIT broadcast — "
+    "corpus vectors never enter the shuffle (forced, because an "
+    "AQE-fallback sort-merge attach would sort pair-count x "
+    "vector-width intermediates, measured as a disk-filling spill at "
+    "u100); hint_broadcast=False is the unbounded-corpus shape where "
+    "vectors ride the band exchange ×r and pairs verify in-join, the "
+    "minhash-band discipline (operators/similarity.py "
+    "semantic_dedup_banded has the crossover math). Same "
     "injected-exact-copy acceptance as the sibling gates (a copy "
     "shares its original's cell in EVERY band, so acceptance recall "
     "is 1 by construction; the measured near-dup recall lives in "
-    "semantic_dedup_recall).",
+    "semantic_dedup_recall); the copy-id offset is scale-proof (1e12 "
+    "— the old 1e5 collided with real vec_ids at the u100 stress "
+    "corpus).",
 )
 def semantic_dedup_banded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.similarity import semantic_dedup_banded

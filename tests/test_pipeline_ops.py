@@ -1397,6 +1397,54 @@ def test_semantic_dedup_banded_superset_and_boundary(spark):
     assert _hyperplane_signs(dim, p) == _hyperplane_signs(dim, p)
 
 
+def test_semantic_dedup_hint_off_identical(spark):
+    """hint_broadcast=False (the unbounded-corpus escape hatch: vectors
+    ride the band/probe exchange instead of broadcasting for the
+    pair-attach) must produce bit-identical (id, cell, kept) for both
+    the multiprobe and the banded operators — the two shapes differ
+    only in WHERE the vector payload travels, never in the candidate
+    set or the verification arithmetic (r11; the broadcast default
+    exists because an AQE-fallback sort-merge attach sorts pair-count
+    x vector-width intermediates, measured as a disk-filling spill at
+    the u100 stress scale)."""
+    import random
+
+    from cruncher_spark.operators.similarity import (
+        semantic_dedup_banded,
+        semantic_dedup_multiprobe,
+    )
+
+    dim = 16
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)
+    ]
+    # near-copies angled to flip planes sometimes (the interesting case)
+    rows += [
+        (1000 + i, [x + 0.08 * ((i + j) % 3 - 1) for j, x in enumerate(rows[i][1])])
+        for i in range(0, 200, 5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for fn, kw in [
+        (semantic_dedup_multiprobe, dict(n_planes=6)),
+        (semantic_dedup_banded, dict(n_planes=6, n_bands=3)),
+    ]:
+        on = sorted(
+            tuple(r)
+            for r in fn(
+                df, dim=dim, min_cos=0.99, hint_broadcast=True, **kw
+            ).collect()
+        )
+        off = sorted(
+            tuple(r)
+            for r in fn(
+                df, dim=dim, min_cos=0.99, hint_broadcast=False, **kw
+            ).collect()
+        )
+        assert on == off, fn.__name__
+        assert any(not kept for _, _, kept in on)  # fixture nontrivial
+
+
 def test_dedup_lsh_eval_sampled_vs_exact(spark):
     """The registered gate is the 1/stride sampled-truth estimator (r9
     VERDICT #6); the exact full-corpus form stays available offline.
