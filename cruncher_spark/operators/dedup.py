@@ -655,10 +655,6 @@ def simhash_dup_pairs(
 # paragraph-level dedup with document reconstruction
 # ---------------------------------------------------------------------------
 
-#: pos packing for the first-occurrence winner key; safe while no document
-#: has more paragraphs than this (a 10-word chunking of a 1M-word document
-#: is 100k paragraphs — right at the bound, so guard at chunk time)
-_PARA_POS_LIMIT = 100_000
 
 
 def paragraph_table(
@@ -676,13 +672,32 @@ def paragraph_table(
     """
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
-    n_chunks = F.ceil(n / F.lit(chunk_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.least(n_chunks, F.lit(_PARA_POS_LIMIT))),
-        lambda g: F.concat_ws(" ", F.slice(w, (g - 1) * chunk_words + 1, chunk_words)),
+    # LINEAR chunking (r11): mark every chunk_words-th word with a NUL
+    # sentinel, join, and split on it — one pass over the words. The
+    # old transform(sequence, slice(w, g*k+1, k)) form called slice
+    # per chunk and slice is O(position), making a single document
+    # QUADRATIC in its word count (measured: 10k words 9.8 s, 50k
+    # words 152 s on one core — a book-length doc would take minutes);
+    # this form is O(words) (10k/50k/100k words all sub-second).
+    # Assumption: word tokens never contain NUL (true of any
+    # whitespace-tokenized text; control chars are stripped upstream
+    # in real pipelines). Also retired here (r11): the
+    # _PARA_POS_LIMIT=100k chunk-time truncation — it existed only to
+    # keep the packed winner key sound, silently DROPPED tail
+    # paragraphs of >1M-word documents, and was not mirrored by the
+    # oracle; the winner key is a (doc, pos) struct now (the r10
+    # span-removal fix class), which needs no bound.
+    marked = F.transform(
+        w,
+        lambda x, i: F.when(
+            (i % chunk_words) == chunk_words - 1, F.concat(x, F.lit("\x00"))
+        ).otherwise(x),
+    )
+    chunks = F.filter(
+        F.split(F.array_join(marked, " "), "\x00 ?"), lambda p: p != ""
     )
     return (
-        docs.where(n > 0)  # sequence(1, 0) would run DESCENDING, not empty
+        docs.where(n > 0)
         .select(F.col(id_col), F.posexplode(chunks).alias("pos", "para"))
     )
 
@@ -702,26 +717,32 @@ def paragraph_dedup(
 
     Scale shape — two shuffles, both skew-safe:
 
-    1. winner per paragraph digest via ``groupBy(digest).min(packed)`` —
-       partial aggregation combines map-side, so a boilerplate paragraph
-       occurring in half the corpus still reduces to one row per map task
-       (a window-function formulation would buffer that hot group in one
-       task — deliberately avoided);
+    1. winner per paragraph digest via ``groupBy(digest).min(struct(doc,
+       pos))`` — min over a struct is decomposable, so partial
+       aggregation combines map-side and a boilerplate paragraph
+       occurring in half the corpus still reduces to one row per map
+       task (a window-function formulation would buffer that hot group
+       in one task — deliberately avoided). The struct key replaces the
+       old ``doc*100000+pos`` packing (r11; the r10 span-removal fix
+       class): packing silently mis-picked winners past the pos bound,
+       and the chunk-time truncation that kept it sound dropped tail
+       paragraphs of >1M-word documents without the oracle following;
     2. occurrences re-join winners on digest (shuffle join; the winner
        table has one row per *distinct* paragraph);
     3. per-document regroup for reconstruction — ``collect_list`` over a
        document's own kept paragraphs, bounded by document length.
     """
+    owner = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
     paras = paragraph_table(docs, id_col, text_col, chunk_words).select(
         F.col(id_col),
         "pos",
         "para",
         F.md5(F.col("para")).alias("pdigest"),
-        (F.col(id_col) * _PARA_POS_LIMIT + F.col("pos")).alias("packed"),
+        owner.alias("owner"),
     )
-    winners = paras.groupBy("pdigest").agg(F.min("packed").alias("win_packed"))
+    winners = paras.groupBy("pdigest").agg(F.min("owner").alias("win_owner"))
     flagged = paras.join(winners, "pdigest").withColumn(
-        "kept", F.col("packed") == F.col("win_packed")
+        "kept", F.col("owner") == F.col("win_owner")
     )
     # when() with no otherwise → NULL for dropped rows; collect_list skips
     # NULLs, so only surviving paragraphs are gathered

@@ -3020,9 +3020,10 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w, unnest(range(0, CAST(ceil(len(wl)/10.0) AS BIGINT))) t(g)
       WHERE len(wl) > 0
     ),
-    d AS (SELECT *, md5(para) AS pdigest, doc_id*100000 + pos AS packed FROM p),
-    win AS (SELECT pdigest, min(packed) AS wp FROM d GROUP BY 1),
-    f AS (SELECT d.*, packed = wp AS kept FROM d JOIN win USING (pdigest))
+    d AS (SELECT *, md5(para) AS pdigest,
+                 {'d': doc_id, 'p': pos} AS owner FROM p),
+    win AS (SELECT pdigest, min(owner) AS wo FROM d GROUP BY 1),
+    f AS (SELECT d.*, owner = wo AS kept FROM d JOIN win USING (pdigest))
     SELECT doc_id, count(*) AS n_paras,
       CAST(sum(CAST(kept AS INT)) AS BIGINT) AS n_kept,
       md5(coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE kept), ''))
@@ -3032,8 +3033,14 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Paragraph-level dedup with reconstruction: each distinct paragraph "
     "(fixed 10-word chunk on this single-line corpus) survives only at its "
     "lowest-(doc,pos) occurrence; documents are rebuilt from surviving "
-    "paragraphs in order. Winner selection is groupBy+min (map-side "
-    "combined — skew-safe for boilerplate paragraphs), never a window.",
+    "paragraphs in order. Winner selection is groupBy+min over a "
+    "(doc,pos) STRUCT key in both engines (map-side combined — "
+    "skew-safe for boilerplate paragraphs), never a window; the struct "
+    "replaced the doc*100000+pos packing and its chunk-time truncation "
+    "in r11 (the r10 span-removal fix class — packing mis-picks "
+    "winners past the pos bound, and the truncation silently dropped "
+    "tail paragraphs of >1M-word documents without the oracle "
+    "following).",
 )
 def paragraph_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.dedup import paragraph_dedup

@@ -58,3 +58,27 @@ def test_fully_duplicated_document_hashes_empty(spark):
     got = {r["doc_id"]: r for r in paragraph_dedup(docs, chunk_words=2).collect()}
     assert got[2]["n_kept"] == 0
     assert got[2]["clean_digest"] == _md5("")
+
+
+def test_long_document_past_retired_pos_bound(spark):
+    """The retired doc*100000+pos packing (and the chunk-time truncation
+    that kept it sound) mis-handled documents with more paragraphs than
+    the bound: tail paragraphs were silently dropped, so a duplicate
+    whose FIRST occurrence sat past the bound picked the wrong winner.
+    With the (doc, pos) struct key (r11, the r10 span-removal fix
+    class) a 100,005-paragraph document keeps every paragraph and owns
+    the duplicate its tail introduced."""
+    words = [f"w{i}" for i in range(100_004)] + ["dup"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "dup x y")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in paragraph_dedup(docs, chunk_words=1).collect()
+    }
+    # no truncation: all 100,005 one-word paragraphs survive in doc 1
+    assert got[1]["n_paras"] == 100_005 and got[1]["n_kept"] == 100_005
+    # the winner of "dup" is (1, 100004) < (2, 0): doc 2's copy drops —
+    # under the old truncation pos 100004 never existed and doc 2
+    # wrongly kept it
+    assert got[2]["n_paras"] == 3 and got[2]["n_kept"] == 2
+    assert got[2]["clean_digest"] == _md5("x y")
