@@ -649,17 +649,27 @@ def _ppl_cache_lookup(
     if jplan is None:
         return None
     params = (id_col, text_col, lang_col)
+    hit, dead = None, []
     for ent in _PPL_CACHES:
         if ent[0] != params or ent[1] is None:
             continue
         try:
             same = ent[1].sameResult(jplan)
         except Exception:
-            same = False
-        if same:
-            _PPL_CACHES.remove(ent)
-            _PPL_CACHES.append(ent)
-            return ent[2]
+            # a probe that RAISES marks a dead entry (its SparkSession
+            # was stopped — harnesses that restart sessions in-process);
+            # evict it now rather than letting it squat in the bounded
+            # cache until FIFO age reaches it (r11 ADVICE)
+            dead.append(ent)
+            continue
+        if same and hit is None:
+            hit = ent
+    for ent in dead:
+        _PPL_CACHES.remove(ent)
+    if hit is not None:
+        _PPL_CACHES.remove(hit)
+        _PPL_CACHES.append(hit)
+        return hit[2]
     return None
 
 
@@ -726,7 +736,13 @@ def perplexity_buckets(
                 .persist()
             )
             while len(_PPL_CACHES) >= _PPL_CACHE_MAX:
-                _PPL_CACHES.pop(0)[2].unpersist()
+                try:
+                    _PPL_CACHES.pop(0)[2].unpersist()
+                except Exception:
+                    # evicted entry built under a now-stopped session:
+                    # the py4j unpersist raises — degrade to drop-only,
+                    # same posture as _ppl_analyzed_plan (r11 ADVICE)
+                    pass
             _PPL_CACHES.append(
                 ((id_col, text_col, lang_col), _ppl_analyzed_plan(docs), scored)
             )

@@ -693,9 +693,24 @@ def paragraph_table(
             (i % chunk_words) == chunk_words - 1, F.concat(x, F.lit("\x00"))
         ).otherwise(x),
     )
-    chunks = F.filter(
-        F.split(F.array_join(marked, " "), "\x00 ?"), lambda p: p != ""
-    )
+    raw_chunks = F.split(F.array_join(marked, " "), "\x00 ?")
+    # Trim ONLY the trailing sentinel ARTIFACT: when the word count is
+    # an exact multiple of chunk_words the last word carries the
+    # sentinel and the split emits one empty element PAST the final
+    # chunk — an artifact of the marker, not a chunk. Real empty chunks
+    # (a trailing-whitespace doc whose remainder chunk is the single
+    # empty token, an empty-text doc's [''] tokenization, chunk_words=1
+    # over consecutive spaces) are KEPT: the fixed-window chunker's
+    # contract is ceil(words/chunk_words) rows with pos = window index,
+    # exactly what the DuckDB oracle's range/list-slice form emits. The
+    # previous blanket p != '' filter dropped those rows AND renumbered
+    # every following paragraph's pos (r11 ADVICE medium — latent on
+    # the clean fixtures, divergent on any corpus with trailing
+    # whitespace or empty documents).
+    chunks = F.when(
+        n % chunk_words == 0,
+        F.slice(raw_chunks, 1, F.floor(n / chunk_words).cast("int")),
+    ).otherwise(raw_chunks)
     return (
         docs.where(n > 0)
         .select(F.col(id_col), F.posexplode(chunks).alias("pos", "para"))

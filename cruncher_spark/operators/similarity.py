@@ -1080,6 +1080,12 @@ def semantic_dedup_multiprobe(
         hi = assigned.select(F.col("id").alias("hi_id"), "cell")
         # pairs normalized to (keep_id, drop_id) so the broadcast
         # vector-attach joins see one canonical orientation
+        # key-only distinct BEFORE the vector attach: a pair reachable
+        # via both probe directions would otherwise be joined and
+        # cosine-verified once per collision — pairs are already
+        # normalized to one canonical orientation, so this dedup ships
+        # ~16 B keys, and the stated pair-volume contract is the
+        # DISTINCT count (r11 ADVICE)
         cand = (
             lo.join(hi, "cell")
             .where(pair_rule)
@@ -1087,6 +1093,7 @@ def semantic_dedup_multiprobe(
                 F.least(F.col("lo_id"), F.col("hi_id")).alias("keep_id"),
                 F.greatest(F.col("lo_id"), F.col("hi_id")).alias("drop_id"),
             )
+            .distinct()
         )
         keep_vecs = assigned.select(
             F.col("id").alias("keep_id"), F.col("vec").alias("lo_vec"),
@@ -1225,10 +1232,16 @@ def semantic_dedup_banded(
         keys = assigned.select("id", bands_arr.alias("band", "cell"))
         lo = keys.select(F.col("id").alias("lo_id"), "band", "cell")
         hi = keys.select(F.col("id").alias("hi_id"), "band", "cell")
+        # key-only distinct BEFORE the vector attach: a pair colliding
+        # in several bands would otherwise verify once per band — the
+        # lo<hi orientation is already canonical, so this is a cheap
+        # id-pair dedup and the verified pair volume is the DISTINCT
+        # candidate count (r11 ADVICE)
         cand = (
             lo.join(hi, ["band", "cell"])
             .where(F.col("lo_id") < F.col("hi_id"))
             .select("lo_id", "hi_id")
+            .distinct()
         )
         lo_vecs = assigned.select(
             F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),

@@ -60,7 +60,77 @@ def test_fully_duplicated_document_hashes_empty(spark):
     assert got[2]["clean_digest"] == _md5("")
 
 
-def test_long_document_past_retired_pos_bound(spark):
+def test_empty_and_trailing_whitespace_chunks_match_fixed_window(spark):
+    """Dirty-input contract (r11 ADVICE medium): the chunker emits
+    EXACTLY ceil(words/chunk_words) rows with pos = window index — an
+    empty-text doc tokenizes to [''] and owns one empty paragraph, a
+    trailing-whitespace doc whose remainder window is the lone empty
+    token owns that empty paragraph at its real pos, and an exact
+    multiple of chunk_words emits NO trailing artifact row. The old
+    blanket p != '' filter dropped the first two rows entirely (and
+    with chunk_words=1 renumbered every pos after an interior empty
+    token) while the DuckDB oracle kept them."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                         # [''] -> one empty para
+            (2, "a b c d e f g h i j "),     # 11 tokens, remainder ['']
+            (3, "a b c d e f g h i j"),      # exact multiple: no artifact
+        ],
+        "doc_id long, text string",
+    )
+    rows = paragraph_table(docs, chunk_words=10).collect()
+    got = {(r["doc_id"], r["pos"]): r["para"] for r in rows}
+    assert got == {
+        (1, 0): "",
+        (2, 0): "a b c d e f g h i j",
+        (2, 1): "",
+        (3, 0): "a b c d e f g h i j",
+    }
+
+
+def test_interior_empty_token_keeps_pos_numbering(spark):
+    # chunk_words=1 over consecutive spaces: the interior empty token is
+    # a paragraph of its own and every later pos stays window-aligned
+    docs = spark.createDataFrame([(5, "x  y")], "doc_id long, text string")
+    rows = paragraph_table(docs, chunk_words=1).orderBy("pos").collect()
+    assert [(r["pos"], r["para"]) for r in rows] == [(0, "x"), (1, ""), (2, "y")]
+
+
+def test_paragraph_dedup_dirty_corpus_matches_duckdb_oracle(spark):
+    """Bit-parity with the registered DuckDB oracle on a corpus the
+    fixtures never exercise: empty texts, trailing whitespace, interior
+    runs of spaces, and exact chunk multiples. This pins the divergence
+    class the r11 ADVICE named — the oracle's fixed-window chunker and
+    the Spark chunker must agree on EMPTY paragraphs, not just clean
+    ones."""
+    import duckdb
+    import pandas as pd
+
+    from cruncher_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+
+    data = [
+        (1, ""),
+        (2, "a b c d e f g h i j "),
+        (3, " ".join(f"w{i}" for i in range(25)) + "  tail"),
+        (4, "a b c d e f g h i j"),
+        (5, "a b c d e f g h i j "),  # dup of doc 2's content
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_digest"])
+        for r in paragraph_dedup(docs, chunk_words=10).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(data, columns=["doc_id", "text"])
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["paragraph_dedup"].oracle).fetchall()
+    }
+    assert got == want
     """The retired doc*100000+pos packing (and the chunk-time truncation
     that kept it sound) mis-handled documents with more paragraphs than
     the bound: tail paragraphs were silently dropped, so a duplicate

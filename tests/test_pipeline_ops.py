@@ -1596,6 +1596,60 @@ def test_perplexity_buckets_hand_case(spark):
         _PPL_CACHES.pop()[2].unpersist()
 
 
+def test_ppl_cache_degrades_past_stale_session_entries(spark):
+    """Entries built under a now-stopped SparkSession must not crash an
+    unrelated later perplexity_buckets call (r11 ADVICE): a cached plan
+    whose sameResult probe RAISES is evicted by the lookup instead of
+    squatting in the bounded cache, and an eviction-time unpersist that
+    raises degrades to drop-only."""
+    from cruncher_spark.operators.curation import (
+        _PPL_CACHE_LOCK,
+        _PPL_CACHE_MAX,
+        _PPL_CACHES,
+        perplexity_buckets,
+    )
+
+    class RaisingPlan:
+        def sameResult(self, other):
+            raise RuntimeError("SparkSession stopped")
+
+    class RaisingDF:
+        def unpersist(self, *a):
+            raise RuntimeError("SparkSession stopped")
+
+    params = ("doc_id", "text", "lang")
+    with _PPL_CACHE_LOCK:
+        # probe-raising entry (dead session, plan reachable)
+        _PPL_CACHES.append((params, RaisingPlan(), RaisingDF()))
+        # plan-unreachable entry that will be FIFO-evicted: its
+        # unpersist raising must not crash the eviction loop
+        _PPL_CACHES.append((params, None, RaisingDF()))
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en"), (2, "c d c d", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = perplexity_buckets(docs, sample_mod=1)  # must not raise
+    assert out.count() == 2
+    with _PPL_CACHE_LOCK:
+        # the raising-probe entry was evicted by the lookup itself
+        assert not any(isinstance(e[1], RaisingPlan) for e in _PPL_CACHES)
+    # flood: the plan-None entry reaches the FIFO eviction's unpersist
+    for i in range(_PPL_CACHE_MAX + 1):
+        filler = spark.createDataFrame(
+            [(1, f"s{i} t{i} s{i} t{i}", "en")],
+            "doc_id long, text string, lang string",
+        )
+        perplexity_buckets(filler, sample_mod=1)
+    with _PPL_CACHE_LOCK:
+        assert len(_PPL_CACHES) <= _PPL_CACHE_MAX
+        assert not any(isinstance(e[2], RaisingDF) for e in _PPL_CACHES)
+        while _PPL_CACHES:
+            try:
+                _PPL_CACHES.pop()[2].unpersist()
+            except Exception:
+                pass
+
+
 def test_duplicate_span_removal_matches_reference(spark):
     """Seeded random corpora vs a pure-Python reference of the removal
     contract (loser = any non-canonical occurrence of a >=2x n-gram),
