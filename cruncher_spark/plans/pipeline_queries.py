@@ -10,7 +10,6 @@ operators — one definition, two engines.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1585,68 +1584,17 @@ _SDD_MIN_COS = 0.9
 _SDD_COPY_EVERY, _SDD_COPY_OFFSET = 25, 1_000_000_000_000
 
 
-#: expected cell population the adaptive gate holds constant as the
-#: corpus grows — cells = ceil(n / target), planes = ceil(log2(cells))
-_SDD_CELL_TARGET = 64
-
-
-def _sdd_planes_for(n: int) -> int:
-    """Plane count for a corpus of ``n`` embeddings: enough sign-pattern
-    cells (2^p) that the EXPECTED cell population stays ~_SDD_CELL_TARGET
-    — SemDeDup's cells-grow-with-the-corpus contract, integer-exact so
-    both engines derive the same p from the same count. Floor of 4
-    planes keeps small fixtures from degenerating to a handful of
-    giant cells."""
-    cells = max(1, -(-n // _SDD_CELL_TARGET))
-    return max(4, (cells - 1).bit_length())
-
-
-#: the banded family's recall target: P(candidate | cos >= min_cos)
-#: the band count is derived to guarantee at the threshold (recall on
-#: pairs ABOVE the threshold is strictly higher — s rises with cos)
-_SDD_TARGET_RECALL = 0.95
-
-
-def _sdd_params_for(
-    n: int,
-    min_cos: float = _SDD_MIN_COS,
-    target_recall: float = _SDD_TARGET_RECALL,
-) -> tuple[int, int]:
-    """Recall-target POLICY for the banded semantic-dedup family (r10
-    VERDICT #2/#3: policy as code, not prose): derive (p planes/band,
-    r bands) from (corpus count, cosine threshold, recall target) in
-    closed form, identically in both engines.
-
-    - ``p = _sdd_planes_for(n)`` holds expected cell population ~64 per
-      band — the cost contract (within-band pair volume linear in n).
-    - A pair at the threshold angle θ = arccos(min_cos) agrees with one
-      plane with probability ``s = 1 - θ/π``, so one p-plane band
-      catches it with probability s^p and r independent bands give
-      recall ``1 - (1-s^p)^r``; solving for the target:
-      ``r = ceil(log(1-target) / log(1-s^p))``.
-
-    Cost honesty (stated, not hidden): holding recall fixed while p
-    tracks the corpus makes r grow ~s^(-p) = n^(log2(1/s)) — ~n^0.22
-    at cos 0.9, the classic sub-quadratic LSH exponent (r = 4/5/11/18
-    at n = 5e2/2e3/2e5/2e7). That polylog-ish factor is the price of
-    recall that does NOT decay with scale; the single-code family's
-    alternative is recall s^p → 0.
-
-    Why there is no third "probe depth" knob: the hamming<=1 ring's
-    recall (1-f)^p + p·f·(1-f)^(p-1) also decays with p, so probe
-    depth cannot REACH a fixed target as the corpus grows — it is a
-    constant-factor lever, not a policy variable, and returning it
-    here would be a dead knob (the r10 ADVICE class). Bands are the
-    only r-independent amplifier; use multiprobe when a ~(1+p/2)x
-    candidate bump at single-code cost is wanted WITHOUT a target.
-    """
-    p = _sdd_planes_for(n)
-    s = 1.0 - math.acos(min_cos) / math.pi
-    catch = s**p
-    if not 0.0 < catch < 1.0:
-        return p, 1
-    r = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - catch))
-    return p, max(1, r)
+# the semantic-dedup family's (p, r) policy lives beside the operators
+# (operators/similarity.py) since r12 so the STREAMING embedding ingest
+# derives the same parameters without importing the gate layer; the
+# names are re-exported here because the gates, the oracles, and
+# tools/scale_stress.py all read them from this module
+from cruncher_spark.operators.similarity import (  # noqa: E402
+    _SDD_CELL_TARGET,
+    _SDD_TARGET_RECALL,
+    _sdd_params_for,
+    _sdd_planes_for,
+)
 
 
 def _semantic_dedup_oracle(sf_dir: str) -> str:
@@ -1844,13 +1792,20 @@ def semantic_dedup_multiprobe_query(
 
     tune(spark)
     raw = Star(spark, sf_dir).embeddings
-    p = _sdd_planes_for(raw.count())
+    n = raw.count()
     copies = raw.where(F.col("vec_id") % _SDD_COPY_EVERY == 0).select(
         (F.col("vec_id") + _SDD_COPY_OFFSET).alias("vec_id"), "embedding"
     )
     emb = fan_out(raw.select("vec_id", "embedding").unionAll(copies))
+    # n_rows hands the policy the SAME corpus count p derives from, so
+    # the exchange shape is the _sdd_shape_for decision (r11 VERDICT
+    # #2) without a second count job — broadcast at every gate scale
     return semantic_dedup_multiprobe(
-        emb, dim=EMB_DIM, n_planes=p, min_cos=_SDD_MIN_COS
+        emb,
+        dim=EMB_DIM,
+        n_planes=_sdd_planes_for(n),
+        min_cos=_SDD_MIN_COS,
+        n_rows=n,
     )
 
 
@@ -1947,13 +1902,22 @@ def semantic_dedup_banded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     raw = Star(spark, sf_dir).embeddings
-    p, r = _sdd_params_for(raw.count())
+    n = raw.count()
+    p, r = _sdd_params_for(n)
     copies = raw.where(F.col("vec_id") % _SDD_COPY_EVERY == 0).select(
         (F.col("vec_id") + _SDD_COPY_OFFSET).alias("vec_id"), "embedding"
     )
     emb = fan_out(raw.select("vec_id", "embedding").unionAll(copies))
+    # n_rows: the exchange shape comes from the _sdd_shape_for policy
+    # (r11 VERDICT #2) on the same count (p, r) derive from — broadcast
+    # at every gate scale, no second count job
     return semantic_dedup_banded(
-        emb, dim=EMB_DIM, n_planes=p, n_bands=r, min_cos=_SDD_MIN_COS
+        emb,
+        dim=EMB_DIM,
+        n_planes=p,
+        n_bands=r,
+        min_cos=_SDD_MIN_COS,
+        n_rows=n,
     )
 
 
@@ -2112,14 +2076,13 @@ def semantic_dedup_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.similarity import (
         dot,
         norm,
-        semantic_dedup_banded,
-        semantic_dedup_lsh,
-        semantic_dedup_multiprobe,
+        semantic_dedup_family,
     )
 
     tune(spark)
     raw = Star(spark, sf_dir).embeddings
-    p, r = _sdd_params_for(raw.count())
+    n = raw.count()
+    p, r = _sdd_params_for(n)
 
     # the noise lambda references the SOURCE id — renamed to a private
     # column so the projection that also aliases the SHIFTED id as
@@ -2167,15 +2130,25 @@ def semantic_dedup_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         ).unionAll(copies)
     )
-    kept_s = semantic_dedup_lsh(
-        emb, dim=EMB_DIM, n_planes=p, min_cos=_SDD_MIN_COS
-    ).select(F.col("id").alias("cid"), F.col("kept").alias("kept_s"))
-    kept_m = semantic_dedup_multiprobe(
-        emb, dim=EMB_DIM, n_planes=p, min_cos=_SDD_MIN_COS
-    ).select(F.col("id").alias("cid"), F.col("kept").alias("kept_m"))
-    kept_b = semantic_dedup_banded(
-        emb, dim=EMB_DIM, n_planes=p, n_bands=r, min_cos=_SDD_MIN_COS
-    ).select(F.col("id").alias("cid"), F.col("kept").alias("kept_b"))
+    # ONE family pass (r11 VERDICT #3): the banded assignment's band 0
+    # IS the single code and its band-0 probe ring IS the multiprobe
+    # candidate set, so all three drop sets derive from one
+    # checkpoint-materialized assignment — the gate stops paying 3x
+    # corpus scans + plane products (the old form ran the three
+    # standalone operators on the same emb plan)
+    fam = semantic_dedup_family(
+        emb,
+        dim=EMB_DIM,
+        n_planes=p,
+        n_bands=r,
+        min_cos=_SDD_MIN_COS,
+        n_rows=n,
+    ).select(
+        F.col("id").alias("cid"),
+        F.col("kept_single").alias("kept_s"),
+        F.col("kept_multi").alias("kept_m"),
+        F.col("kept_banded").alias("kept_b"),
+    )
     # truth is computed IN-ROW (source vector and its noisy copy live in
     # the same src row) — a copies⋈src self-join would duplicate the
     # noise expression across plan branches, the same capture class as
@@ -2193,9 +2166,7 @@ def semantic_dedup_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_true"),
     )
     agg = (
-        truth.join(kept_s, "cid")
-        .join(kept_m, "cid")
-        .join(kept_b, "cid")
+        truth.join(fam, "cid")
         .agg(
             F.count(F.lit(1)).alias("n_planted"),
             F.sum(F.col("is_true").cast("int")).cast("long").alias("n_true"),
