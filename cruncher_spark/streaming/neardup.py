@@ -502,6 +502,36 @@ class EmbeddingDedupIngest:
     doc or a smaller-id batch peer; in-batch chains collapse to their
     minimum id. Index layout, idempotent decision writes, and
     :func:`compact_index` small-files housekeeping mirror NearDupIngest.
+
+    CORPUS-ADAPTIVE BANDING (r12, closing r11 VERDICT #1): by default
+    (``n_bands=None, band_planes=None``) the ingest derives (p, r) from
+    the RETAINED count via the batch family's ``_sdd_params_for``
+    policy (min_cos-aware) and RE-KEYS the band index when the policy
+    steps — the fix for the r9-era cost class the r11 verdict named:
+    construction-pinned bands hold cell count constant FOREVER, so
+    expected per-cell population grows ∝ retained count and each
+    batch's candidate join against history grows linearly with
+    everything ever ingested (quadratic total over the stream's life).
+    With cells ∝ corpus, per-batch candidate volume stays ~flat (×r's
+    slow policy growth). Mechanics:
+
+    - the CURRENT (p, r) persists in ``state/band_policy.json`` so a
+      restarted ingest bands probes consistently with its index;
+    - every ``reband_check_every`` batches (the IVF monitor's trigger
+      discipline) the retained count re-derives (p, r); on a step the
+      retained vectors are re-banded into one consolidated
+      ``batch=reband-*`` dir and the stale-keyed dirs are removed —
+      the compactor's idempotent-rewrite pattern, under the same
+      writer lock;
+    - prior DROP DECISIONS are untouched (the decision ledger is
+      immutable); only candidate GENERATION changes. A crash inside
+      the re-key window degrades one batch's candidate recall (mixed
+      keyspaces produce spurious/missing candidates, and exact-cosine
+      verification still gates every drop) and converges at the next
+      policy check — the compactor's convergence story;
+    - passing EXPLICIT ``n_bands``/``band_planes`` pins the banding
+      forever (the pre-r12 behavior; :class:`PerceptualDedupIngest`
+      pins its hamming-complete 8×7 one-hot layout this way).
     """
 
     def __init__(
@@ -510,8 +540,8 @@ class EmbeddingDedupIngest:
         state_dir: str,
         *,
         dim: int = 64,
-        n_bands: int = 4,
-        band_planes: int = 8,
+        n_bands: int | None = None,
+        band_planes: int | None = None,
         min_cos: float = 0.98,
         index_buckets: int = 16,
         num_buckets: int = 8,
@@ -520,15 +550,43 @@ class EmbeddingDedupIngest:
         merge_mode: str = "lsm",
         ivf_monitor=None,
         ivf_check_every: int = 8,
+        target_recall: float | None = None,
+        reband_check_every: int = 8,
     ):
+        from cruncher_spark.operators.similarity import (
+            _SDD_TARGET_RECALL,
+            _sdd_params_for,
+        )
+
         self.spark = spark
         self.state = Path(state_dir)
         self.dim = dim
-        self.n_bands = n_bands
-        self.band_planes = band_planes
+        # adaptive iff the banding is NOT construction-pinned: explicit
+        # values (either one) pin it, the None default tracks the policy
+        self.adaptive_bands = n_bands is None and band_planes is None
+        self.target_recall = (
+            _SDD_TARGET_RECALL if target_recall is None else target_recall
+        )
+        self.reband_check_every = reband_check_every
+        if self.adaptive_bands:
+            saved = self._load_policy()
+            if saved is not None:
+                band_planes, n_bands = saved
+            else:
+                band_planes, n_bands = _sdd_params_for(
+                    0, min_cos, self.target_recall
+                )
+        self.n_bands = n_bands if n_bands is not None else 4
+        self.band_planes = band_planes if band_planes is not None else 8
         self.min_cos = min_cos
         self.index_buckets = index_buckets
         self.exactly_once = exactly_once
+        #: diagnostics for the scale harness (tools/stream_scale.py):
+        #: when count_candidates is set, each batch records the history
+        #: candidate-join row count — the density signal the adaptive
+        #: policy holds flat
+        self.count_candidates = False
+        self.last_history_candidates: int | None = None
         # optional served-IVF staleness monitor (r9 VERDICT #4: the
         # drift-based refit trigger as code, not prose): every
         # ivf_check_every batches the monitor measures cell-population
@@ -552,42 +610,151 @@ class EmbeddingDedupIngest:
         self.index_dir = self.state / "band_index"
         self.decisions_dir = self.state / "decisions"
 
+    # -- adaptive banding policy ----------------------------------------------
+
+    def _policy_path(self) -> Path:
+        return self.state / "band_policy.json"
+
+    def _load_policy(self) -> tuple[int, int] | None:
+        """(band_planes, n_bands) persisted by a prior run, or None."""
+        import json
+
+        try:
+            d = json.loads(self._policy_path().read_text())
+            return int(d["band_planes"]), int(d["n_bands"])
+        except Exception:
+            return None
+
+    def _save_policy(self, retained_n: int) -> None:
+        import json
+        import os
+
+        self.state.mkdir(parents=True, exist_ok=True)
+        tmp = self._policy_path().with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps(
+                {
+                    "band_planes": self.band_planes,
+                    "n_bands": self.n_bands,
+                    "retained_at_check": retained_n,
+                }
+            )
+        )
+        os.replace(tmp, self._policy_path())
+
+    def _maybe_reband(self, batch_id: int) -> None:
+        """Re-derive (p, r) from the retained count and re-key the band
+        index when the policy steps (r12, closing r11 VERDICT #1).
+
+        Runs at the START of every ``reband_check_every``-th batch body
+        (lock already held), so the batch that triggers a step is
+        banded with the NEW keys against the freshly re-keyed index.
+        Also fires when the policy file is missing but an index exists
+        — the pre-r12 upgrade path, where the on-disk keys may come
+        from ANY banding and only a re-key makes probe and index
+        keyspaces agree. Idempotent: same retained count → same
+        (p, r) → no-op, so a ledger replay never re-keys twice."""
+        from cruncher_spark.operators.similarity import _sdd_params_for
+
+        if not self.adaptive_bands:
+            return
+        missing = not self._policy_path().exists()
+        if batch_id % self.reband_check_every != 0 and not missing:
+            return
+        # versions() is [] until the first merge commits — a fresh
+        # table has a directory but nothing to read
+        n = self.survivors.read().count() if self.survivors.versions() else 0
+        p_new, r_new = _sdd_params_for(n, self.min_cos, self.target_recall)
+        stale_index = missing and self._read_index() is not None
+        if (p_new, r_new) == (self.band_planes, self.n_bands) and (
+            not stale_index
+        ):
+            if missing:
+                self._save_policy(n)
+            return
+        self.band_planes, self.n_bands = p_new, r_new
+        self._rekey_index()
+        self._save_policy(n)
+
+    def _rekey_index(self) -> None:
+        """Rewrite the WHOLE band index under the current (p, r): band
+        the retained vectors into one consolidated ``batch=reband-*``
+        dir, then remove every stale-keyed dir — the compactor's
+        idempotent-rewrite pattern (the write reads the SURVIVOR table,
+        never the index, so the removal cannot race the plan; a crash
+        between write and removal leaves mixed keyspaces that only
+        perturb candidate recall until the next policy check, never a
+        wrong drop — exact cosine gates every decision)."""
+        import shutil
+        import uuid
+
+        if self._read_index() is None:
+            return
+        retained = self.survivors.read().select("vec_id", "embedding")
+        old = [
+            d
+            for d in self.index_dir.iterdir()
+            if d.is_dir() and d.name.startswith("batch=")
+        ]
+        target = self.index_dir / f"batch=reband-{uuid.uuid4().hex[:8]}"
+        (
+            self._bands(retained)
+            .repartition(self.index_buckets, F.col("band_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("band_bucket")
+            .parquet(str(target))
+        )
+        for d in old:
+            shutil.rmtree(d)
+
     # -- banding -------------------------------------------------------------
 
-    def _band_key(self, vec: F.Column, band: int) -> F.Column:
-        from cruncher_spark.operators.similarity import _hyperplane_signs
+    def _explode_bands(self, vecs: DataFrame) -> DataFrame:
+        """(vec_id, embedding, band_idx, band_key) — the random-
+        hyperplane family via the shared-projections single-tree form
+        (r12, same as the batch operators): ONE 2-D plane-matrix
+        literal and one pass compute all p·r projections, and each
+        band's key reads its slice — bit-identical arithmetic to the
+        old per-band fold loop (same zip_with cast-double multiply,
+        same 0.0-seeded left fold, same >0 sign rule), but the plan is
+        one expression tree instead of p·r per-element-literal trees
+        (the adaptive policy can push p·r to dozens of planes, where
+        per-element F.lit construction alone took seconds per batch).
+        :class:`PerceptualDedupIngest` overrides with its one-hot
+        chunk keys."""
+        from cruncher_spark.operators.similarity import (
+            _cell_from_projs,
+            _hyperplane_signs,
+            _sign_pattern_projs,
+        )
 
-        planes = _hyperplane_signs(
-            self.dim, self.n_bands * self.band_planes
-        )[band * self.band_planes : (band + 1) * self.band_planes]
-        key = F.lit(0)
-        for p, signs in enumerate(planes):
-            sign_arr = F.array(*[F.lit(float(s)) for s in signs])
-            proj = F.aggregate(
-                F.zip_with(vec, sign_arr, lambda x, s: x.cast("double") * s),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            key = key + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return key
-
-    def _bands(self, vecs: DataFrame) -> DataFrame:
+        planes = _hyperplane_signs(self.dim, self.n_bands * self.band_planes)
+        with_pj = vecs.select(
+            "vec_id",
+            "embedding",
+            _sign_pattern_projs(F.col("embedding"), planes).alias("_pj"),
+        )
         bands = F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    self._band_key(F.col("embedding"), b).alias("band_key"),
+                    _cell_from_projs(
+                        F.col("_pj"),
+                        b * self.band_planes,
+                        self.band_planes,
+                    ).alias("band_key"),
                 )
                 for b in range(self.n_bands)
             ]
         )
-        return (
-            vecs.select("vec_id", "embedding", F.explode(bands).alias("band"))
-            .select("vec_id", "embedding", "band.band_idx", "band.band_key")
-            .withColumn(
-                "band_bucket",
-                F.pmod(F.col("band_key"), F.lit(self.index_buckets)),
-            )
+        return with_pj.select(
+            "vec_id", "embedding", F.explode(bands).alias("band")
+        ).select("vec_id", "embedding", "band.band_idx", "band.band_key")
+
+    def _bands(self, vecs: DataFrame) -> DataFrame:
+        return self._explode_bands(vecs).withColumn(
+            "band_bucket",
+            F.pmod(F.col("band_key"), F.lit(self.index_buckets)),
         )
 
     # -- batch body ----------------------------------------------------------
@@ -621,6 +788,9 @@ class EmbeddingDedupIngest:
     def _process_batch_locked(self, vecs: DataFrame, batch_id: int) -> None:
         from cruncher_spark.operators.similarity import cosine
 
+        # policy check BEFORE banding the batch: a step re-keys the
+        # index first, so this batch probes with the new keys (r12)
+        self._maybe_reband(batch_id)
         batch = vecs.select("vec_id", "embedding").dropDuplicates(["vec_id"])
         bands = self._bands(batch)
 
@@ -633,6 +803,10 @@ class EmbeddingDedupIngest:
                 F.col("vec_id").alias("h_id"),
                 F.col("embedding").alias("h_emb"),
             ).join(F.broadcast(bands), ["band_bucket", "band_idx", "band_key"])
+            # density diagnostic for the scale harness — one extra
+            # count job, opt-in only
+            if self.count_candidates:
+                self.last_history_candidates = cand.count()
             hist_dups = (
                 cand.where(F.col("h_id") != F.col("vec_id"))
                 .where(
@@ -643,6 +817,8 @@ class EmbeddingDedupIngest:
                 .withColumn("via", F.lit("history"))
             )
         else:
+            if self.count_candidates:
+                self.last_history_candidates = 0
             hist_dups = None
 
         a = bands.select(
@@ -818,6 +994,22 @@ class PerceptualDedupIngest(EmbeddingDedupIngest):
                 F.element_at(vec, j + 1) > 0, F.lit(1 << p)
             ).otherwise(F.lit(0))
         return key
+
+    def _explode_bands(self, vecs: DataFrame) -> DataFrame:
+        # no projections to share: each one-hot key reads its 7 bits
+        # directly, so the generic per-band loop IS the cheap form here
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    self._band_key(F.col("embedding"), b).alias("band_key"),
+                )
+                for b in range(self.n_bands)
+            ]
+        )
+        return vecs.select(
+            "vec_id", "embedding", F.explode(bands).alias("band")
+        ).select("vec_id", "embedding", "band.band_idx", "band.band_key")
 
     def _hashes(
         self, media: DataFrame, id_col: str, payload_col: str

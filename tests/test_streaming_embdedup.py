@@ -98,7 +98,12 @@ def emb_env(spark, tmp_path_factory):
     batches = [b0, b1, b2]
 
     root = tmp_path_factory.mktemp("embdedup")
-    nd = EmbeddingDedupIngest(spark, str(root / "state"))
+    # PINNED banding: the python reference above mirrors the 4x8 layout
+    # bit-for-bit; the corpus-adaptive default is exercised by
+    # test_adaptive_rebanding_* below
+    nd = EmbeddingDedupIngest(
+        spark, str(root / "state"), n_bands=N_BANDS, band_planes=BAND_PLANES
+    )
     for k, rows in enumerate(batches):
         df = spark.createDataFrame(
             [(i, v) for i, v in rows], "vec_id long, embedding array<float>"
@@ -289,3 +294,152 @@ def test_embedding_ingest_refit_hook(spark, tmp_path):
     tags = [e["tag"] for e in mon.events]
     assert tags == [2, 4]  # cadence: every 2nd batch
     assert any(e["refit"] for e in mon.events)  # the shift fired it
+
+
+# ---------------------------------------------------------------------------
+# corpus-adaptive re-banding (r12, closing r11 VERDICT #1)
+# ---------------------------------------------------------------------------
+
+
+def _uniques(seed: int, n: int, id0: int) -> list[tuple[int, list[float]]]:
+    """n independent gaussian vectors — max pairwise cosine ~0.5, far
+    below min_cos, so every one is retained unless planted otherwise."""
+    rng = np.random.default_rng(seed)
+    return [
+        (id0 + i, [float(np.float32(x)) for x in rng.normal(size=DIM)])
+        for i in range(n)
+    ]
+
+
+def test_adaptive_rebanding_steps_and_drop_decisions_survive(spark, tmp_path):
+    """The adaptive default derives (p, r) from the RETAINED count and
+    re-keys the index when the policy steps (r11 VERDICT #1). Pinned
+    here: (a) the step actually fires once retained crosses the cell
+    boundary (p 4→5 at >1024 retained with _SDD_CELL_TARGET=64);
+    (b) DROP-DECISION EQUIVALENCE across the step — decisions recorded
+    before the re-band are byte-identical afterwards, and an exact or
+    near dup of a vector retained BEFORE the step is still dropped
+    against it AFTER (the re-keyed index finds pre-step history);
+    (c) a replayed batch after the step is a ledger no-op;
+    (d) a RESTARTED ingest resumes the stepped policy from
+    band_policy.json and keeps dropping against the same index."""
+    import json
+
+    from cruncher_spark.operators.similarity import _sdd_params_for
+    from cruncher_spark.streaming.neardup import EmbeddingDedupIngest
+
+    state = str(tmp_path / "state")
+    nd = EmbeddingDedupIngest(spark, state, reband_check_every=1)
+    assert nd.adaptive_bands
+    p0, r0 = _sdd_params_for(0, 0.98)
+    assert (nd.band_planes, nd.n_bands) == (p0, r0) == (4, 3)
+
+    schema = "vec_id long, embedding array<float>"
+    b0 = _uniques(1, 400, id0=0)
+    b1 = _uniques(2, 400, id0=1000) + [(1450, b0[5][1])]  # exact dup of 5
+    b2 = _uniques(3, 400, id0=2000)
+    for k, rows in enumerate((b0, b1, b2)):
+        nd.process_batch(spark.createDataFrame(rows, schema), k)
+    # pre-step decision present, policy still at the floor
+    pre_decisions = sorted(
+        tuple(r) for r in nd.decisions().select("vec_id", "dup_of", "via").collect()
+    )
+    assert (1450, 5, "history") in pre_decisions
+    assert (nd.band_planes, nd.n_bands) == (4, 3)
+
+    # batch 3 starts with 1200 retained -> policy steps to p=5 and the
+    # index re-keys BEFORE this batch probes; the batch plants an exact
+    # dup of pre-step id 7 and a near dup (cos ~0.999) of pre-step id 8
+    rng = np.random.default_rng(9)
+    near8 = [
+        float(np.float32(x + 0.05 * e))
+        for x, e in zip(b0[8][1], rng.normal(size=DIM))
+    ]
+    b3 = [(3000, b0[7][1]), (3001, near8)] + _uniques(4, 10, id0=3100)
+    nd.process_batch(spark.createDataFrame(b3, schema), 3)
+    p1, r1 = _sdd_params_for(1200, 0.98)
+    assert (nd.band_planes, nd.n_bands) == (p1, r1)
+    assert p1 > p0  # the step actually happened
+    saved = json.loads((tmp_path / "state" / "band_policy.json").read_text())
+    assert (saved["band_planes"], saved["n_bands"]) == (p1, r1)
+    # one consolidated reband dir replaced every stale-keyed dir; only
+    # the post-step batch dir sits beside it
+    dirs = sorted(
+        d.name for d in nd.index_dir.iterdir() if d.name.startswith("batch=")
+    )
+    assert sum(1 for d in dirs if d.startswith("batch=reband-")) == 1
+    assert len(dirs) == 2
+    # every index key fits the NEW band width
+    from pyspark.sql import functions as F
+
+    assert (
+        nd._read_index().where(F.col("band_key") >= (1 << p1)).count() == 0
+    )
+
+    got = {
+        r.vec_id: (r.dup_of, r.via) for r in nd.decisions().collect()
+    }
+    # (b) pre-step decisions byte-identical; post-step dups caught
+    # against PRE-step history through the re-keyed index
+    assert sorted(
+        t for t in (
+            (v, d, via) for v, (d, via) in got.items()
+        ) if t[0] <= 2999
+    ) == pre_decisions
+    assert got[3000] == (7, "history")
+    assert got[3001] == (8, "history")
+    retained = {r.vec_id for r in nd.retained().collect()}
+    assert 3000 not in retained and 3001 not in retained
+    assert {3100, 3109} <= retained
+
+    # (c) replay after the step: ledger no-op, decisions unchanged
+    nd.process_batch(spark.createDataFrame(b3, schema), 3)
+    assert {
+        r.vec_id: (r.dup_of, r.via) for r in nd.decisions().collect()
+    } == got
+    assert {r.vec_id for r in nd.retained().collect()} == retained
+
+    # (d) restart: a fresh instance resumes (p, r) from the policy file
+    nd2 = EmbeddingDedupIngest(spark, state, reband_check_every=1)
+    assert (nd2.band_planes, nd2.n_bands) == (p1, r1)
+    nd2.process_batch(
+        spark.createDataFrame([(4000, b0[9][1])], schema), 4
+    )
+    got2 = {r.vec_id: (r.dup_of, r.via) for r in nd2.decisions().collect()}
+    assert got2[4000] == (9, "history")
+
+
+def test_adaptive_upgrade_from_pinned_state_rekeys(spark, tmp_path):
+    """Opening an ADAPTIVE ingest over state written by a PINNED one
+    (the pre-r12 layout: no band_policy.json, index keyed 4x8) must
+    re-key on the first batch — probe and index keyspaces cannot be
+    mixed — and keep dropping dups against the pre-upgrade history."""
+    from cruncher_spark.streaming.neardup import EmbeddingDedupIngest
+
+    state = str(tmp_path / "state")
+    schema = "vec_id long, embedding array<float>"
+    rows = _uniques(7, 30, id0=0)
+    pinned = EmbeddingDedupIngest(
+        spark, state, n_bands=N_BANDS, band_planes=BAND_PLANES
+    )
+    pinned.process_batch(spark.createDataFrame(rows, schema), 0)
+    assert not (tmp_path / "state" / "band_policy.json").exists()
+
+    nd = EmbeddingDedupIngest(spark, state)
+    assert nd.adaptive_bands
+    nd.process_batch(
+        spark.createDataFrame([(500, rows[3][1])], schema), 1
+    )
+    got = {r.vec_id: (r.dup_of, r.via) for r in nd.decisions().collect()}
+    assert got[500] == (3, "history")
+    assert (tmp_path / "state" / "band_policy.json").exists()
+    # index fully re-keyed to the policy width
+    from pyspark.sql import functions as F
+
+    assert (
+        nd._read_index().where(F.col("band_key") >= (1 << nd.band_planes)).count()
+        == 0
+    )
+    assert (
+        nd._read_index().where(F.col("band_idx") >= nd.n_bands).count() == 0
+    )

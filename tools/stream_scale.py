@@ -19,15 +19,22 @@ ingest filters, recording per batch:
 - whether the in-loop index auto-compaction fired (r7 VERDICT #5 —
   file counts must SAWTOOTH, not grow unboundedly).
 
-Four sections (r7 VERDICT #6 asked for the video/containment replays;
-r8 VERDICT #4 for the measured crawl path):
+Five sections (r7 VERDICT #6 asked for the video/containment replays;
+r8 VERDICT #4 for the measured crawl path; r11 VERDICT #1 for the
+embedding ingest — the one family with a density problem and no curve):
 
 1. ``NearDupIngest``  — 50 x 1000 unique-content text docs;
 2. ``VideoDedupIngest`` — 24 x 40 synthetic AVIs, frame-level dedup;
 3. ``TextContainmentIngest`` — 24 x 300 docs with planted quotes;
 4. crawl path e2e — 24 WARC segments (per-record gzip members) →
    ``UrlFrontier.filter_fresh`` → ``NearDupIngest``, with frontier
-   seen-set rows/runs tracked beside the ingest columns.
+   seen-set rows/runs tracked beside the ingest columns;
+5. ``EmbeddingDedupIngest`` — 24 x 500 unique embeddings (2% exact
+   copies of earlier rows), ADAPTIVE banding vs the same stream
+   through a CONSTRUCTION-PINNED instance, with the history
+   candidate-join row count per batch — the density signal: pinned
+   cells make it grow ∝ retained history (the r11 verdict's cost
+   class), the (p, r) policy + index re-key holds it ~flat.
 
 Expected shape everywhere: per-batch wall and shuffle FLAT-ish as
 state grows — candidate joins broadcast the batch side with partition
@@ -236,6 +243,87 @@ def _crawl_segments(dst: Path):
 # ---------------------------------------------------------------------------
 # measurement harness
 # ---------------------------------------------------------------------------
+
+
+N_EMB_BATCHES, BATCH_EMB, EMB_DIM, EMB_DUP_RATE = 24, 500, 64, 0.02
+
+
+def _emb_batches():
+    """N_EMB_BATCHES lists of (vec_id, float32 vec): unique gaussians
+    (max background cosine ~0.5, far under the 0.98 threshold) with
+    EMB_DUP_RATE EXACT copies of earlier uniques. Exact copies land in
+    their original's cell under ANY banding, so the adaptive and the
+    pinned ingest make IDENTICAL drop decisions on this stream — the
+    comparison isolates candidate-volume cost, not recall."""
+    rng = np.random.default_rng(4242)
+    originals: list[tuple[int, list[float]]] = []
+    next_id = 0
+    out = []
+    for _ in range(N_EMB_BATCHES):
+        batch = []
+        for _ in range(BATCH_EMB):
+            if originals and rng.random() < EMB_DUP_RATE:
+                j = int(rng.integers(0, len(originals)))
+                batch.append((next_id, originals[j][1]))
+            else:
+                v = [
+                    float(np.float32(x)) for x in rng.normal(size=EMB_DIM)
+                ]
+                batch.append((next_id, v))
+                originals.append((next_id, v))
+            next_id += 1
+        out.append(batch)
+    return out
+
+
+def emb_replay(spark, ingest, batches) -> list[tuple]:
+    """[(bid, wall, shuffle_delta, cand_rows, p, r, rebanded)] — the
+    embedding section's row shape: history candidate-join rows are the
+    density signal, (p, r) the policy state, rebanded marks batches
+    whose body re-keyed the index."""
+    ingest.count_candidates = True
+    rows = []
+    prev_sh = _shuffle_total()
+    for bid, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, "vec_id long, embedding array<float>")
+        before = (ingest.band_planes, ingest.n_bands)
+        t0 = time.monotonic()
+        ingest.process_batch(df, bid)
+        wall = time.monotonic() - t0
+        sh = _shuffle_total()
+        p, r = ingest.band_planes, ingest.n_bands
+        rows.append(
+            (bid, wall, sh - prev_sh,
+             ingest.last_history_candidates or 0, p, r,
+             (p, r) != before)
+        )
+        prev_sh = sh
+        print(
+            f"batch {bid:3d} wall {wall:6.2f}s shuffle "
+            f"{rows[-1][2]/1e6:7.2f} MB cand {rows[-1][3]:8d} "
+            f"(p={p}, r={r}){' [reband]' if rows[-1][6] else ''}",
+            flush=True,
+        )
+    return rows
+
+
+def _emb_table(arows, prows) -> list[str]:
+    lines = [
+        "| batch | retained≈ | adaptive (p, r) | adaptive cand |"
+        " adaptive wall s | pinned cand | pinned wall s |"
+        " cand ratio pinned/adaptive |\n",
+        "|---|---|---|---|---|---|---|---|\n",
+    ]
+    for a, p in zip(arows, prows):
+        ret = a[0] * BATCH_EMB  # ~uniques ingested before this batch
+        ratio = (p[3] / a[3]) if a[3] else float("nan")
+        mark = " (reband)" if a[6] else ""
+        lines.append(
+            f"| {a[0]}{mark} | {ret} | ({a[4]}, {a[5]}) | {a[3]} |"
+            f" {a[1]:.2f} | {p[3]} | {p[1]:.2f} |"
+            f" {'x%.1f' % ratio if a[3] else '—'} |\n"
+        )
+    return lines
 
 
 def _ui_session():
@@ -554,6 +642,81 @@ def main() -> None:
         "content-dedup decisions — refetched-changed pages never "
         "reached the content filter (retained + mirror decisions + "
         "frontier-dropped refetches = pages)\n",
+    ]
+
+    # 5. embedding ingest: adaptive vs pinned banding (r11 VERDICT #1) ------
+    print("== EmbeddingDedupIngest: adaptive vs pinned ==", flush=True)
+    from cruncher_spark.operators.similarity import _sdd_params_for
+    from cruncher_spark.streaming.neardup import EmbeddingDedupIngest
+
+    ebatches = _emb_batches()
+    # check cadence 4 (default 8): 24 batches x 500 rows cross several
+    # power-of-two cell boundaries — a tighter cadence makes each step
+    # land in the table instead of lagging to the next multiple of 8
+    ad = EmbeddingDedupIngest(
+        spark,
+        str(STATE / "emb_adaptive"),
+        auto_compact_batches=AUTO_COMPACT,
+        reband_check_every=4,
+    )
+    arows = emb_replay(spark, ad, ebatches)
+    # the pinned instance gets the policy's t=0 value — right-sized at
+    # stream start, then held FOREVER (the pre-r12 construction): its
+    # per-cell population, and so its candidate volume, grows with
+    # everything ever retained
+    p0, r0 = _sdd_params_for(0, 0.98)
+    pn = EmbeddingDedupIngest(
+        spark,
+        str(STATE / "emb_pinned"),
+        n_bands=r0,
+        band_planes=p0,
+        auto_compact_batches=AUTO_COMPACT,
+    )
+    prows = emb_replay(spark, pn, ebatches)
+    # exact-copy stream ⇒ the two instances must agree decision-for-
+    # decision (banding moves candidate COST, not exact-copy recall)
+    a_dec = {(r.vec_id, r.dup_of) for r in ad.decisions().collect()}
+    p_dec = {(r.vec_id, r.dup_of) for r in pn.decisions().collect()}
+    same = a_dec == p_dec
+    lo1, hi1, lo2, hi2 = 2, 7, 19, 24
+    a_e = _window_mean(arows, lo1, hi1, 3)
+    a_l = _window_mean(arows, lo2, hi2, 3)
+    p_e = _window_mean(prows, lo1, hi1, 3)
+    p_l = _window_mean(prows, lo2, hi2, 3)
+    aw_e, aw_l = _window_mean(arows, lo1, hi1, 1), _window_mean(arows, lo2, hi2, 1)
+    pw_e, pw_l = _window_mean(prows, lo1, hi1, 1), _window_mean(prows, lo2, hi2, 1)
+    rebands = [(r[0], r[4], r[5]) for r in arows if r[6]]
+    lines += [
+        f"## 5. EmbeddingDedupIngest — {N_EMB_BATCHES} x {BATCH_EMB} "
+        f"embeddings ({EMB_DUP_RATE:.0%} exact copies of earlier rows): "
+        "ADAPTIVE (p, r) policy + index re-key vs CONSTRUCTION-PINNED "
+        f"banding (the policy's t=0 value ({p0}, {r0}), held forever — "
+        "the pre-r12 shape the r11 verdict flagged)\n\n",
+        *_emb_table(arows, prows),
+        "\n### Measured verdict\n\n",
+        f"- history candidate-join rows, batches {lo1}-{hi1 - 1} → "
+        f"{lo2}-{hi2 - 1}: adaptive **{a_e:.0f} → {a_l:.0f}** "
+        f"(x{a_l / a_e:.2f}); pinned **{p_e:.0f} → {p_l:.0f}** "
+        f"(x{p_l / p_e:.2f}) — the pinned curve tracks retained "
+        "history (the quadratic-total cost class), the adaptive curve "
+        "moves only with the policy's r\n",
+        f"- per-batch wall, same windows: adaptive {aw_e:.2f}s → "
+        f"{aw_l:.2f}s (x{aw_l / aw_e:.2f}); pinned {pw_e:.2f}s → "
+        f"{pw_l:.2f}s (x{pw_l / pw_e:.2f})\n",
+        "- policy steps (re-key batches): "
+        + (
+            ", ".join(f"batch {b} → (p={p}, r={r})" for b, p, r in rebands)
+            or "none"
+        )
+        + " — each re-band is one consolidated rewrite of the retained "
+        "index (the compactor's amortization story), marked in the "
+        "table and visible as its batch's wall/shuffle spike\n",
+        f"- drop decisions identical between the two instances: "
+        f"**{same}** (exact-copy stream — banding moves candidate "
+        "cost, never exact-copy recall)\n",
+        f"- final adaptive (p, r) = ({arows[-1][4]}, {arows[-1][5]}), "
+        f"{ad.retained().count()} retained / {len(a_dec)} decisions "
+        "(pinned identical by the line above)\n",
     ]
 
     Path(__file__).resolve().parent.parent.joinpath(
