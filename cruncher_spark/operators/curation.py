@@ -175,6 +175,63 @@ def mixture_sample(
     return keyed.where(accept)
 
 
+def domain_token_cap(
+    docs: DataFrame,
+    cap_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    salt: str = "domcap",
+) -> DataFrame:
+    """Dolma/C4-class DOMAIN BALANCING: no domain may contribute more
+    than ``cap_tokens`` whitespace tokens to the output mixture. Within
+    each domain, documents are taken in the deterministic
+    ``(hash(id, salt), id)`` order (the stratified_sample hash family —
+    a pure function of the row, identical across runs, partitionings,
+    and engines) and a document is kept iff the RUNNING token total
+    including itself stays ≤ the cap; a single document larger than the
+    cap is dropped even alone (hard cap, stated contract). The
+    cap-by-tokens (not by docs) rule is what real web mixtures use:
+    over-crawled domains contribute long boilerplate-heavy pages, so a
+    doc-count cap under-trims exactly the domains that need it.
+
+    Output: (id, domain, tokens, kept) — one row per input document.
+
+    Scale shape: ONE shuffle, hash-partitioned by domain; the running
+    sum is a window prefix-sum inside each domain's sorted run
+    (O(n log n_domain) sort, spill-safe — never a driver collect or a
+    cross-domain barrier). A pathologically hot domain funnels into a
+    single task; at 100 TB the standard remedy is pre-aggregating
+    per-(domain, hash-range) partial token sums to locate the cutoff
+    hash, then a map-side keep — the same two-phase refinement the
+    CCNet cutoff fit uses. The window form is the declarative baseline
+    the oracle mirrors bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    h = portable_hash64(F.col(id_col).cast("string"), salt=salt)
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("h"), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(domain_col).alias("domain"),
+            tokens.alias("tokens"),
+            h.alias("h"),
+        )
+        .select(
+            "id",
+            "domain",
+            "tokens",
+            (F.sum("tokens").over(w) <= cap_tokens).alias("kept"),
+        )
+    )
+
+
 def sequence_pack(
     docs: DataFrame,
     pack_tokens: int,

@@ -1236,13 +1236,16 @@ def semantic_dedup_multiprobe(
         )
         hi = assigned.select(F.col("id").alias("hi_id"), "cell")
         # pairs normalized to (keep_id, drop_id) so the broadcast
-        # vector-attach joins see one canonical orientation
-        # key-only distinct BEFORE the vector attach: a pair reachable
-        # via both probe directions would otherwise be joined and
-        # cosine-verified once per collision — pairs are already
-        # normalized to one canonical orientation, so this dedup ships
-        # ~16 B keys, and the stated pair-volume contract is the
-        # DISTINCT count (r11 ADVICE)
+        # vector-attach joins see one canonical orientation. NO
+        # pair-level distinct before the attach (r11 ADVICE low,
+        # closed by MEASUREMENT rather than applied): the halving
+        # already generates each pair at most once per direction, the
+        # measured duplicate factor at the u100 stress shape is
+        # ~1.008x, and a dedup would EXCHANGE the entire collision
+        # volume (~138M 16 B rows there) to save <1% of map-side
+        # cosines — measured +28% wall on the banded sibling. The
+        # drop-id distinct below is the dedup that matters (bounded by
+        # the corpus, not the collision volume).
         cand = (
             lo.join(hi, "cell")
             .where(pair_rule)
@@ -1250,7 +1253,6 @@ def semantic_dedup_multiprobe(
                 F.least(F.col("lo_id"), F.col("hi_id")).alias("keep_id"),
                 F.greatest(F.col("lo_id"), F.col("hi_id")).alias("drop_id"),
             )
-            .distinct()
         )
         keep_vecs = assigned.select(
             F.col("id").alias("keep_id"), F.col("vec").alias("lo_vec"),
@@ -1417,16 +1419,21 @@ def semantic_dedup_banded(
         keys = assigned.select("id", bands_arr.alias("band", "cell"))
         lo = keys.select(F.col("id").alias("lo_id"), "band", "cell")
         hi = keys.select(F.col("id").alias("hi_id"), "band", "cell")
-        # key-only distinct BEFORE the vector attach: a pair colliding
-        # in several bands would otherwise verify once per band — the
-        # lo<hi orientation is already canonical, so this is a cheap
-        # id-pair dedup and the verified pair volume is the DISTINCT
-        # candidate count (r11 ADVICE)
+        # NO pair-level distinct before the attach (r11 ADVICE low,
+        # closed by MEASUREMENT rather than applied): a pair colliding
+        # in several bands verifies once per band, but the measured
+        # duplicate factor at the u100 stress shape is 1.008x
+        # (138,581,929 collision rows over 137,527,436 distinct pairs
+        # — random pairs rarely share two independent codes), while a
+        # distinct would EXCHANGE that entire collision volume to save
+        # 0.8% of map-side cosines — measured at +28% gate wall
+        # (82.5 s vs 64.7 s at u100). The drop-id distinct below is
+        # the dedup that matters: bounded by the corpus, not the
+        # collision volume.
         cand = (
             lo.join(hi, ["band", "cell"])
             .where(F.col("lo_id") < F.col("hi_id"))
             .select("lo_id", "hi_id")
-            .distinct()
         )
         lo_vecs = assigned.select(
             F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
@@ -1508,12 +1515,15 @@ def semantic_dedup_family(
     :func:`_sdd_shape_for`), over ONE unified key exchange: each vector
     ships its r primary (band, cell) keys plus its band-0 probe-ring
     keys, so a single self-join generates banded, single (band 0), and
-    ring candidates together. The broadcast shape then folds matches to
-    ONE distinct candidate id-pair set tagged (shares band 0, shares
-    any band, in probe ring), attaches vectors via forced broadcast,
-    and verifies each pair's cosine ONCE for the whole family; the
-    carry shape verifies in-join per band/probe collision (the
-    unbounded-corpus discipline — vectors never broadcast).
+    ring candidates together. Both shapes verify cosine IN the same
+    stage as candidate generation and fold straight to per-id flags —
+    collision volume never exchanges (a pair colliding in several
+    bands verifies once per collision; measured duplicate factor
+    ~1.008x at u100, while a pair-level dedup would exchange the full
+    collision volume — measured +28% wall on the banded sibling). The
+    shapes differ only in where vectors travel: broadcast attaches
+    them map-side to the join output via forced broadcast; carry ships
+    them through the key exchange (the unbounded-corpus discipline).
 
     Policy-wired defaults as the siblings: (p, r) from
     :func:`_sdd_params_for`, shape from :func:`_sdd_shape_for`, corpus
@@ -1555,17 +1565,19 @@ def semantic_dedup_family(
         )
         .localCheckpoint(eager=True)
     )
-    # ONE key exchange for the whole family: every vector contributes
-    # its r primary (band, cell) keys tagged pri=true PLUS its band-0
-    # hamming-1 probe keys (primary c0 with each SET bit cleared — the
-    # multiprobe halving) tagged pri=false. In the self-join, a
-    # pri×pri match at band b is a banded candidate (b==0 ⟹ also the
-    # single code's), a match involving exactly one probe row is a
-    # ring candidate (probe rows live at band 0, so they only meet
-    # band-0 keys), and probe×probe matches are EXCLUDED (hamming-2
-    # from each other's primaries). One exchange + one pair groupBy
-    # replaces the separate band join, ring join, and full-outer
-    # flag-merge — same candidate set, fewer tiny stages.
+    # ONE key exchange for the whole family, ASYMMETRIC by design: the
+    # PROBE side (lo) ships r primary (band, cell) keys tagged
+    # pri=true PLUS the band-0 hamming-1 probe keys (primary c0 with
+    # each SET bit cleared — the multiprobe halving) tagged pri=false;
+    # the INDEX side (hi) ships primaries ONLY. A pri×pri match at
+    # band b is a banded candidate (b==0 ⟹ also the single code's); a
+    # probe-row match at band 0 is a ring candidate, generated exactly
+    # once by the pair's set-bit member as lo (the clear-bit member
+    # cannot reach back by clearing). Probes must NOT appear on the hi
+    # side: a symmetric join manufactures probe×probe products
+    # (hamming-2 garbage the validity filter discards AFTER the join
+    # produced them — measured +50% family wall at u100) and a second
+    # copy of every ring pair.
     key_structs = F.concat(
         F.array(
             *[
@@ -1604,14 +1616,12 @@ def semantic_dedup_family(
         )
         >= min_cos
     )
-    pp = F.col("lo_pri") & F.col("hi_pri")
+    pp = F.col("lo_pri")  # hi side is primaries only
     # pri×pri pairs obey id order (each same-cell band pair once);
     # ring matches arrive in whichever id order the set-bit member
-    # sits on (and once per direction in the self-join — the pair
-    # groupBy dedups); probe×probe never pairs
+    # sits on, so only self-pairs are excluded there
     valid = F.when(pp, F.col("lo_id") < F.col("hi_id")).otherwise(
-        (F.col("lo_pri") | F.col("hi_pri"))
-        & (F.col("lo_id") != F.col("hi_id"))
+        F.col("lo_id") != F.col("hi_id")
     )
     if hint_broadcast:
         keys = assigned.select(
@@ -1621,24 +1631,8 @@ def semantic_dedup_family(
             F.col("id").alias("lo_id"), "band", "cell",
             F.col("pri").alias("lo_pri"),
         )
-        hi_k = keys.select(
-            F.col("id").alias("hi_id"), "band", "cell",
-            F.col("pri").alias("hi_pri"),
-        )
-        # one row per DISTINCT candidate pair, tagged with how the
-        # family reached it (key-only exchange — vectors attach below)
-        cand = (
-            lo_k.join(hi_k, ["band", "cell"])
-            .where(valid)
-            .groupBy(
-                F.least(F.col("lo_id"), F.col("hi_id")).alias("lo_id"),
-                F.greatest(F.col("lo_id"), F.col("hi_id")).alias("hi_id"),
-            )
-            .agg(
-                F.max(pp & (F.col("band") == 0)).alias("b0"),
-                F.max(pp).alias("any_band"),
-                F.max(~pp).alias("ring"),
-            )
+        hi_k = keys.where(F.col("pri")).select(
+            F.col("id").alias("hi_id"), "band", "cell"
         )
         lo_vecs = assigned.select(
             F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
@@ -1648,15 +1642,31 @@ def semantic_dedup_family(
             F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
             F.col("nrm").alias("hi_nrm"),
         )
+        # keys-only exchange, vectors attached MAP-SIDE to the join
+        # output via forced broadcast, cosine verified in the same
+        # stage, and only verified matches reach the (tiny, id-keyed)
+        # flag fold — NO pair-level exchange at all. A pair colliding
+        # in several bands verifies once per collision; the measured
+        # duplicate factor at the u100 stress shape is ~1.008x, while
+        # deduplicating first would exchange the full collision
+        # volume (the banded sibling measured that at +28% wall).
         drops = (
-            cand.join(F.broadcast(lo_vecs), "lo_id")
+            lo_k.join(hi_k, ["band", "cell"])
+            .where(valid)
+            .join(F.broadcast(lo_vecs), "lo_id")
             .join(F.broadcast(hi_vecs), "hi_id")
             .where(verified)
-            .groupBy(F.col("hi_id").alias("id"))
+            .select(
+                F.greatest(F.col("lo_id"), F.col("hi_id")).alias("id"),
+                (pp & (F.col("band") == 0)).alias("m_b0"),
+                pp.alias("m_band"),
+                (~pp).alias("m_ring"),
+            )
+            .groupBy("id")
             .agg(
-                F.max("b0").alias("d_s"),
-                F.max(F.col("b0") | F.col("ring")).alias("d_m"),
-                F.max("any_band").alias("d_b"),
+                F.max("m_b0").alias("d_s"),
+                F.max(F.col("m_b0") | F.col("m_ring")).alias("d_m"),
+                F.max("m_band").alias("d_b"),
             )
         )
     else:
@@ -1668,10 +1678,9 @@ def semantic_dedup_family(
             F.col("nrm").alias("lo_nrm"), "band", "cell",
             F.col("pri").alias("lo_pri"),
         )
-        hi_k = keys.select(
+        hi_k = keys.where(F.col("pri")).select(
             F.col("id").alias("hi_id"), F.col("vec").alias("hi_vec"),
             F.col("nrm").alias("hi_nrm"), "band", "cell",
-            F.col("pri").alias("hi_pri"),
         )
         # verify in-join (vectors ride the exchange; pairs never
         # materialize), then fold per-match flags straight to the

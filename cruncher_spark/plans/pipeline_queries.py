@@ -2196,6 +2196,114 @@ def semantic_dedup_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_family_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    p, r = _sdd_params_for(n)
+    planes = _hyperplane_signs(EMB_DIM, p * r)
+    cells = ",\n           ".join(
+        f"{_sdd_band_cell_sql(planes, b, p)} AS c{b}" for b in range(r)
+    )
+    cand_union = "\n      UNION\n".join(
+        f"      SELECT lo.vec_id AS a, hi.vec_id AS b FROM assigned lo"
+        f" JOIN assigned hi"
+        f" ON lo.c{b} = hi.c{b} AND lo.vec_id < hi.vec_id"
+        for b in range(r)
+    )
+    pair_cos = (
+        "round(list_dot_product(lo.v, hi.v)"
+        " / (sqrt(list_dot_product(lo.v, lo.v))"
+        " * sqrt(list_dot_product(hi.v, hi.v))), 6)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SDD_COPY_OFFSET}, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id % {_SDD_COPY_EVERY} = 0
+    ),
+    assigned AS (SELECT vec_id, v,
+           {cells}
+    FROM e),
+    drop_s AS (
+      SELECT DISTINCT hi.vec_id AS id
+      FROM assigned lo JOIN assigned hi
+        ON lo.c0 = hi.c0 AND lo.vec_id < hi.vec_id
+      WHERE {pair_cos} >= {_SDD_MIN_COS}
+    ),
+    drop_m AS (
+      SELECT DISTINCT hi.vec_id AS id
+      FROM assigned lo JOIN assigned hi
+        ON bit_count(xor(CAST(lo.c0 AS BIGINT), CAST(hi.c0 AS BIGINT))) <= 1
+       AND lo.vec_id < hi.vec_id
+      WHERE {pair_cos} >= {_SDD_MIN_COS}
+    ),
+    cand_b AS (
+{cand_union}
+    ),
+    drop_b AS (
+      SELECT DISTINCT c.b AS id
+      FROM cand_b c
+      JOIN assigned lo ON c.a = lo.vec_id
+      JOIN assigned hi ON c.b = hi.vec_id
+      WHERE {pair_cos} >= {_SDD_MIN_COS}
+    )
+    SELECT a.vec_id AS id, CAST(a.c0 AS INT) AS cell,
+           (ds.id IS NULL) AS kept_single,
+           (dm.id IS NULL) AS kept_multi,
+           (db.id IS NULL) AS kept_banded
+    FROM assigned a
+    LEFT JOIN drop_s ds ON a.vec_id = ds.id
+    LEFT JOIN drop_m dm ON a.vec_id = dm.id
+    LEFT JOIN drop_b db ON a.vec_id = db.id
+    """
+
+
+@register(
+    "semantic_dedup_family",
+    oracle=_semantic_dedup_family_oracle,
+    doc="ALL THREE semantic-dedup family members in ONE pass (r12, the "
+    "engine the r11 VERDICT #3 asked the recall gate to run): one "
+    "checkpoint-materialized banded assignment — band 0 IS the single "
+    "code, its hamming-1 probe ring IS the multiprobe candidate set — "
+    "derives every drop set over ONE unified key exchange (primary "
+    "band keys + band-0 probe-ring keys in a single self-join), each "
+    "distinct candidate pair cosine-verified ONCE for the whole "
+    "family. Per-id kept_single/kept_multi/kept_banded are "
+    "bit-identical to the standalone operators' kept columns with the "
+    "same policy (p, r) — pinned by test in both exchange shapes AND "
+    "cross-engine here (the oracle states the three candidate "
+    "disciplines declaratively over one assignment CTE). Same "
+    "injected-exact-copy corpus and _sdd_params_for policy as the "
+    "sibling acceptance gates; exchange shape from _sdd_shape_for via "
+    "n_rows (operators/similarity.py semantic_dedup_family).",
+)
+def semantic_dedup_family_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cruncher_spark.operators.similarity import semantic_dedup_family
+
+    tune(spark)
+    raw = Star(spark, sf_dir).embeddings
+    n = raw.count()
+    p, r = _sdd_params_for(n)
+    copies = raw.where(F.col("vec_id") % _SDD_COPY_EVERY == 0).select(
+        (F.col("vec_id") + _SDD_COPY_OFFSET).alias("vec_id"), "embedding"
+    )
+    emb = fan_out(raw.select("vec_id", "embedding").unionAll(copies))
+    return semantic_dedup_family(
+        emb,
+        dim=EMB_DIM,
+        n_planes=p,
+        n_bands=r,
+        min_cos=_SDD_MIN_COS,
+        n_rows=n,
+    )
+
+
 def _ivf_cache_key(sf_dir: str) -> tuple:
     """Fingerprint the embeddings dataset: path plus (name, mtime_ns, size)
     of every file under embeddings.parquet (itself for a single file)."""
@@ -2291,6 +2399,64 @@ def stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", _STRAT_RATES, "doc_id",
         default_rate=_STRAT_DEFAULT, salt=_STRAT_SALT,
     ).select("doc_id", "lang")
+
+
+#: domain token cap as a corpus fraction: ceil(3% of total tokens) per
+#: domain — a fraction, not an absolute, so the cap BITES at every
+#: scale factor (the fixtures' 20 uniform sources each hold ~5% of
+#: tokens, so every domain gets trimmed and the boundary doc is
+#: exercised); the salt orders documents within a domain
+_DOMCAP_PCT, _DOMCAP_SALT = 3, "domcap"
+
+
+def _domain_token_cap_oracle(sf_dir: str) -> str:
+    import duckdb
+
+    total = duckdb.connect().execute(
+        "SELECT sum(len(string_split(text, ' '))) FROM read_parquet('"
+        f"{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    cap = -(-int(total) * _DOMCAP_PCT // 100)  # ceil, integer-exact
+    h = _oracle_hash("CAST(doc_id AS VARCHAR)", _DOMCAP_SALT)
+    return f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                      {h} AS h
+               FROM documents),
+    r AS (SELECT *, sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+    SELECT doc_id AS id, source AS domain, tokens, (cum <= {cap}) AS kept
+    FROM r
+    """
+
+
+@register(
+    "domain_token_cap",
+    oracle=_domain_token_cap_oracle,
+    doc="Dolma/C4-class domain balancing (r12): no domain may "
+    "contribute more than ceil(3% of corpus tokens) to the mixture — "
+    "within each domain documents are taken in deterministic "
+    "(hash(id, salt), id) order and kept while the running token "
+    "total stays <= the cap (hard cap: an over-cap document is "
+    "dropped even alone). Cap-by-TOKENS, not by docs: over-crawled "
+    "domains contribute long boilerplate pages, so a doc-count cap "
+    "under-trims exactly the domains that need it. One shuffle "
+    "(hash-partition by domain) + a window prefix-sum per domain; "
+    "both engines derive the cap from the same corpus token total "
+    "and share the md5 hash order, so kept flags are bit-equal "
+    "(operators/curation.py domain_token_cap has the 100 TB two-phase "
+    "refinement note for pathologically hot domains).",
+)
+def domain_token_cap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import domain_token_cap
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    total = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    cap = -(-int(total) * _DOMCAP_PCT // 100)
+    return domain_token_cap(docs, cap, salt=_DOMCAP_SALT)
 
 
 #: DSIR target-domain fixture: every 20th doc plays the curated

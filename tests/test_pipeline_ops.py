@@ -1749,6 +1749,56 @@ def test_ppl_cache_degrades_past_stale_session_entries(spark):
                 pass
 
 
+def test_domain_token_cap_matches_python_reference(spark):
+    """domain_token_cap (r12): per-domain running-token cap in the
+    deterministic (md5 hash, id) order — checked against a pure-python
+    mirror of the same hash and prefix-sum rule, including the hard-cap
+    edge (a single over-cap document is dropped even alone) and the
+    boundary document that exactly reaches the cap."""
+    import hashlib
+
+    from cruncher_spark.operators.curation import domain_token_cap
+
+    def h(i: int) -> int:
+        return int(
+            hashlib.md5(f"{i}#domcap".encode()).hexdigest()[:15], 16
+        )
+
+    rows = [
+        # domain a: several small docs — cap lands mid-sequence
+        (1, "w " * 4, "a"), (2, "w " * 3, "a"), (3, "w " * 5, "a"),
+        (4, "w " * 2, "a"),
+        # domain b: one doc exactly at cap, one over
+        (5, "x " * 9, "b"), (6, "x " * 50, "b"),
+        # domain c: single doc bigger than cap -> dropped even alone
+        (7, "y " * 40, "c"),
+    ]
+    # note: "w " * 4 has a trailing space -> split yields an extra empty
+    # token; mirror with len(text.split(" ")) exactly as Spark does
+    cap = 10
+    expected = {}
+    by_dom: dict[str, list] = {}
+    for i, t, d in rows:
+        by_dom.setdefault(d, []).append((h(i), i, len(t.split(" "))))
+    for d, docs in by_dom.items():
+        cum = 0
+        for _, i, tok in sorted(docs):
+            cum += tok
+            expected[i] = cum <= cap
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["id"]: (r["kept"], r["tokens"])
+        for r in domain_token_cap(df, cap).collect()
+    }
+    assert len(got) == len(rows)
+    for i, t, _ in rows:
+        assert got[i] == (expected[i], len(t.split(" "))), i
+    assert not got[7][0]  # hard cap: over-cap singleton dropped
+    # the cap binds somewhere and spares somewhere (fixture nontrivial)
+    kept = [k for k, _ in got.values()]
+    assert any(kept) and not all(kept)
+
+
 def test_duplicate_span_removal_matches_reference(spark):
     """Seeded random corpora vs a pure-Python reference of the removal
     contract (loser = any non-canonical occurrence of a >=2x n-gram),
