@@ -282,6 +282,97 @@ def sequence_pack(
     )
 
 
+def balanced_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """TOKEN-BALANCED output sharding: assign every document to one of
+    ``n_shards`` output shards so shard token totals are near-equal —
+    the "write the curated corpus as N balanced files" planner that
+    sits between :func:`domain_token_cap` (what goes in the mixture)
+    and :func:`sequence_pack` (how a loader slices it). Hash-mod
+    sharding (``sequence_pack``'s stream key) balances only in
+    EXPECTATION; heavy-tailed document lengths leave shards percents
+    apart, and training infra wants files of equal token size.
+
+    Contract: documents are laid out in the deterministic global order
+    ``(bucket, hash(id, salt), id)`` (``bucket = hash % n_buckets`` — a
+    pure function of the row, identical across runs, partitionings and
+    engines), each doc's ``start_tok`` is the corpus-wide token offset
+    where it begins, and ``shard = start_tok div target`` with
+    ``target = ceil(total_tokens / n_shards)``. Every shard index lands
+    in ``[0, n_shards)``, and a shard's token total exceeds ``target``
+    by at most ``max_doc_tokens - 1`` (a doc is assigned where it
+    STARTS, so only the straddling doc overflows) — the balance bound
+    the tests assert.
+
+    Scale shape — the global prefix-sum WITHOUT the global window
+    cliff (one total-ordered window would funnel the whole corpus
+    through a single sorted task; cf. ``sequence_pack``'s note):
+
+    1. one wide shuffle hash-partitioned by ``bucket`` with a
+       per-bucket window prefix-sum (parallel across buckets, spill-safe
+       sort within each);
+    2. per-bucket token sums aggregate map-side to ``n_buckets`` rows;
+       the EXCLUSIVE prefix over that tiny table (one task over
+       ``n_buckets`` rows — bounded by a parameter, not the corpus)
+       yields each bucket's global offset, broadcast back;
+    3. the corpus total rides the same small aggregate as a 1-row
+       broadcast, so ``target`` stays a column expression — no driver
+       collect anywhere.
+
+    At 100 TB: ``n_buckets`` scales with the cluster (buckets ≈ task
+    count keeps per-bucket sorts executor-sized); everything corpus-
+    sized stays in stage 1.
+
+    Output: (id, tokens, start_tok, shard) — one row per document.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("tokens"),
+        portable_hash64(F.col(id_col).cast("string"), salt=salt).alias("h"),
+    ).withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
+
+    per_bucket = tok.groupBy("bucket").agg(F.sum("tokens").alias("btok"))
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("offset"),
+    )
+    total = per_bucket.agg(F.sum("btok").alias("total"))
+
+    w_doc = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tok.withColumn("cum", F.sum("tokens").over(w_doc))
+        .join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "start_tok", F.col("offset") + F.col("cum") - F.col("tokens")
+        )
+        .select(
+            "id",
+            "tokens",
+            "start_tok",
+            F.expr(
+                f"start_tok div ((total + {n_shards - 1}) div {n_shards})"
+            ).alias("shard"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

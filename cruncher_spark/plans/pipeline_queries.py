@@ -2459,6 +2459,56 @@ def domain_token_cap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_token_cap(docs, cap, salt=_DOMCAP_SALT)
 
 
+#: balanced-shard planner: 8 output shards, 64 order buckets (the
+#: two-phase prefix-sum's parallelism knob — buckets ≈ task count at
+#: production scale; 64 keeps per-bucket runs non-trivial at every
+#: fixture SF), salt pins the deterministic layout order
+_SHARD_N, _SHARD_BUCKETS, _SHARD_SALT = 8, 64, "shard"
+
+
+@register(
+    "shard_plan",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+                      {_oracle_hash("CAST(doc_id AS VARCHAR)", _SHARD_SALT)} AS h
+               FROM documents),
+    b AS (SELECT *, h % {_SHARD_BUCKETS} AS bucket FROM t),
+    r AS (SELECT doc_id, tokens,
+                 CAST(sum(tokens) OVER (ORDER BY bucket, h, doc_id
+                     ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT)
+                     AS start_tok,
+                 CAST(sum(tokens) OVER () AS BIGINT) AS total
+          FROM b)
+    SELECT doc_id AS id, tokens, start_tok,
+           start_tok // ((total + {_SHARD_N - 1}) // {_SHARD_N}) AS shard
+    FROM r
+    """,
+    doc="Token-balanced output sharding (r12): assign every document "
+    "to one of 8 shards so shard token totals are near-equal "
+    "(within one document of target = ceil(total/8)) — the 'write the "
+    "curated corpus as N balanced files' planner between "
+    "domain_token_cap (what goes in) and sequence_packing (how a "
+    "loader slices it); hash-mod sharding balances only in "
+    "expectation under heavy-tailed doc lengths. Layout order "
+    "(bucket, md5-hash, id) is a pure row function, so both engines "
+    "derive bit-equal start offsets; the Spark side computes the "
+    "global prefix-sum WITHOUT a global window (per-bucket window "
+    "prefix-sums + an exclusive prefix over the 64-row bucket-sum "
+    "table broadcast back — the oracle's single ORDER BY window is "
+    "the semantics, not the plan; operators/curation.py "
+    "balanced_shards carries the 100 TB shape note).",
+)
+def shard_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cruncher_spark.operators.curation import balanced_shards
+
+    tune(spark)
+    docs = fan_out(Star(spark, sf_dir).documents)
+    return balanced_shards(
+        docs, _SHARD_N, n_buckets=_SHARD_BUCKETS, salt=_SHARD_SALT
+    )
+
+
 #: DSIR target-domain fixture: every 20th doc plays the curated
 #: "target" sample the importance model is fitted toward — small
 #: relative to the corpus, as real target sets are

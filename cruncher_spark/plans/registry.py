@@ -66,7 +66,7 @@ def audit_form_map() -> dict[str, SparkQuery]:
 #: surface but a guarded one would swallow) can never green-light the
 #: surviving subset — round 3 was burned by exactly that drift class.
 #: Bump in the same commit that registers/removes a query.
-EXPECTED_QUERY_COUNT = 133
+EXPECTED_QUERY_COUNT = 134
 
 
 def register(name: str, oracle: str | Callable[[str], str] | None, doc: str = ""):

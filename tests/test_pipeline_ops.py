@@ -1799,6 +1799,56 @@ def test_domain_token_cap_matches_python_reference(spark):
     assert any(kept) and not all(kept)
 
 
+def test_balanced_shards_matches_python_reference(spark):
+    """balanced_shards (r12): token-balanced shard assignment in the
+    deterministic (bucket, md5 hash, id) global layout order — checked
+    against a pure-python mirror of the global prefix sum in the same
+    order (the two-phase bucket form must equal the naive global cumsum
+    exactly), plus the stated balance contract: every shard index in
+    [0, n_shards), per-shard token totals <= target + max_doc - 1 (a
+    doc is assigned where it STARTS, so only the straddling doc
+    overflows), and the assignment is invariant to input partitioning."""
+    import hashlib
+
+    from cruncher_spark.operators.curation import balanced_shards
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"{i}#shard".encode()).hexdigest()[:15], 16)
+
+    n_shards, n_buckets = 4, 8
+    rows = [(i, "w " * (i % 7) + "end") for i in range(1, 41)]
+    toks = {i: len(t.split(" ")) for i, t in rows}
+    order = sorted(rows, key=lambda r: (h(r[0]) % n_buckets, h(r[0]), r[0]))
+    total = sum(toks.values())
+    target = -(-total // n_shards)
+    expected, cum = {}, 0
+    for i, _ in order:
+        expected[i] = (cum, cum // target)
+        cum += toks[i]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for parts in (1, 7):
+        got = {
+            r["id"]: (r["start_tok"], r["shard"], r["tokens"])
+            for r in balanced_shards(
+                df.repartition(parts), n_shards, n_buckets=n_buckets
+            ).collect()
+        }
+        assert len(got) == len(rows)
+        for i, _ in rows:
+            assert got[i] == (*expected[i], toks[i]), i
+    # balance contract on the realized plan
+    shard_tot: dict[int, int] = {}
+    for i, _ in rows:
+        s = expected[i][1]
+        shard_tot[s] = shard_tot.get(s, 0) + toks[i]
+    max_doc = max(toks.values())
+    assert all(0 <= s < n_shards for s in shard_tot)
+    assert sorted(shard_tot) == list(range(len(shard_tot)))  # contiguous
+    for tot in shard_tot.values():
+        assert tot <= target + max_doc - 1
+    assert len(shard_tot) > 1  # fixture nontrivial: the plan actually splits
+
+
 def test_duplicate_span_removal_matches_reference(spark):
     """Seeded random corpora vs a pure-Python reference of the removal
     contract (loser = any non-canonical occurrence of a >=2x n-gram),
