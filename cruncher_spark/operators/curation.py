@@ -314,16 +314,19 @@ def balanced_shards(
     cliff (one total-ordered window would funnel the whole corpus
     through a single sorted task; cf. ``sequence_pack``'s note):
 
-    1. one wide shuffle hash-partitioned by ``bucket`` with a
-       per-bucket window prefix-sum (parallel across buckets, spill-safe
-       sort within each);
-    2. per-bucket token sums aggregate map-side to ``n_buckets`` rows;
-       the EXCLUSIVE prefix over that tiny table (one task over
+    1. ONE corpus scan into ONE wide shuffle hash-partitioned by
+       ``bucket``; inside it a per-bucket running prefix-sum AND the
+       per-bucket total as a second full-frame window over the SAME
+       exchange (ReuseExchange — the bucket-sum branch must not replan
+       its own corpus scan, which the naive groupBy form does);
+    2. the ``n_buckets`` distinct (bucket, total) rows fall out of the
+       already-bucket-partitioned data with no further exchange; the
+       EXCLUSIVE prefix over that tiny table (one task over
        ``n_buckets`` rows — bounded by a parameter, not the corpus)
        yields each bucket's global offset, broadcast back;
-    3. the corpus total rides the same small aggregate as a 1-row
-       broadcast, so ``target`` stays a column expression — no driver
-       collect anywhere.
+    3. the corpus total aggregates from those same ``n_buckets`` rows
+       into a 1-row broadcast, so ``target`` stays a column
+       expression — no driver collect anywhere.
 
     At 100 TB: ``n_buckets`` scales with the cluster (buckets ≈ task
     count keeps per-bucket sorts executor-sized); everything corpus-
@@ -333,31 +336,48 @@ def balanced_shards(
     """
     from pyspark.sql import Window
 
-    tok = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("tokens"),
-        portable_hash64(F.col(id_col).cast("string"), salt=salt).alias("h"),
-    ).withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
-
-    per_bucket = tok.groupBy("bucket").agg(F.sum("tokens").alias("btok"))
-    w_off = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    tok = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(F.split(F.col(text_col), " ")).cast("long")
+            .alias("tokens"),
+            portable_hash64(F.col(id_col).cast("string"), salt=salt)
+            .alias("h"),
+        )
+        .withColumn("bucket", F.pmod(F.col("h"), F.lit(n_buckets)))
+        # explicit not-null (vacuous: md5 of a non-null cast never nulls)
+        # so the offsets join cannot infer an isnotnull(bucket) onto the
+        # probe branch alone — an asymmetric inferred filter makes the
+        # two corpus subtrees differ and defeats the exchange reuse
+        .filter(F.col("bucket").isNotNull())
     )
-    offsets = per_bucket.select(
-        "bucket",
-        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("offset"),
-    )
-    total = per_bucket.agg(F.sum("btok").alias("total"))
 
     w_doc = (
         Window.partitionBy("bucket")
         .orderBy("h", "id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cum = tok.select(
+        "id",
+        "tokens",
+        "bucket",
+        F.sum("tokens").over(w_doc).alias("cum"),
+        F.sum("tokens").over(Window.partitionBy("bucket")).alias("btok"),
+    )
+
+    bucket_sums = cum.select("bucket", "btok").distinct()
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("offset"),
+    )
+    total = bucket_sums.agg(F.sum("btok").alias("total"))
+
     return (
-        tok.withColumn("cum", F.sum("tokens").over(w_doc))
-        .join(F.broadcast(offsets), "bucket")
+        cum.join(F.broadcast(offsets), "bucket")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "start_tok", F.col("offset") + F.col("cum") - F.col("tokens")

@@ -295,10 +295,16 @@ def coerce_bool_sums(sql: str, spark: SparkSession) -> str:
     )
 
 
-def rewrite_dialect(sql: str) -> str:
+def rewrite_dialect(sql: str, curdate: str | None = None) -> str:
     sql = re.sub(r"\binsert\s+low_priority\s+into\b", "insert into", sql, flags=re.I)
     sql = re.sub(r"\buse\s+index\s*\(\s*\)", "", sql, flags=re.I)
-    sql = re.sub(r"\bcurdate\s*\(\s*\)", "current_date()", sql, flags=re.I)
+    # CURDATE() is the one wall-clock read in the reference scripts
+    # (crunch_team.sql:35's 7-day recency window). Against live tables
+    # it maps to current_date(); a pinned ``curdate`` ('YYYY-MM-DD')
+    # substitutes a DATE literal instead — what a reproducible backfill
+    # ("run Tuesday's crunch") or a frozen-fixture test needs.
+    cd = f"DATE'{curdate}'" if curdate else "current_date()"
+    sql = re.sub(r"\bcurdate\s*\(\s*\)", cd, sql, flags=re.I)
     sql = re.sub(
         r"\bdate_sub\s*\(([^,]+),\s*interval\s+(\d+)\s+day\s*\)",
         r"date_sub(\1, \2)",
@@ -510,6 +516,7 @@ def translate_script(
     item_ids: list[int] | None = None,
     spark: SparkSession | None = None,
     defer_params: bool = False,
+    curdate: str | None = None,
 ) -> CrunchStatement:
     """Reference .sql text (verbatim) → runnable CrunchStatement.
 
@@ -517,10 +524,13 @@ def translate_script(
     against the currently registered temp views. ``defer_params=True``
     leaves unbound ``:name`` tokens in the select for a later
     ``substitute_params`` pass (the streaming per-batch id list).
+    ``curdate`` pins the scripts' CURDATE() to a 'YYYY-MM-DD' literal
+    (reproducible backfills; frozen-fixture tests) — default is the
+    live current_date(), matching the reference's MySQL behavior.
     """
     sql = expand_stubs(sql_text, item_ids or [])
     sql = substitute_params(sql, params or {}, allow_missing=defer_params)
-    sql = rewrite_dialect(sql)
+    sql = rewrite_dialect(sql, curdate=curdate)
     if spark is not None:
         sql = coerce_bool_sums(sql, spark)
     stripped = _strip_line_comments(sql)

@@ -71,6 +71,8 @@ def test_dialect_rewrites():
     out = sqlfront.rewrite_dialect(sql)
     assert "low_priority" not in out and "use index" not in out.lower()
     assert "date_sub(current_date(), 7)" in out
+    pinned = sqlfront.rewrite_dialect(sql, curdate="2026-08-10")
+    assert "date_sub(DATE'2026-08-10', 7)" in pinned
 
 
 def test_parse_policies_all_three_forms():
@@ -171,6 +173,10 @@ def test_all_six_reference_scripts_translate_and_run(spark, crunch_tables):
             params=params,
             item_ids=ITEM_IDS,
             spark=spark,
+            # pin CURDATE() to the fixtures' frozen "today": crunch_team's
+            # 7-day recency window must not decay as the wall clock moves
+            # past the fixture epoch (it emptied out on 2026-08-17)
+            curdate="2026-08-10",
         )
         n = spark.sql(stmt.select_sql).count()
         assert n >= min_rows, f"{name}: {n} rows"
@@ -231,6 +237,7 @@ def test_literal_team_update_join_merges(spark, crunch_tables, tmp_path):
         (REF / "crunch_team.sql").read_text(),
         params={"team_id": team_id},
         spark=spark,
+        curdate="2026-08-10",  # the fixtures' frozen "today" (see above)
     )
     assert stmt.target == "team_membership"
     assert stmt.key_map == {"id": "tm_id"}
@@ -238,6 +245,9 @@ def test_literal_team_update_join_merges(spark, crunch_tables, tmp_path):
 
     delta = stmt.delta(spark)
     assert delta.columns == ["id", "fame"]
+    # non-vacuous: the recency window must actually select memberships
+    # (an unpinned CURDATE() once emptied this and the test still passed)
+    assert delta.count() >= 1
     pt = PointTable(
         spark,
         str(tmp_path / "tm_point"),

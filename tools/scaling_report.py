@@ -105,13 +105,18 @@ def main() -> int:
         "duplicate factor 1.008x vs +28% wall for the exchange; plane",
         "assignment as one 2-D literal tree). The banded r-growth driver",
         "is the policy's stated recall price and stays. Measured r12",
-        "outcome: ×1.25 over 133 queries — the reversal lands in the",
-        "recall gate's own row (sf0.1 3.38 s → 1.71 s, ratio now ×1.1,",
-        "off the top-five entirely) while TWO NEW registered gates enter",
-        "the total (semantic_dedup_family — the engine itself, registered",
-        "so its shape is auditable — and domain_token_cap), so the",
-        "headline ratio holds ~flat instead of falling: the per-query",
-        "reversal is real, the total prices the added surface.",
+        "outcome: the reversal lands in the recall gate's own row",
+        "(sf0.1 3.38 s → ~1.7 s, ratio ×1.1, off the top-five",
+        "entirely) while THREE NEW registered gates enter the total",
+        "(semantic_dedup_family — the engine itself, registered so its",
+        "shape is auditable — domain_token_cap, and shard_plan). The",
+        "HEADLINE ratio is the noisy lens on that: two clean low-load",
+        "r12 runs measured ×1.25 (99.9→124.9 s) and ×1.35",
+        "(92.5→125.0 s) — the sf0.1 NUMERATOR is stable to ×1.001",
+        "across them and is the scale signal; the ±8% lives entirely",
+        "in the floor-bound sf0.01 denominator (134 queries × ~0.1-0.5 s",
+        "scheduling floor), so per-query rows, not the total, carry the",
+        "round-over-round meaning at this machine size.",
         "",
     ]
     (REPO / "SCALING.md").write_text("\n".join(lines))
