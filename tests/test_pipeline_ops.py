@@ -1849,6 +1849,60 @@ def test_balanced_shards_matches_python_reference(spark):
     assert len(shard_tot) > 1  # fixture nontrivial: the plan actually splits
 
 
+def test_balanced_shards_random_corpora_and_edges(spark):
+    """Seeded random corpora × parameter sweep vs the same pure-python
+    mirror, plus the degenerate corners: n_shards=1 (everything lands
+    in shard 0), n_buckets=1 (the single-bucket layout — one global
+    run, still exact), a single-document corpus, and total_tokens <
+    n_shards (target clamps to ceil(total/n) ≥ 1, indexes stay valid)."""
+    import hashlib
+    import random
+
+    from cruncher_spark.operators.curation import balanced_shards
+
+    def mirror(rows, n_shards, n_buckets):
+        def h(i):
+            return int(
+                hashlib.md5(f"{i}#shard".encode()).hexdigest()[:15], 16
+            )
+
+        toks = {i: len(t.split(" ")) for i, t in rows}
+        order = sorted(rows, key=lambda r: (h(r[0]) % n_buckets, h(r[0]), r[0]))
+        total = sum(toks.values())
+        target = -(-total // n_shards)
+        out, cum = {}, 0
+        for i, _ in order:
+            out[i] = (cum, cum // target, toks[i])
+            cum += toks[i]
+        return out
+
+    cases = []
+    rng = random.Random(7)
+    for n_shards, n_buckets in ((1, 8), (3, 1), (16, 5), (5, 64)):
+        rows = [
+            (rng.randrange(10**9), "w " * rng.randrange(12) + "end")
+            for _ in range(rng.randrange(5, 60))
+        ]
+        rows = list({i: t for i, t in rows}.items())  # unique ids
+        cases.append((rows, n_shards, n_buckets))
+    cases.append(([(42, "a b c")], 4, 8))  # single doc
+    cases.append(([(1, "a"), (2, "b")], 8, 3))  # total < n_shards
+
+    for rows, n_shards, n_buckets in cases:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["id"]: (r["start_tok"], r["shard"], r["tokens"])
+            for r in balanced_shards(
+                df, n_shards, n_buckets=n_buckets
+            ).collect()
+        }
+        exp = mirror(rows, n_shards, n_buckets)
+        assert got == exp, (n_shards, n_buckets)
+        assert all(0 <= s < n_shards for _, s, _ in got.values())
+        if n_shards == 1:
+            assert {s for _, s, _ in got.values()} == {0}
+
+
 def test_duplicate_span_removal_matches_reference(spark):
     """Seeded random corpora vs a pure-Python reference of the removal
     contract (loser = any non-canonical occurrence of a >=2x n-gram),
