@@ -4136,13 +4136,12 @@ _LOGREG_ORACLE = (
 def logreg_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
-    # eager checkpoint: training re-reads the feature table once per GD
-    # round plus once for scoring consumers; materializing the (docs x
-    # buckets)-sized table once cuts the repeated tokenize+hash passes
-    # (~20% wall at sf0.1). The AUDIT form stays lazy for plan audits.
-    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat").localCheckpoint(
-        eager=True
-    )
+    # no feats checkpoint here (optimization r12): the driver-loop trainer
+    # checkpoints the joined (id, bucket, x, y) table itself, so a second
+    # materialization of the feature table would be pure overhead — feats
+    # has no consumer besides training in this gate. The AUDIT form stays
+    # lazy for plan audits.
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("long").alias("y")
     )
@@ -4228,21 +4227,48 @@ def quality_pr_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pr_curve(
     spark: SparkSession, sf_dir: str, checkpoint: bool
 ) -> DataFrame:
-    from cruncher_spark.operators.classifier import score_logreg
+    from cruncher_spark.operators.classifier import (
+        _margin_terms as _lr_margin_terms,
+        score_logreg,
+        train_logreg_array,
+    )
 
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
     feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
-    if checkpoint:
-        feats = feats.localCheckpoint(eager=True)
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("long").alias("y")
     )
-    weights = train_logreg(
-        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE,
-        checkpoint=checkpoint,
-    )
-    scored = score_logreg(feats, weights).join(labels, "doc_id")
+    if checkpoint:
+        # execution path (optimization r12): driver-held weights — one
+        # action per GD round — and scoring aggregates over the trainer's
+        # checkpointed (id, bucket, x, y) table (margin sum + the label in
+        # the SAME groupBy: no weight join, no labels re-join, no second
+        # feature materialization); bit-identical to the lazy form below
+        # (audit-form equality test)
+        w_arr, fy = train_logreg_array(
+            feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE
+        )
+        scored = (
+            fy.groupBy("doc_id")
+            .agg(
+                F.sum(_lr_margin_terms(w_arr)).cast("double").alias("margin"),
+                F.min("y").alias("y"),
+            )
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 9
+                ).alias("score"),
+                "y",
+            )
+        )
+    else:
+        weights = train_logreg(
+            feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE,
+            checkpoint=False,
+        )
+        scored = score_logreg(feats, weights).join(labels, "doc_id")
     th = spark.createDataFrame(
         [(float(t),) for t in _PR_THRESHOLDS], "t double"
     )
@@ -4490,15 +4516,23 @@ def quality_weighted_sample_query(
 ) -> DataFrame:
     tune(spark)
     docs = fan_out(Star(spark, sf_dir).documents)
-    # eager feats checkpoint: see logreg_quality_query (4 consumers here)
-    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat").localCheckpoint(
-        eager=True
-    )
+    feats = hashed_doc_features(docs, dim=_LR_DIM, salt="lrfeat")
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("long").alias("y")
     )
-    w = train_logreg(feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE)
-    scores = score_logreg(feats, w)
+    # driver-held weights + scoring over the trainer's checkpointed
+    # feature table (optimization r12): same one-action-per-round trainer
+    # as logreg_quality, no weight broadcast join and no second feature
+    # materialization in the scoring pass — scores bit-identical
+    from cruncher_spark.operators.classifier import (
+        score_logreg_array,
+        train_logreg_array,
+    )
+
+    w_arr, fy = train_logreg_array(
+        feats, labels, dim=_LR_DIM, iters=_LR_ITERS, lr=_LR_RATE
+    )
+    scores = score_logreg_array(fy, w_arr)
     st = scores.agg(
         (
             F.sum(F.col("score").cast("decimal(28,9)")).cast("double")
