@@ -49,8 +49,11 @@ def png_encode(pixels: np.ndarray) -> bytes:
         raise ValueError("png_encode expects an (H, W) uint8 array")
     h, w = pixels.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + row.tobytes() for row in pixels)
-    idat = zlib.compress(raw, 6)
+    # filter-0 scanlines assembled as one (h, w+1) array with a zero
+    # filter-byte column — same bytes as the per-row join, no Python loop
+    fl = np.zeros((h, w + 1), dtype=np.uint8)
+    fl[:, 1:] = pixels
+    idat = zlib.compress(fl.tobytes(), 6)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -79,21 +82,26 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(idat)
     stride = w + 1
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filts = arr[:, 0]
+    scans = arr[:, 1:]
+    if not filts.any():
+        # all filter 0 (what png_encode emits): the scanline matrix IS the
+        # image — one reshape+slice, no per-row Python loop
+        return np.ascontiguousarray(scans)
+    bad = np.setdiff1d(np.unique(filts), [0, 1, 2])
+    if bad.size:
+        raise ValueError(f"unsupported PNG filter {bad[0]}")
     out = np.zeros((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)
     for y in range(h):
-        row = raw[y * stride : (y + 1) * stride]
-        filt, scan = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        filt, scan = filts[y], scans[y]
         if filt == 0:
             line = scan
-        elif filt == 1:  # Sub: add left neighbor
-            line = scan
-            for x in range(1, w):
-                line[x] = (int(line[x]) + int(line[x - 1])) & 0xFF
-        elif filt == 2:  # Up: add the row above
+        elif filt == 1:  # Sub: add left neighbor == modular prefix sum
+            line = (np.cumsum(scan, dtype=np.int64) & 0xFF).astype(np.uint8)
+        else:  # Up: add the row above
             line = (scan.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
-        else:
-            raise ValueError(f"unsupported PNG filter {filt}")
         out[y] = line
         prev = out[y]
     return out
@@ -137,17 +145,15 @@ def _frame_to_dib(frame: np.ndarray) -> bytes:
     """(H, W) uint8 → bottom-up, 4-byte-row-padded DIB pixel data."""
     h, w = frame.shape
     stride = _dib_row_stride(w)
-    pad = b"\x00" * (stride - w)
-    return b"".join(frame[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    buf = np.zeros((h, stride), dtype=np.uint8)
+    buf[:, :w] = frame[::-1]
+    return buf.tobytes()
 
 
 def _dib_to_frame(data: bytes, w: int, h: int) -> np.ndarray:
     stride = _dib_row_stride(w)
-    out = np.empty((h, w), dtype=np.uint8)
-    for i in range(h):  # bottom-up storage → top-down array
-        row = data[i * stride : i * stride + w]
-        out[h - 1 - i] = np.frombuffer(row, dtype=np.uint8)
-    return out
+    arr = np.frombuffer(data, dtype=np.uint8, count=stride * h).reshape(h, stride)
+    return np.ascontiguousarray(arr[::-1, :w])  # bottom-up → top-down
 
 
 def avi_encode(frames: np.ndarray, fps: int) -> bytes:
@@ -217,14 +223,16 @@ def avi_encode_mjpeg(frames: np.ndarray, fps: int, quality: int = 85) -> bytes:
     fourcc ``MJPG``, with the same ``idx1`` index so frame extraction
     seeks without scanning. This is the intra-only compressed-video form;
     inter-frame codecs (H.264 etc.) remain out of scope."""
-    from cruncher_spark.functions.jpeg import jpeg_encode
+    from cruncher_spark.functions.jpeg import jpeg_encode_stack
 
     if frames.ndim != 3 or frames.dtype != np.uint8:
         raise ValueError("avi_encode_mjpeg expects an (N, H, W) uint8 array")
     if fps < 1:
         raise ValueError(f"fps must be >= 1, got {fps}")
     n, h, w = frames.shape
-    payloads = [jpeg_encode(frames[i], quality) for i in range(n)]
+    # one batched DCT/quantization pass over every block of every frame
+    # (frames in a stack share dimensions); streams identical per frame
+    payloads = jpeg_encode_stack(frames, quality)
     max_bytes = max(len(p) for p in payloads)
 
     avih = struct.pack(

@@ -21,7 +21,7 @@ from cruncher_spark.operators.multimodal import (
     resize_media,
 )
 from cruncher_spark.plans.registry import register
-from cruncher_spark.sources.tables import Star
+from cruncher_spark.sources.tables import Star, fan_out
 
 #: doc_id % 3 → kind, mirrored in SQL
 KIND_CASE = (
@@ -76,6 +76,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "md5 fingerprint features verified end-to-end",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no fan_out: the per-row Python work (one md5) is lighter than the
+    # round-robin exchange it would buy (measured 0.51 -> 0.64 s)
     media = attach_media(Star(spark, sf_dir).documents)
     return decode_features(media).select(
         "media_id", "kind", "f_hash", "size_bytes"
@@ -131,7 +133,7 @@ _NFRAMES = "FLOOR(octet_length(encode(text)) / 256) + 1"
     "round-trip through the real containers.",
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_media(Star(spark, sf_dir).documents, real_payloads=True)
+    media = attach_media(fan_out(Star(spark, sf_dir).documents), real_payloads=True)
     return decode_features_real(media).select(
         "media_id", "kind", "width", "height", "sample_rate", "n_samples",
         "n_frames", "fps", "px_sum",
@@ -163,7 +165,7 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DIB decode is correct, per frame.",
 )
 def multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_media(Star(spark, sf_dir).documents, real_payloads=True)
+    media = attach_media(fan_out(Star(spark, sf_dir).documents), real_payloads=True)
     return frame_sample_real(media, every_n=2)
 
 
@@ -181,7 +183,7 @@ def multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-encode; output dims come from re-decoding the resized payload.",
 )
 def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_media(Star(spark, sf_dir).documents, real_payloads=True)
+    media = attach_media(fan_out(Star(spark, sf_dir).documents), real_payloads=True)
     return resize_image_real(media, factor=2).select(
         "media_id", "width", "height"
     )
@@ -199,6 +201,7 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for decode-scale-reencode in the same Arrow batch loop)",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no fan_out: byte truncation is cheaper than the exchange (0.47 -> 0.64 s)
     media = attach_media(Star(spark, sf_dir).documents)
     return resize_media(media, max_bytes=1024).select(
         "media_id", F.octet_length("payload").cast("int").alias("resized_bytes")
@@ -261,7 +264,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_mjpeg_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cruncher_spark.operators.multimodal import mjpeg_roundtrip
 
-    media = attach_media(Star(spark, sf_dir).documents)
+    media = attach_media(fan_out(Star(spark, sf_dir).documents))
     return mjpeg_roundtrip(media)
 
 
@@ -340,7 +343,7 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_images,
     )
 
-    docs = Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 0)
+    docs = fan_out(Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 0))
     media = attach_media(docs, real_payloads=True)
     return dhash_dedup_groups(dhash_images(media))
 
@@ -396,7 +399,7 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_dedup_groups,
     )
 
-    docs = Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 1)
+    docs = fan_out(Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 1))
     media = attach_media(docs, real_payloads=True)
     return dhash_dedup_groups(audio_fingerprints(media))
 
@@ -468,7 +471,7 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_overlap_report,
     )
 
-    docs = Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 2)
+    docs = fan_out(Star(spark, sf_dir).documents.where(F.col("doc_id") % 3 == 2))
     media = attach_media(docs, real_payloads=True)
     return video_overlap_report(video_frame_hashes(media))
 
@@ -555,10 +558,10 @@ def cross_modal_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Star(spark, sf_dir).documents
     images = attach_media(
-        docs.where(F.col("doc_id") % 3 == 0), real_payloads=True
+        fan_out(docs.where(F.col("doc_id") % 3 == 0)), real_payloads=True
     )
     videos = attach_media(
-        docs.where(F.col("doc_id") % 3 == 2), real_payloads=True
+        fan_out(docs.where(F.col("doc_id") % 3 == 2)), real_payloads=True
     )
     return cross_modal_matches(
         dhash_images(images), video_frame_hashes(videos)
