@@ -57,11 +57,19 @@ def connected_components(
     # replaces the first propagation round. Same fixpoint and the same
     # monotone invariant (labels only decrease, so an unchanged sum
     # means an unchanged labeling).
+    #
+    # Each round's checkpoint is LAZY (eager=False) and materialized by
+    # that round's own convergence aggregate — the checkpointed RDD is
+    # referenced exactly ONCE by the sum, so the fused job computes and
+    # persists it as a side effect (optimization r12: the eager form
+    # paid 2 sequential jobs per round, checkpoint + aggregate, each
+    # with a ~100 ms scheduling floor; labeling and arithmetic are
+    # untouched).
     labels = (
         edges.groupBy("a")
         .agg(F.least(F.min("b"), F.col("a")).alias("comp"))
         .select(F.col("a").alias("id"), "comp")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
 
@@ -91,7 +99,7 @@ def connected_components(
                 "comp",
             )
             .select(F.col("id"), F.col("cc").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("comp")).first()[0]
         if new_sum == prev_sum:
@@ -126,7 +134,23 @@ def connected_components_star(
     and a 64-bit sum collision under a fixed deterministic hash has no
     adversary here). Lineage is cut per round with ``localCheckpoint``.
     """
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Preamble in ONE job (optimization r12: the eager all_nodes + edges
+    # checkpoints plus the first signature paid 3 sequential jobs, and
+    # the first two each re-ran the caller's pair-generation lineage):
+    # `raw` and `edges` are lazily checkpointed, and the first `_sig`
+    # call materializes BOTH (raw is an ancestor of edges; local
+    # checkpointing persists every marked RDD the job computes). The
+    # node universe is then a lazy derivation over the cached `raw` —
+    # it executes inside the caller's final action without touching the
+    # caller's (possibly already unpersisted) pair lineage.
+    raw = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
+    edges = (
+        raw.where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # node universe from the UNFILTERED pairs (r6 review: a node present
     # only as a self-loop must still label itself, matching
     # connected_components); star rounds additionally drop self-contained
@@ -135,12 +159,6 @@ def connected_components_star(
         raw.select(F.col("u").alias("id"))
         .union(raw.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges = (
-        raw.where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _sig(e: DataFrame) -> tuple:
@@ -155,7 +173,7 @@ def connected_components_star(
         ).first()
         return row["n"], row["h"]
 
-    def _star(e: DataFrame, large: bool) -> DataFrame:
+    def _star(e: DataFrame, large: bool, eager: bool = True) -> DataFrame:
         sym = e.select("u", "v").union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -178,12 +196,20 @@ def connected_components_star(
             )
             .distinct()
         )
-        return out.localCheckpoint(eager=True)
+        return out.localCheckpoint(eager=eager)
 
+    # Round fusion (optimization r12): the LARGE star stays an eager
+    # checkpoint — its output is referenced several times by the small
+    # star's plan (sym + min-agg + rewrite) and an unmaterialized RDD
+    # would recompute per reference (measured ~16× subtree duplication
+    # when both halves were chained lazily). The SMALL star is lazy: the
+    # round's signature aggregate references it exactly once, so the
+    # fused job materializes the checkpoint as a side effect — 2 jobs
+    # per round instead of 3, identical edge sets and labeling.
     sig = _sig(edges)
     for _ in range(max_iter):
         edges = _star(edges, large=True)
-        edges = _star(edges, large=False)
+        edges = _star(edges, large=False, eager=False)
         new_sig = _sig(edges)
         if new_sig == sig:
             break
