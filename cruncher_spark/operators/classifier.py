@@ -188,8 +188,13 @@ def _train_logreg_driver_loop(
     spark = feats.sparkSession
     n = labels.agg(F.count(F.lit(1)).alias("n")).first()[0]
     # one (id, bucket, x, y) table for every round — the label join happens
-    # once, not once per round as the exchange-per-round form did
-    fy = feats.join(labels, id_col).localCheckpoint(eager=True)
+    # once, not once per round as the exchange-per-round form did. The
+    # checkpoint is LAZY: round 1's gradient collect references fy exactly
+    # once, so that job materializes (and persists) it as a side effect —
+    # one fewer sequential action than the eager form (the CC-kernel
+    # fusion discipline, optimization r12); rounds 2+ and the callers'
+    # scoring passes read the cached RDD.
+    fy = feats.join(labels, id_col).localCheckpoint(eager=False)
     win = Window.partitionBy(id_col)
     w_arr = [0.0] * (dim + 1)
     for it in range(iters):
