@@ -910,7 +910,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles("text", 3).alias("sh"),
         F.size(F.split(F.trim(F.col("text")), " ")).alias("n_words"),
     ).persist()
-    words = proj.select("doc_id", "n_words").localCheckpoint(eager=True)
+    # lazy: the final plan references this tiny slice exactly once, and by
+    # action time proj is unpersisted — the checkpoint then recomputes just
+    # the pruned (doc_id, n_words) projection (one narrow split per doc),
+    # which costs less than the eager materialization action it replaces
+    # (optimization r12, CC-fusion discipline)
+    words = proj.select("doc_id", "n_words").localCheckpoint(eager=False)
     # sigs feeds both sides of the band self-join; the persist keeps the
     # hash aggregate from running twice (the minhash_dedup_pairs shape)
     sigs = minhash_signatures(proj, "doc_id", _NUM_HASHES).persist()
