@@ -194,7 +194,30 @@ def _train_logreg_driver_loop(
     # one fewer sequential action than the eager form (the CC-kernel
     # fusion discipline, optimization r12); rounds 2+ and the callers'
     # scoring passes read the cached RDD.
-    fy = feats.join(labels, id_col).localCheckpoint(eager=False)
+    #
+    # The table is hash-partitioned AND sorted by id BEFORE the checkpoint
+    # (guide §2.4 "two operations keyed the same way can share one
+    # exchange"): every round's margin window and every scoring consumer
+    # require ClusteredDistribution(id) + sort by id, so establishing that
+    # layout once in the materialization job lets LogicalRDD's preserved
+    # outputPartitioning/outputOrdering satisfy them all — rounds 2+ run
+    # exchange-free and sort-free over the cached rows. AQE must be off
+    # while the checkpoint is CREATED: under AQE the captured physical
+    # plan is an AdaptiveSparkPlanExec whose partitioning is unknown at
+    # creation time, so the layout would be re-derived (and re-paid) per
+    # round; the consumer queries themselves run with AQE on as usual.
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_was = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, "false")
+    try:
+        fy = (
+            feats.join(labels, id_col)
+            .repartition(F.col(id_col))
+            .sortWithinPartitions(id_col)
+            .localCheckpoint(eager=False)
+        )
+    finally:
+        spark.conf.set(aqe_key, aqe_was)
     win = Window.partitionBy(id_col)
     w_arr = [0.0] * (dim + 1)
     for it in range(iters):
