@@ -159,8 +159,14 @@ def train_logreg(
 
 
 def _w_lit(w_arr: list[float]):
-    """Literal weight-array column for element_at lookups by bucket."""
-    return F.array(*[F.lit(float(v)) for v in w_arr])
+    """Literal weight-array column for element_at lookups by bucket —
+    ONE parsed SQL array (one py4j round trip; per-element F.lit, and
+    lit(list) which PySpark expands element-wise, cost dim+1 calls per
+    plan build). ``repr`` round-trips doubles exactly, so values are
+    bit-identical to the per-element form's."""
+    return F.expr(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in w_arr) + ")"
+    )
 
 
 def _margin_terms(w_arr: list[float]):

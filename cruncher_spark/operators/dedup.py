@@ -563,34 +563,39 @@ def simhash(doc_sh: DataFrame, id_col: str, bits: int = 32) -> DataFrame:
         F.col(id_col), portable_hash64("shingle", salt="simhash").alias("h")
     )
 
-    def packed_word(w: int) -> Column:
-        word = None
-        for f in range(_SIM_FIELDS_PER_WORD):
-            j = w * _SIM_FIELDS_PER_WORD + f
-            if j >= bits:
-                break
-            term = F.shiftleft(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("long"),
-                _SIM_FIELD_BITS * f,
-            )
-            word = term if word is None else word + term
-        return word
+    # The packed-word and signature expressions are generated as SQL
+    # strings and parsed with ONE F.expr each (optimization r12): the
+    # operator-by-operator Column form issued ~11k synchronous py4j
+    # gateway round trips for the 60-bit width — ~3.7 s of pure driver-
+    # side socket latency PER PLAN BUILD, dwarfing the query's executor
+    # time at bench scale. Same arithmetic node for node (shift/mask/
+    # CASE over exact longs), so signatures are bit-identical.
+    def packed_word_sql(w: int) -> str:
+        terms = [
+            f"shiftleft(CAST((shiftright(h, {j}) & 1) AS BIGINT),"
+            f" {_SIM_FIELD_BITS * f})"
+            for f in range(_SIM_FIELDS_PER_WORD)
+            if (j := w * _SIM_FIELDS_PER_WORD + f) < bits
+        ]
+        return " + ".join(terms)
 
     votes = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(packed_word(w)).alias(f"w_{w}") for w in range(n_words)],
+        *[
+            F.sum(F.expr(packed_word_sql(w))).alias(f"w_{w}")
+            for w in range(n_words)
+        ],
     )
     mask = (1 << _SIM_FIELD_BITS) - 1
-    sim = None
+    sim_terms = []
     for j in range(bits):
         w, f = divmod(j, _SIM_FIELDS_PER_WORD)
-        popcount_j = F.shiftright(
-            F.col(f"w_{w}"), _SIM_FIELD_BITS * f
-        ).bitwiseAND(F.lit(mask))
-        term = F.when(
-            (popcount_j * 2) > F.col("n"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
+        pop = f"(shiftright(w_{w}, {_SIM_FIELD_BITS * f}) & {mask})"
+        sim_terms.append(
+            f"CASE WHEN ({pop} * 2) > n THEN CAST({1 << j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        )
+    sim = F.expr(" + ".join(sim_terms))
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 

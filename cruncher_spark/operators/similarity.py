@@ -177,26 +177,21 @@ def _banded_scored_pairs(
     planes = _hyperplane_signs(dim, n_bands * band_planes)
 
     def band_keys() -> Column:
-        def key(b: int) -> Column:
-            k = F.lit(0)
-            for f in range(band_planes):
-                signs = planes[b * band_planes + f]
-                sign_arr = F.array(*[F.lit(float(s)) for s in signs])
-                proj = F.aggregate(
-                    F.zip_with(F.col(vec_col), sign_arr, lambda x, s: x.cast("double") * s),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                k = k + F.when(proj > 0, F.lit(1 << f)).otherwise(F.lit(0))
-            return k
+        # the whole banded-key struct array is generated as SQL and
+        # parsed with ONE F.expr (r12): the per-plane Column loop paid
+        # n_bands×band_planes×(dim+1) py4j round trips per SIDE per
+        # plan build (~2 s for the 4×4×64 gate shape). Identical
+        # CASE/fold arithmetic — keys bit-identical.
+        def key_sql(b: int) -> str:
+            return _sign_bits_sql(
+                vec_col, planes[b * band_planes : (b + 1) * band_planes]
+            )
 
-        bands = F.array(
-            *[
-                F.struct(F.lit(b).alias("band_idx"), key(b).alias("band_key"))
-                for b in range(n_bands)
-            ]
+        bands = ", ".join(
+            f"named_struct('band_idx', {b}, 'band_key', {key_sql(b)})"
+            for b in range(n_bands)
         )
-        return F.explode(bands)
+        return F.expr(f"explode(array({bands}))")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), band_keys().alias("bk")
@@ -492,46 +487,68 @@ def _hyperplane_signs(dim: int, n_planes: int) -> list[list[int]]:
     return planes
 
 
-def _sign_pattern_cell(vec_col: Column, planes: list[list[int]]) -> Column:
+def _arr_sql(vals) -> str:
+    """SQL array literal of doubles. Parsed by ONE ``F.expr`` gateway
+    round trip — per-element ``F.lit`` (and PySpark's ``lit(list)``,
+    which builds element-wise internally) costs dim+1 synchronous py4j
+    calls per array, measured in SECONDS of pure driver-side socket
+    latency per plan build for the plane families. ``repr`` emits the
+    shortest round-tripping decimal and Spark's parser is correctly
+    rounded, so literal values are bit-identical to the ``F.lit``
+    form's."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _fold_dot_sql(vec_sql: str, arr_sql: str) -> str:
+    """The family's canonical fold dot product as a SQL fragment —
+    node-for-node the zip_with/aggregate Column form (cast-double
+    multiply, 0.0-seeded sequential fold), so values are bit-identical.
+    ``vec_sql`` is a raw SQL fragment (a plain column name or a lambda
+    variable)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, "
+        "(x, s) -> CAST(x AS DOUBLE) * s), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sign_bits_sql(vec_sql: str, planes: list[list[int]]) -> str:
+    """Sign-pattern integer (bit k = sign of <v, planes[k]>) as a SQL
+    fragment — the CASE/fold tree the old per-plane Column loop built,
+    now one parsed expression."""
+    return " + ".join(
+        f"(CASE WHEN {_fold_dot_sql(vec_sql, _arr_sql(signs))} > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, signs in enumerate(planes)
+    )
+
+
+def _sign_pattern_cell(vec_col: str, planes: list[list[int]]) -> Column:
     """Sign-pattern cell id for a plane family: bit k = sign of
     <v, planes[k]> — the shared map-side assignment expression of the
     semantic-dedup family (p JVM-side fold dot products per row, zero
-    fit, zero shuffle). Plane rows are single array LITERALS (r12): the
-    old per-element F.lit built p×dim expression nodes through py4j —
-    plan-construction and analysis time linear in the literal count,
-    measured in SECONDS for the banded family's p·r·64 literals."""
-    cell = F.lit(0)
-    for p, signs in enumerate(planes):
-        sign_arr = F.lit([float(s) for s in signs])
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col, sign_arr, lambda x, s: x.cast("double") * s
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cell = cell + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return cell
+    fit, zero shuffle). ``vec_col`` is the column NAME; the whole tree
+    is generated as SQL and parsed with one F.expr (r12: per-element
+    F.lit — and lit(list), which PySpark expands element-wise — built
+    p×dim expression nodes through py4j, seconds of plan-build time for
+    the banded family's p·r·64 literals). Same arithmetic node for
+    node; cells bit-identical."""
+    return F.expr(_sign_bits_sql(vec_col, planes))
 
 
-def _sign_pattern_projs(vec_col: Column, planes: list[list[int]]) -> Column:
+def _sign_pattern_projs(vec_col: str, planes: list[list[int]]) -> Column:
     """ALL plane projections <v, planes[k]> as one array<double> column
     from a single 2-D plane-matrix literal — the banded family's
-    assignment built as ONE expression tree instead of p·r independent
-    fold trees (r12: at the u100 stress shape that is 216 planes × 64
-    per-element literals ≈ 14k py4j expression nodes, seconds of
-    plan-build/analysis per query before any row moves). Per-plane
-    arithmetic is IDENTICAL to :func:`_sign_pattern_cell` (zip_with
-    cast-double multiply, sequential 0.0-seeded fold), so cells derived
-    from these projections are bit-equal to the per-plane form's."""
-    matrix = F.lit([[float(s) for s in row] for row in planes])
-    return F.transform(
-        matrix,
-        lambda row: F.aggregate(
-            F.zip_with(vec_col, row, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
+    assignment built as ONE parsed expression instead of p·r
+    independent fold trees (r12: at the u100 stress shape that is 216
+    planes × 64 per-element literals ≈ 14k py4j expression nodes,
+    seconds of plan-build/analysis per query before any row moves).
+    Per-plane arithmetic is IDENTICAL to :func:`_sign_pattern_cell`
+    (zip_with cast-double multiply, sequential 0.0-seeded fold), so
+    cells derived from these projections are bit-equal to the
+    per-plane form's. ``vec_col`` is the column NAME."""
+    matrix = "array(" + ", ".join(_arr_sql(row) for row in planes) + ")"
+    return F.expr(
+        f"transform({matrix}, row -> {_fold_dot_sql(vec_col, 'row')})"
     )
 
 
@@ -546,24 +563,19 @@ def _cell_from_projs(projs_col: Column, start: int, p: int) -> Column:
     return cell
 
 
-def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id (int) for an embedding column.
+def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (int) for an embedding column
+    (``vec_col`` is the column NAME).
 
     Bit p of the bucket = sign of <v, plane_p> where plane_p is a ±1 vector.
     The sign pattern is data-independent and deterministic, so two engines
     (or two clusters) bucket identically.
     """
     planes = _hyperplane_signs(dim, n_planes)
-    bucket = F.lit(0)
-    for p, signs in enumerate(planes):
-        sign_arr = F.array(*[F.lit(float(s)) for s in signs])
-        proj = F.aggregate(
-            F.zip_with(vec_col, sign_arr, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    # one parsed SQL expression (the _sign_pattern_cell r12 fix: the
+    # per-plane Column loop paid n_planes×(dim+1) py4j round trips per
+    # plan build); identical CASE/fold arithmetic, bit-identical buckets
+    return F.expr(_sign_bits_sql(vec_col, planes))
 
 
 def lowest_id_centroids(
@@ -1063,7 +1075,7 @@ def semantic_dedup_lsh(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col), dim).alias("nrm"),
-        _sign_pattern_cell(F.col(vec_col), planes).alias("cell"),
+        _sign_pattern_cell(vec_col, planes).alias("cell"),
     )
     lo = assigned.select(
         F.col("id").alias("lo_id"), F.col("vec").alias("lo_vec"),
@@ -1183,7 +1195,7 @@ def semantic_dedup_multiprobe(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col), dim).alias("nrm"),
-        _sign_pattern_cell(F.col(vec_col), planes).alias("cell"),
+        _sign_pattern_cell(vec_col, planes).alias("cell"),
     )
     # primary probe + one probe per SET bit (cleared): struct(cell,
     # primary?) with unset-bit slots nulled out then compacted
@@ -1392,7 +1404,7 @@ def semantic_dedup_banded(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col), dim).alias("nrm"),
-        _sign_pattern_projs(F.col(vec_col), planes).alias("_pj"),
+        _sign_pattern_projs(vec_col, planes).alias("_pj"),
     ).select(
         "id",
         "vec",
@@ -1550,7 +1562,7 @@ def semantic_dedup_family(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
             norm(F.col(vec_col), dim).alias("nrm"),
-            _sign_pattern_projs(F.col(vec_col), planes).alias("_pj"),
+            _sign_pattern_projs(vec_col, planes).alias("_pj"),
         )
         .select(
             "id",
@@ -1729,7 +1741,7 @@ def ann_lsh_topk(
     Output: (query_id, neighbor_id, rank, cos); recall vs brute force is
     tested in tests/test_similarity.py.
     """
-    bucket = lsh_bucket(F.col(vec_col), dim, n_planes)
+    bucket = lsh_bucket(vec_col, dim, n_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -1796,7 +1808,7 @@ def ann_lsh_multiprobe(
             "probe_bits > 1 multiplies probes combinatorially; the "
             "1-bit ring is the documented production sweet spot"
         )
-    bucket = lsh_bucket(F.col(vec_col), dim, n_planes)
+    bucket = lsh_bucket(vec_col, dim, n_planes)
     probes = F.explode(
         F.array(
             bucket,

@@ -732,7 +732,7 @@ class EmbeddingDedupIngest:
         with_pj = vecs.select(
             "vec_id",
             "embedding",
-            _sign_pattern_projs(F.col("embedding"), planes).alias("_pj"),
+            _sign_pattern_projs("embedding", planes).alias("_pj"),
         )
         bands = F.array(
             *[
