@@ -29,6 +29,29 @@ STAR_TABLES = (
 )
 
 
+#: inferred parquet schemas keyed by (absolute path, mtime_ns, size) —
+#: METADATA reuse, not result caching: the first read of a table in a
+#: process pays footer-based schema inference as always and every later
+#: read of the SAME bytes passes the schema explicitly, skipping a
+#: ~100 ms driver-side inference round trip per call. Registered plans
+#: rebuild their scans per invocation (the bench calls each query fn
+#: once per rep), so one bench run was paying ~500 re-inferences of ten
+#: static files. A rewritten file changes (mtime, size) and re-infers;
+#: the key is engine-independent, so a restarted session reuses nothing
+#: stale (schemas are plain StructTypes, not session-bound handles).
+_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def _schema_cache_key(path: str) -> tuple[str, int, int] | None:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table, normalized to a single timestamp flavor.
 
@@ -50,7 +73,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (crunch_global.sql:40) compares it directly.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = _schema_cache_key(path)
+    cached = _SCHEMA_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanosAsLong read the TIMESTAMP(NANOS) column as raw nanos; convert
         # with integer division (doubles lose precision above 2^53)
