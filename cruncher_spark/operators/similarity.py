@@ -24,12 +24,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _dot_expr_sql(a: str, b: str) -> str:
+    """The fold dot product as a SQL fragment — node-for-node the
+    Column form below (both elements cast to double, 0.0-seeded
+    sequential fold), so values are bit-identical."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def dot(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
     """Sequential-fold dot product in double precision (``dim`` accepted
     for signature stability; both forms measured equal-or-worse unrolled —
     a 64-term ``element_at`` chain bloats codegen and loses to this fold,
     and the vectorized scale path is :func:`score_topk_arrow`, not a wider
-    expression tree)."""
+    expression tree).
+
+    Pass column NAMES where possible: the string form parses as ONE
+    F.expr gateway round trip, while the Column form's higher-order
+    builders cost ~100x that in py4j latency per plan build
+    (optimization r12). Identical fold arithmetic either way."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_expr_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -37,11 +55,20 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: str | Column, dim: int | None = None) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_expr_sql(a, a)})")
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(
+    a: str | Column, b: str | Column, dim: int | None = None
+) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"{_dot_expr_sql(a, b)}"
+            f" / (sqrt({_dot_expr_sql(a, a)}) * sqrt({_dot_expr_sql(b, b)}))"
+        )
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
@@ -89,19 +116,19 @@ def _scored_pairs(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col), dim).alias("q_norm"),
+        norm(vec_col, dim).alias("q_norm"),
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col), dim).alias("c_norm"),
+        norm(vec_col, dim).alias("c_norm"),
     )
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"), dim)
+                dot("q_vec", "c_vec", dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 round_digits,
             ),
@@ -209,12 +236,12 @@ def _banded_scored_pairs(
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col), dim).alias("q_norm"),
+        norm(vec_col, dim).alias("q_norm"),
     )
     cv = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col), dim).alias("c_norm"),
+        norm(vec_col, dim).alias("c_norm"),
     )
     # the candidate list is the BOUNDED side by the banding contract
     # (collisions ~ true-pair rate when band width is tuned to the
@@ -232,7 +259,7 @@ def _banded_scored_pairs(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"), dim)
+                dot("q_vec", "c_vec", dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 round_digits,
             ),
@@ -763,13 +790,13 @@ def ann_ivf_topk(
     cells_sql = _cell_scores_sql(
         f"`{vec_col}`", f"`{vn}`", centroids, round_digits
     )
-    c = vectors.withColumn(vn, norm(F.col(vec_col), dim)).select(
+    c = vectors.withColumn(vn, norm(vec_col, dim)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(vn).alias("c_norm"),
         F.expr(f"-element_at({cells_sql}, 1).ncid").alias("cell"),
     )
-    q = queries.withColumn(vn, norm(F.col(vec_col), dim)).select(
+    q = queries.withColumn(vn, norm(vec_col, dim)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(vn).alias("q_norm"),
@@ -783,7 +810,7 @@ def ann_ivf_topk(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"), dim)
+                dot("q_vec", "c_vec", dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 round_digits,
             ),
@@ -821,7 +848,7 @@ def ivf_cell_fractions(
         f"`{vec_col}`", f"`{vn}`", centroids, round_digits
     )
     counts = (
-        vectors.withColumn(vn, norm(F.col(vec_col), dim))
+        vectors.withColumn(vn, norm(vec_col, dim))
         .select(F.expr(f"-element_at({cells_sql}, 1).ncid").alias("cell"))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1002,7 +1029,7 @@ def semantic_dedup(
         )
     dim = len(centroids[0])
     cells_sql = _cell_scores_sql(f"`{vec_col}`", f"`{vn}`", centroids, round_digits)
-    assigned = vectors.withColumn(vn, norm(F.col(vec_col), dim)).select(
+    assigned = vectors.withColumn(vn, norm(vec_col, dim)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.col(vn).alias("nrm"),
@@ -1025,7 +1052,7 @@ def semantic_dedup(
         .where(F.col("lo_id") < F.col("hi_id"))
         .where(
             F.round(
-                dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+                dot("lo_vec", "hi_vec", dim)
                 / (F.col("lo_nrm") * F.col("hi_nrm")),
                 round_digits,
             )
@@ -1074,7 +1101,7 @@ def semantic_dedup_lsh(
     assigned = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dim).alias("nrm"),
+        norm(vec_col, dim).alias("nrm"),
         _sign_pattern_cell(vec_col, planes).alias("cell"),
     )
     lo = assigned.select(
@@ -1090,7 +1117,7 @@ def semantic_dedup_lsh(
         .where(F.col("lo_id") < F.col("hi_id"))
         .where(
             F.round(
-                dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+                dot("lo_vec", "hi_vec", dim)
                 / (F.col("lo_nrm") * F.col("hi_nrm")),
                 round_digits,
             )
@@ -1194,7 +1221,7 @@ def semantic_dedup_multiprobe(
     assigned = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dim).alias("nrm"),
+        norm(vec_col, dim).alias("nrm"),
         _sign_pattern_cell(vec_col, planes).alias("cell"),
     )
     # primary probe + one probe per SET bit (cleared): struct(cell,
@@ -1234,7 +1261,7 @@ def semantic_dedup_multiprobe(
     ).otherwise(F.col("lo_id") != F.col("hi_id"))
     verified = (
         F.round(
-            dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+            dot("lo_vec", "hi_vec", dim)
             / (F.col("lo_nrm") * F.col("hi_nrm")),
             round_digits,
         )
@@ -1403,7 +1430,7 @@ def semantic_dedup_banded(
     assigned = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col), dim).alias("nrm"),
+        norm(vec_col, dim).alias("nrm"),
         _sign_pattern_projs(vec_col, planes).alias("_pj"),
     ).select(
         "id",
@@ -1421,7 +1448,7 @@ def semantic_dedup_banded(
     )
     verified = (
         F.round(
-            dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+            dot("lo_vec", "hi_vec", dim)
             / (F.col("lo_nrm") * F.col("hi_nrm")),
             round_digits,
         )
@@ -1561,7 +1588,7 @@ def semantic_dedup_family(
         vectors.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm(F.col(vec_col), dim).alias("nrm"),
+            norm(vec_col, dim).alias("nrm"),
             _sign_pattern_projs(vec_col, planes).alias("_pj"),
         )
         .select(
@@ -1622,7 +1649,7 @@ def semantic_dedup_family(
     )
     verified = (
         F.round(
-            dot(F.col("lo_vec"), F.col("hi_vec"), dim)
+            dot("lo_vec", "hi_vec", dim)
             / (F.col("lo_nrm") * F.col("hi_nrm")),
             round_digits,
         )
@@ -1745,13 +1772,13 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col), dim).alias("q_norm"),
+        norm(vec_col, dim).alias("q_norm"),
         bucket.alias("bucket"),
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col), dim).alias("c_norm"),
+        norm(vec_col, dim).alias("c_norm"),
         bucket.alias("bucket"),
     )
     scored = (
@@ -1760,7 +1787,7 @@ def ann_lsh_topk(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"), dim)
+                dot("q_vec", "c_vec", dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 round_digits,
             ),
@@ -1821,13 +1848,13 @@ def ann_lsh_multiprobe(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col), dim).alias("q_norm"),
+        norm(vec_col, dim).alias("q_norm"),
         probes.alias("bucket"),
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col), dim).alias("c_norm"),
+        norm(vec_col, dim).alias("c_norm"),
         bucket.alias("bucket"),
     )
     scored = (
@@ -1836,7 +1863,7 @@ def ann_lsh_multiprobe(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"), dim)
+                dot("q_vec", "c_vec", dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 round_digits,
             ),
@@ -2034,7 +2061,7 @@ def pq_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        norm(F.col(vec_col), n_sub * w).alias("qnorm"),
+        norm(vec_col, n_sub * w).alias("qnorm"),
         F.expr(lut_sql).alias("lut"),
     )
     scored = (
@@ -2115,7 +2142,7 @@ def ann_ivfpq_topk(
     codes_sql, norm2hat, lut_sql, num = _pq_spark_sql(vec_col, codebooks)
 
     coded = (
-        vectors.withColumn(vn, norm(F.col(vec_col), dim))
+        vectors.withColumn(vn, norm(vec_col, dim))
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.expr(f"-element_at({cells_sql}, 1).ncid").alias("cell"),
@@ -2124,7 +2151,7 @@ def ann_ivfpq_topk(
         .withColumn("nhat", F.expr(f"sqrt({norm2hat})"))
     )
     q = (
-        queries.withColumn(vn, norm(F.col(vec_col), dim))
+        queries.withColumn(vn, norm(vec_col, dim))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vn).alias("qnorm"),
@@ -2196,12 +2223,12 @@ def ann_ivfpq_refine(
         n_probe=n_probe, k=refine, round_digits=round_digits,
     ).select("query_id", "neighbor_id")
     vn = "__refine_vnorm__"
-    raw_n = vectors.withColumn(vn, norm(F.col(vec_col), dim)).select(
+    raw_n = vectors.withColumn(vn, norm(vec_col, dim)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
         F.col(vn).alias("n_norm"),
     )
-    raw_q = queries.withColumn(vn, norm(F.col(vec_col), dim)).select(
+    raw_q = queries.withColumn(vn, norm(vec_col, dim)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(vn).alias("q_norm"),
@@ -2212,7 +2239,7 @@ def ann_ivfpq_refine(
         .withColumn(
             "cos",
             F.round(
-                dot(F.col("q_vec"), F.col("n_vec"), dim)
+                dot("q_vec", "n_vec", dim)
                 / (F.col("q_norm") * F.col("n_norm")),
                 round_digits,
             ),

@@ -3181,7 +3181,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("qv"), EMB_DIM), 6).alias(
+            F.round(cosine("embedding", "qv", EMB_DIM), 6).alias(
                 "cos"
             ),
         )

@@ -810,7 +810,7 @@ class EmbeddingDedupIngest:
             hist_dups = (
                 cand.where(F.col("h_id") != F.col("vec_id"))
                 .where(
-                    cosine(F.col("embedding"), F.col("h_emb")) >= self.min_cos
+                    cosine("embedding", "h_emb") >= self.min_cos
                 )
                 .groupBy("vec_id")
                 .agg(F.min("h_id").alias("dup_of"))
@@ -836,7 +836,7 @@ class EmbeddingDedupIngest:
         batch_dups = (
             a.join(b, ["band_idx", "band_key"])
             .where(F.col("id_a") < F.col("id_b"))
-            .where(cosine(F.col("emb_a"), F.col("emb_b")) >= self.min_cos)
+            .where(cosine("emb_a", "emb_b") >= self.min_cos)
             .groupBy(F.col("id_b").alias("vec_id"))
             .agg(F.min("id_a").alias("dup_of"))
             .withColumn("via", F.lit("batch"))
