@@ -48,8 +48,16 @@ def dsum(col: str | Column, alias: str, scale: int = 2) -> Column:
     engine/order independent); the final cast back to double renders
     identically everywhere. Oracle-side mirror: ``oracle_dsum``.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    if isinstance(col, str):
+        # one parsed expression instead of four gateway-built Column
+        # nodes (optimization r12: the crunch measure lists construct
+        # dozens of these per plan build; py4j round-trip latency made
+        # expression construction a measurable share of bench wall).
+        # Identical aggregate tree — values unchanged.
+        return F.expr(
+            f"CAST(SUM(CAST(`{col}` AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        ).alias(alias)
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
 
 
 def oracle_dsum(expr: str, alias: str, scale: int = 2) -> str:

@@ -56,9 +56,12 @@ def item_use_aggs(item_ids: Sequence[int], source: str = "item_uses") -> list[Co
     """Dynamic per-activable-item use sums (worker.js:91-103's JS codegen,
     done at plan-build time): one ``sum(coalesce(item_uses[k], 0))`` per
     activable item, named ``item_XXX_use`` (zero-padded, worker.js:92)."""
+    # parsed SQL fragments (optimization r12): the Column form built 5
+    # gateway nodes per item x dozens of items per plan; same
+    # SUM(COALESCE(element_at(...), 0)) tree, values unchanged
     return [
-        F.sum(
-            F.coalesce(F.element_at(F.col(source), F.lit(int(k))), F.lit(0))
+        F.expr(
+            f"SUM(COALESCE(element_at(`{source}`, {int(k)}), 0))"
         ).alias(f"item_{int(k):03d}_use")
         for k in item_ids
     ]
