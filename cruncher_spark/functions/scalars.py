@@ -8,6 +8,7 @@ cent-valued doubles and the POSIX→Java regex dialect translation
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column
@@ -70,3 +71,31 @@ def ident(name: str) -> str:
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
         raise ValueError(f"not a plain identifier: {name!r}")
     return name
+
+
+def sql_double(v: float) -> str:
+    """One SQL double literal for generated-expression builders.
+
+    ``repr`` emits the shortest round-tripping decimal for every FINITE
+    double and Spark's parser is correctly rounded, so values are
+    bit-identical to the ``F.lit`` form's. Non-finite values (a diverging
+    training run's inf/nan) have no bare literal form — ``repr`` yields
+    ``inf``/``nan``, whose ``infD`` spelling fails to parse where the old
+    ``F.lit`` path handled them (ADVICE r12) — so they are emitted as the
+    CAST-from-string Spark defines for them.
+    """
+    v = float(v)
+    if math.isfinite(v):
+        return f"{v!r}D"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column NAME for splicing into a generated SQL
+    fragment (ADVICE r12: the string-path expression builders interpolated
+    names unquoted, so a name with a space, hyphen, or reserved word broke
+    or misparsed). Embedded backticks escape by doubling, per Spark's
+    quoted-identifier rules."""
+    return "`" + name.replace("`", "``") + "`"

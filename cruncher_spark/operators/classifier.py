@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cruncher_spark.functions.scalars import sql_double
 from cruncher_spark.functions.text import portable_hash64
 
 #: decimal type for order-independent margin/gradient accumulation
@@ -162,11 +163,11 @@ def _w_lit(w_arr: list[float]):
     """Literal weight-array column for element_at lookups by bucket —
     ONE parsed SQL array (one py4j round trip; per-element F.lit, and
     lit(list) which PySpark expands element-wise, cost dim+1 calls per
-    plan build). ``repr`` round-trips doubles exactly, so values are
-    bit-identical to the per-element form's."""
-    return F.expr(
-        "array(" + ", ".join(f"{float(v)!r}D" for v in w_arr) + ")"
-    )
+    plan build). ``repr`` round-trips finite doubles exactly, so values
+    are bit-identical to the per-element form's; non-finite weights (a
+    diverging run) emit as CASTs via scalars.sql_double (ADVICE r12:
+    'infD' failed to parse where the old F.lit path coped)."""
+    return F.expr("array(" + ", ".join(sql_double(v) for v in w_arr) + ")")
 
 
 def _margin_terms(w_arr: list[float]):
@@ -212,6 +213,12 @@ def _train_logreg_driver_loop(
     # plan is an AdaptiveSparkPlanExec whose partitioning is unknown at
     # creation time, so the layout would be re-derived (and re-paid) per
     # round; the consumer queries themselves run with AQE on as usual.
+    # NOT concurrency-safe (ADVICE r12): this toggles AQE on the WHOLE
+    # SparkSession for the (brief) checkpoint-creation window, so a query
+    # planned concurrently from another thread of the same session would
+    # silently plan without AQE. Fine in this single-driver engine; callers
+    # embedding the trainer in a multi-threaded driver should clone the
+    # session (spark.newSession()) for the trainer.
     aqe_key = "spark.sql.adaptive.enabled"
     aqe_was = spark.conf.get(aqe_key, "true")
     spark.conf.set(aqe_key, "false")

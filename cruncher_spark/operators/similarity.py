@@ -23,11 +23,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cruncher_spark.functions.scalars import quote_ident, sql_double
+
 
 def _dot_expr_sql(a: str, b: str) -> str:
     """The fold dot product as a SQL fragment — node-for-node the
     Column form below (both elements cast to double, 0.0-seeded
-    sequential fold), so values are bit-identical."""
+    sequential fold), so values are bit-identical. ``a``/``b`` are raw
+    SQL fragments; plain column names must arrive ALREADY backtick-quoted
+    (ADVICE r12: unquoted interpolation broke on names with spaces or
+    reserved words)."""
     return (
         f"aggregate(zip_with({a}, {b}, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -47,7 +52,7 @@ def dot(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
     builders cost ~100x that in py4j latency per plan build
     (optimization r12). Identical fold arithmetic either way."""
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(_dot_expr_sql(a, b))
+        return F.expr(_dot_expr_sql(quote_ident(a), quote_ident(b)))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -57,7 +62,8 @@ def dot(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
 
 def norm(a: str | Column, dim: int | None = None) -> Column:
     if isinstance(a, str):
-        return F.expr(f"sqrt({_dot_expr_sql(a, a)})")
+        qa = quote_ident(a)
+        return F.expr(f"sqrt({_dot_expr_sql(qa, qa)})")
     return F.sqrt(dot(a, a, dim))
 
 
@@ -65,9 +71,10 @@ def cosine(
     a: str | Column, b: str | Column, dim: int | None = None
 ) -> Column:
     if isinstance(a, str) and isinstance(b, str):
+        qa, qb = quote_ident(a), quote_ident(b)
         return F.expr(
-            f"{_dot_expr_sql(a, b)}"
-            f" / (sqrt({_dot_expr_sql(a, a)}) * sqrt({_dot_expr_sql(b, b)}))"
+            f"{_dot_expr_sql(qa, qb)}"
+            f" / (sqrt({_dot_expr_sql(qa, qa)}) * sqrt({_dot_expr_sql(qb, qb)}))"
         )
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
@@ -211,7 +218,8 @@ def _banded_scored_pairs(
         # CASE/fold arithmetic — keys bit-identical.
         def key_sql(b: int) -> str:
             return _sign_bits_sql(
-                vec_col, planes[b * band_planes : (b + 1) * band_planes]
+                quote_ident(vec_col),
+                planes[b * band_planes : (b + 1) * band_planes],
             )
 
         bands = ", ".join(
@@ -522,8 +530,9 @@ def _arr_sql(vals) -> str:
     latency per plan build for the plane families. ``repr`` emits the
     shortest round-tripping decimal and Spark's parser is correctly
     rounded, so literal values are bit-identical to the ``F.lit``
-    form's."""
-    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+    form's; non-finite values are emitted as CASTs (scalars.sql_double —
+    ADVICE r12: ``infD`` failed to parse where ``F.lit`` coped)."""
+    return "array(" + ", ".join(sql_double(v) for v in vals) + ")"
 
 
 def _fold_dot_sql(vec_sql: str, arr_sql: str) -> str:
@@ -559,7 +568,14 @@ def _sign_pattern_cell(vec_col: str, planes: list[list[int]]) -> Column:
     p×dim expression nodes through py4j, seconds of plan-build time for
     the banded family's p·r·64 literals). Same arithmetic node for
     node; cells bit-identical."""
-    return F.expr(_sign_bits_sql(vec_col, planes))
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "_sign_pattern_cell takes the vector column NAME (str) since "
+            "the r12 SQL-generation rework; got a "
+            f"{type(vec_col).__name__} (ADVICE r12: a Column here produced "
+            "a cryptic SQL parse error)"
+        )
+    return F.expr(_sign_bits_sql(quote_ident(vec_col), planes))
 
 
 def _sign_pattern_projs(vec_col: str, planes: list[list[int]]) -> Column:
@@ -573,9 +589,15 @@ def _sign_pattern_projs(vec_col: str, planes: list[list[int]]) -> Column:
     (zip_with cast-double multiply, sequential 0.0-seeded fold), so
     cells derived from these projections are bit-equal to the
     per-plane form's. ``vec_col`` is the column NAME."""
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "_sign_pattern_projs takes the vector column NAME (str) since "
+            "the r12 SQL-generation rework; got a "
+            f"{type(vec_col).__name__}"
+        )
     matrix = "array(" + ", ".join(_arr_sql(row) for row in planes) + ")"
     return F.expr(
-        f"transform({matrix}, row -> {_fold_dot_sql(vec_col, 'row')})"
+        f"transform({matrix}, row -> {_fold_dot_sql(quote_ident(vec_col), 'row')})"
     )
 
 
@@ -598,11 +620,17 @@ def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8) -> Column:
     The sign pattern is data-independent and deterministic, so two engines
     (or two clusters) bucket identically.
     """
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "lsh_bucket takes the vector column NAME (str) since the r12 "
+            f"SQL-generation rework; got a {type(vec_col).__name__} "
+            "(ADVICE r12: a Column here produced a cryptic SQL parse error)"
+        )
     planes = _hyperplane_signs(dim, n_planes)
     # one parsed SQL expression (the _sign_pattern_cell r12 fix: the
     # per-plane Column loop paid n_planes×(dim+1) py4j round trips per
     # plan build); identical CASE/fold arithmetic, bit-identical buckets
-    return F.expr(_sign_bits_sql(vec_col, planes))
+    return F.expr(_sign_bits_sql(quote_ident(vec_col), planes))
 
 
 def lowest_id_centroids(
