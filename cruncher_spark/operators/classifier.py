@@ -44,6 +44,32 @@ from cruncher_spark.functions.text import portable_hash64
 _DEC = "decimal(28,14)"
 
 
+def _round14(x: float) -> float:
+    """Spark's ``round(double, 14)`` replicated exactly on the driver.
+
+    Spark's Round over DoubleType evaluates
+    ``BigDecimal.valueOf(x).setScale(14, HALF_UP).toDouble``, and
+    ``BigDecimal.valueOf`` parses ``Double.toString``'s shortest
+    round-tripping decimal — the same decimal Python's ``repr`` emits —
+    so quantizing that decimal HALF_UP at 14 places reproduces the JVM
+    value bit-for-bit (verified over 5k random doubles plus tie values
+    at the 15th decimal in tests/test_classifier.py). Needed because the
+    per-round weight update moved driver-side (one collect per GD round,
+    no separate count job); weights must stay bit-identical to the lazy
+    unrolled form the oracle unrolls."""
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    with localcontext() as ctx:
+        ctx.prec = 400  # |x| up to 1e308 quantized at 1e-14 needs ~325 digits
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1E-14"), rounding=ROUND_HALF_UP
+            )
+        )
+
+
 def hashed_doc_features(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -100,11 +126,14 @@ def train_logreg(
     rides a window over the feature rows' own ``id`` partitioning instead
     of a groupBy + join-back (one corpus-wide exchange per round, not
     two), the weight lookup is ``element_at`` on a literal array instead
-    of a broadcast-exchange join, and the 64-row weight update runs inside
-    the same job's final aggregate. Arithmetic is expression-for-
-    expression the old plan's (DECIMAL(28,14) sums, sigmoid round 9,
-    weight round 14 — all inside Spark), so the weights match the lazy
-    form bit-for-bit (pinned by tests/test_classifier.py)."""
+    of a broadcast-exchange join, and (optimization r13) the label count
+    is read off round 1's own bucket aggregate — the bias-bucket row
+    count — instead of a separate count job, with the 64-row weight
+    update computed driver-side. Arithmetic is step-for-step the old
+    plan's (DECIMAL(28,14) sums, sigmoid round 9, weight round 14 —
+    Spark's round replicated bit-exactly by :func:`_round14`), so the
+    weights match the lazy form bit-for-bit (pinned by
+    tests/test_classifier.py)."""
     spark = feats.sparkSession
     if checkpoint:
         return _train_logreg_driver_loop(feats, labels, dim, iters, lr, id_col)
@@ -189,11 +218,15 @@ def _train_logreg_driver_loop(
     return_df: bool = True,
 ):
     """One-action-per-round GD (see :func:`train_logreg`). Weights live on
-    the driver between rounds (dim + 1 doubles); every arithmetic step
-    still happens inside Spark with the exact expressions of the lazy
-    unrolled form, so results are bit-identical."""
+    the driver between rounds (dim + 1 doubles). Margins and gradient sums
+    happen inside Spark with the exact expressions of the lazy unrolled
+    form; the scalar per-bucket weight update runs driver-side with the
+    same IEEE arithmetic and a bit-exact replica of Spark's round
+    (:func:`_round14`), and n comes from round 1's own aggregate (the
+    bias-bucket row count) instead of a separate count job — so the whole
+    training is exactly ``iters`` Spark actions and results stay
+    bit-identical (pinned by tests/test_classifier.py)."""
     spark = feats.sparkSession
-    n = labels.agg(F.count(F.lit(1)).alias("n")).first()[0]
     # one (id, bucket, x, y) table for every round — the label join happens
     # once, not once per round as the exchange-per-round form did. The
     # checkpoint is LAZY: round 1's gradient collect references fy exactly
@@ -233,6 +266,7 @@ def _train_logreg_driver_loop(
         spark.conf.set(aqe_key, aqe_was)
     win = Window.partitionBy(id_col)
     w_arr = [0.0] * (dim + 1)
+    n: int | None = None
     for it in range(iters):
         if it == 0:
             # all-zero weights: every margin term is (0 * x) — the decimal
@@ -243,27 +277,37 @@ def _train_logreg_driver_loop(
         else:
             margin = F.sum(_margin_terms(w_arr)).over(win).cast("double")
             p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9)
-        grad = (
-            fy.select(
-                F.col("bucket"),
-                ((p - F.col("y")) * F.col("x")).cast(_DEC).alias("g"),
-            )
-            .groupBy("bucket")
-            .agg(F.sum("g").alias("g"))
-            .select(
-                "bucket",
-                F.round(
-                    F.element_at(_w_lit(w_arr), (F.col("bucket") + 1).cast("int"))
-                    - F.lit(lr) * F.col("g").cast("double") / F.lit(n),
-                    14,
-                ).alias("w"),
-            )
+        grad = fy.select(
+            F.col("bucket"),
+            ((p - F.col("y")) * F.col("x")).cast(_DEC).alias("g"),
+        ).groupBy("bucket").agg(
+            F.sum("g").alias("g"), F.count(F.lit(1)).alias("cnt")
         )
-        for row in grad.collect():
-            # absent buckets keep their weight: round(w - lr*0/n, 14) of an
-            # already-14-rounded double is the identity the old left-join +
-            # coalesce(g, 0) path computed
-            w_arr[int(row["bucket"])] = float(row["w"])
+        rows = grad.collect()
+        if n is None:
+            # n = |labels| is read off round 1's own aggregate instead of a
+            # separate count job (optimization r13, guide §2.4 fewer
+            # passes): the bias bucket (bucket == dim) holds exactly one
+            # feature row per labeled doc — hashed_doc_features emits it
+            # unconditionally and labels are one row per doc id — so its
+            # group count IS the label count. At 100 TB that separate
+            # count was a full corpus pass before training could start.
+            n = next(
+                (int(r["cnt"]) for r in rows if int(r["bucket"]) == dim),
+                None,
+            )
+            if n is None:  # degenerate: empty corpus — preserve old n
+                n = labels.agg(F.count(F.lit(1)).alias("n")).first()[0]
+        for row in rows:
+            # absent buckets keep their weight (round14 of an already-
+            # rounded double is the identity the old left-join + coalesce
+            # path computed). The update arithmetic is the SAME IEEE ops
+            # the old in-plan expression ran — (lr * g_double) / n in
+            # double, subtract, Spark-round at 14 (replicated exactly by
+            # _round14) — with g_double = the correctly-rounded double of
+            # the DECIMAL(28,14) sum, which float(Decimal) also is.
+            b = int(row["bucket"])
+            w_arr[b] = _round14(w_arr[b] - (lr * float(row["g"])) / n)
     if not return_df:
         return w_arr, fy
     return spark.createDataFrame(

@@ -147,11 +147,53 @@ def jaccard_pairs(
 PREFIX_DF_CAP = 65_536
 
 
+def _prefix_hot_split(
+    exploded: DataFrame, id_col: str, df_cap: int
+) -> tuple[DataFrame, DataFrame | None]:
+    """The measured hot-shingle probe of :func:`prefix_jaccard_pairs`:
+    returns (cold_src, hot_keyed-or-None). Runs ONE probe job (count-only
+    pre-aggregate + isEmpty) to decide whether the df-cap routing branch
+    is needed; skipped entirely when the caller proves |docs| <= df_cap
+    (see the call site)."""
+    # count-only pre-aggregate: map-side combinable, constant state per
+    # group — safe at any skew; its output is one row per distinct shingle
+    # persisted: hot feeds TWO broadcasts (anti-join + df-attach) whose
+    # projections differ, so without the persist the corpus-wide count
+    # aggregate would execute twice; the cached result is tiny by
+    # construction (≤ rows/df_cap entries)
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+    ).persist()
+    # data-dependent plan choice (the trick AQE uses, made explicit): on
+    # an UNSKEWED corpus the hot set is empty, and the anti-join plus the
+    # hot branch's second full explode pass are pure overhead. hot is
+    # persisted and tiny by construction, so the emptiness probe is ~free
+    # (a doc-count guard through Spark was measured instead and lost:
+    # counting through fan_out's repartition costs a full text shuffle —
+    # which is why the r13 probe-skip reads parquet FOOTER counts).
+    if hot.isEmpty():
+        # nothing in the returned plan references hot — release its cache
+        # now instead of waiting for the ContextCleaner
+        hot.unpersist()
+        return exploded, None
+    cold_src = exploded.join(
+        F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+    )
+    hot_keyed = exploded.join(F.broadcast(hot), "shingle").select(
+        F.struct("df", portable_hash64("shingle").alias("h")).alias("key"),
+        F.col(id_col),
+    )
+    return cold_src, hot_keyed
+
+
 def prefix_jaccard_pairs(
     doc_sh: DataFrame,
     id_col: str,
     min_jaccard: float,
     df_cap: int = PREFIX_DF_CAP,
+    n_docs_bound: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs with PPJoin-style prefix filtering.
 
@@ -197,43 +239,34 @@ def prefix_jaccard_pairs(
     ~2x faster than candidate-distinct + two verify joins at bench scale.
     For corpora of very long documents, flip stage 3/4 to light prefix
     rows + a distinct + the :func:`jaccard_verify_pairs` re-join.
+
+    ``n_docs_bound`` (optimization r13): an upper bound on the number of
+    documents in ``doc_sh``, when the caller has one cheaply (parquet
+    footer metadata). Shingle arrays are distinct-per-doc, so df <=
+    |docs|; a bound at or under ``df_cap`` proves the hot set empty and
+    skips the probe job (a full corpus pass) outright — same plan, same
+    output as the probe's hot-empty branch.
     """
     # NOT persisted although consumed by three branches: re-deriving the
     # explode lets Catalyst column-prune each branch independently (the df
     # pre-aggregate reads ONLY the shingle column), which measured ~20%
     # faster than caching the two-column explode at bench scale
     exploded = doc_sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    # count-only pre-aggregate: map-side combinable, constant state per
-    # group — safe at any skew; its output is one row per distinct shingle
-    # persisted: hot feeds TWO broadcasts (anti-join + df-attach) whose
-    # projections differ, so without the persist the corpus-wide count
-    # aggregate would execute twice; the cached result is tiny by
-    # construction (≤ rows/df_cap entries)
-    hot = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > df_cap)
-    ).persist()
-    # data-dependent plan choice (the trick AQE uses, made explicit): on
-    # an UNSKEWED corpus the hot set is empty, and the anti-join plus the
-    # hot branch's second full explode pass are pure overhead. hot is
-    # persisted and tiny by construction, so the emptiness probe is ~free
-    # (a doc-count guard was measured instead and lost: counting through
-    # fan_out's repartition costs a full text shuffle).
-    if hot.isEmpty():
+    if n_docs_bound is not None and n_docs_bound <= df_cap:
+        # Probe provably unnecessary (optimization r13): the shingle
+        # arrays are DISTINCT per doc, so any shingle's document frequency
+        # is <= the document count — a caller-supplied upper bound on
+        # |docs| at or under df_cap means the hot set is EMPTY by
+        # arithmetic, and the probe job (a full corpus explode + count
+        # aggregate, ~0.6 s warm at sf0.1, one whole corpus pass at scale)
+        # is skipped outright. Callers read the bound off parquet footer
+        # metadata (sources.tables.parquet_row_count — no Spark job); any
+        # corpus larger than the cap falls through to the measured probe.
+        # The plan below is IDENTICAL to the probe's hot-empty branch.
         cold_src = exploded
         hot_keyed = None
-        # nothing in the returned plan references hot — release its cache
-        # now instead of waiting for the ContextCleaner
-        hot.unpersist()
     else:
-        cold_src = exploded.join(
-            F.broadcast(hot.select("shingle")), "shingle", "left_anti"
-        )
-        hot_keyed = exploded.join(F.broadcast(hot), "shingle").select(
-            F.struct("df", portable_hash64("shingle").alias("h")).alias("key"),
-            F.col(id_col),
-        )
+        cold_src, hot_keyed = _prefix_hot_split(exploded, id_col, df_cap)
     cold_postings = cold_src.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df"),
         F.collect_list(id_col).alias("ids"),

@@ -116,12 +116,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from cruncher_spark.operators.dedup import prefix_jaccard_pairs, shingle_arrays
+    from cruncher_spark.sources.tables import parquet_row_count
 
     docs = fan_out(Star(spark, sf_dir).documents)
     # prefix-filtered exact join — same result set as the naive
-    # all-shared-shingle join (jaccard_pairs), ~(1-tau)^2 the volume
+    # all-shared-shingle join (jaccard_pairs), ~(1-tau)^2 the volume.
+    # The doc count bound (parquet footer metadata, no job) lets the
+    # operator skip its hot-shingle probe job when |docs| <= df_cap.
     return prefix_jaccard_pairs(
-        shingle_arrays(docs, "doc_id", "text", 3), "doc_id", min_jaccard=0.5
+        shingle_arrays(docs, "doc_id", "text", 3), "doc_id", min_jaccard=0.5,
+        n_docs_bound=parquet_row_count(f"{sf_dir}/documents.parquet"),
     )
 
 
@@ -546,10 +550,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
+    from cruncher_spark.sources.tables import parquet_row_count
+
     docs = Star(spark, sf_dir).documents.where(
         F.col("doc_id") % _LSHEVAL_STRIDE == 0
     )
-    return _lsh_eval_body(spark, fan_out(docs))
+    # footer row count of the FULL table is a valid upper bound for the
+    # strided sample — lets the truth side's prefix-Jaccard skip its
+    # hot-shingle probe job when |docs| <= df_cap
+    return _lsh_eval_body(
+        spark,
+        fan_out(docs),
+        n_docs_bound=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    )
 
 
 def dedup_lsh_eval_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,10 +575,18 @@ def dedup_lsh_eval_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 1/stride doc sample with a documented binomial
     bound."""
     tune(spark)
-    return _lsh_eval_body(spark, fan_out(Star(spark, sf_dir).documents))
+    from cruncher_spark.sources.tables import parquet_row_count
+
+    return _lsh_eval_body(
+        spark,
+        fan_out(Star(spark, sf_dir).documents),
+        n_docs_bound=parquet_row_count(f"{sf_dir}/documents.parquet"),
+    )
 
 
-def _lsh_eval_body(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _lsh_eval_body(
+    spark: SparkSession, docs: DataFrame, n_docs_bound: int | None = None
+) -> DataFrame:
     from cruncher_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -575,7 +596,9 @@ def _lsh_eval_body(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
     arrs = shingle_arrays(docs, "doc_id", "text", 3).persist()
     truth = (
-        prefix_jaccard_pairs(arrs, "doc_id", min_jaccard=0.5)
+        prefix_jaccard_pairs(
+            arrs, "doc_id", min_jaccard=0.5, n_docs_bound=n_docs_bound
+        )
         .select("id_a", "id_b")
         .persist()
     )

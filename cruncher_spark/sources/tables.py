@@ -118,6 +118,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: footer row counts memoized on the schema-cache key discipline —
+#: metadata reuse only; a rewritten file changes the key and re-reads
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def parquet_row_count(path: str) -> int | None:
+    """EXACT row count of a parquet file (or flat directory of part files)
+    from footer metadata — a driver-side read, no Spark job.
+
+    Parquet footers carry the authoritative row count (DuckDB's count(*)
+    serves from the same metadata), so this is the cheapest exact source
+    for row-count BOUNDS that gate data-dependent plan choices — e.g. the
+    prefix-Jaccard hot-shingle probe, whose full corpus-pass probe job is
+    provably unnecessary whenever |docs| <= df_cap (a shingle's document
+    frequency cannot exceed the document count). Returns None when the
+    footer cannot be read (callers must then fall back to the probe).
+    Metadata only — no data rows, no results.
+    """
+    import os
+
+    key = _schema_cache_key(path)
+    if key is not None and key in _ROW_COUNT_CACHE:
+        return _ROW_COUNT_CACHE[key]
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for e in os.scandir(path):
+                if not e.is_file() or e.name.startswith(("_", ".")):
+                    continue
+                total += pq.ParquetFile(e.path).metadata.num_rows
+        else:
+            total = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+    if key is not None:
+        _ROW_COUNT_CACHE[key] = total
+    return total
+
+
 def load_evolving(
     spark: SparkSession,
     path: str,

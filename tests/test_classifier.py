@@ -77,3 +77,58 @@ def test_lazy_form_equals_checkpointed(labeled_docs):
         ).collect()
     }
     assert eager == lazy
+
+
+def test_round14_matches_spark_round(spark):
+    """_round14 must replicate Spark's round(double, 14) bit-for-bit —
+    the driver-side weight update (optimization r13) depends on it.
+    Battery includes exact ties at the 15th decimal (HALF_UP vs
+    HALF_EVEN discriminators), negatives, and random doubles."""
+    import random
+    import struct
+
+    from cruncher_spark.operators.classifier import _round14
+
+    vals = [
+        2.5e-14, -2.5e-14, 7.5e-14, -7.5e-14, 1.5e-14, -1.5e-14,
+        5e-15, -5e-15, 0.0, -0.0, 0.1 + 0.2, 1 / 3, -1 / 3,
+        0.999999999999995, -0.999999999999995, 1.000000000000005,
+        123.456789012345678, 2 ** -50, 1.0000000000000049e-1,
+    ]
+    rng = random.Random(7)
+    vals += [rng.uniform(-2, 2) for _ in range(500)]
+    vals += [
+        struct.unpack("d", struct.pack("Q", rng.getrandbits(62)))[0]
+        for _ in range(300)
+    ]
+    vals = [v for v in vals if v == v and abs(v) != float("inf")]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, x double"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", F.round("x", 14).alias("r")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == _round14(v), (v, got[i], _round14(v))
+
+
+def test_trainer_runs_iters_actions_no_count_job(labeled_docs):
+    """The label count rides round 1's bucket aggregate (bias-bucket row
+    count), so training is exactly `iters` collects — weights unchanged
+    (the bit-identity is test_lazy_form_equals_checkpointed's job; this
+    pins that n == |labels| is recovered without a count action by
+    checking a non-trivial weight emerges from a single-round run)."""
+    feats = hashed_doc_features(labeled_docs, dim=64)
+    labels = labeled_docs.select("doc_id", "y")
+    one = {
+        r.bucket: r.w
+        for r in train_logreg(feats, labels, dim=64, iters=1).collect()
+    }
+    lazy = {
+        r.bucket: r.w
+        for r in train_logreg(
+            feats, labels, dim=64, iters=1, checkpoint=False
+        ).collect()
+    }
+    assert one == lazy and any(w != 0.0 for w in one.values())

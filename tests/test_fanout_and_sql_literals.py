@@ -188,3 +188,80 @@ class TestDirSchemaCacheKey:
         f.write_bytes(b"x" * 10)
         k = _schema_cache_key(str(f))
         assert k is not None and k[0] == str(f)
+
+
+class TestPrefixProbeSkip:
+    def test_parquet_row_count_exact(self, spark, tmp_path):
+        from cruncher_spark.sources.tables import parquet_row_count
+
+        p = str(tmp_path / "c.parquet")
+        spark.range(1234).write.mode("overwrite").parquet(p)
+        assert parquet_row_count(p) == 1234
+        assert parquet_row_count(str(tmp_path / "missing.parquet")) is None
+
+    def test_bound_skip_equals_probe_path(self, spark):
+        """prefix_jaccard_pairs with a proving n_docs_bound must return
+        the exact pair set of the probed form (the skip branch IS the
+        probe's hot-empty branch)."""
+        from cruncher_spark.operators.dedup import (
+            prefix_jaccard_pairs,
+            shingle_arrays,
+        )
+
+        rows = [
+            (1, "a b c d e f g"),
+            (2, "a b c d e f h"),
+            (3, "x y z w v u t"),
+            (4, "x y z w v u t"),
+            (5, "p q r s only once here"),
+        ]
+        sh = shingle_arrays(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            3,
+        )
+        probed = sorted(
+            map(tuple, prefix_jaccard_pairs(sh, "doc_id", 0.5).collect())
+        )
+        skipped = sorted(
+            map(
+                tuple,
+                prefix_jaccard_pairs(
+                    sh, "doc_id", 0.5, n_docs_bound=len(rows)
+                ).collect(),
+            )
+        )
+        assert probed == skipped and len(probed) > 0
+
+    def test_bound_above_cap_still_probes(self, spark):
+        """A bound larger than df_cap must NOT skip the guard (the hot
+        branch routing still fires for genuinely hot shingles)."""
+        from cruncher_spark.operators.dedup import (
+            prefix_jaccard_pairs,
+            shingle_arrays,
+        )
+
+        rows = [(i, f"hot shingle words tail{i} x{i} y{i}") for i in range(8)]
+        sh = shingle_arrays(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            3,
+        )
+        # df_cap=2 forces 'hot shingle words' (df=8) through the hot branch
+        guarded = sorted(
+            map(
+                tuple,
+                prefix_jaccard_pairs(
+                    sh, "doc_id", 0.2, df_cap=2, n_docs_bound=8
+                ).collect(),
+            )
+        )
+        default = sorted(
+            map(
+                tuple,
+                prefix_jaccard_pairs(sh, "doc_id", 0.2, df_cap=2).collect(),
+            )
+        )
+        assert guarded == default
