@@ -742,12 +742,20 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = recrawl.unionByName(fresh)
 
+    # NOT persisted (optimization r13): each side is referenced twice
+    # (signatures + verification join) but the re-derivation is a narrow
+    # split/shingle projection whose subtree ReuseExchange dedups through
+    # the fan_out exchange — measured jobs 19→16 with identical results
+    # and equal wall at sf0.1 (AQE materializes cached subtrees as extra
+    # stage jobs, the r12 CC persist lesson). At 100 TB the cache would
+    # hold a corpus-sized shingle table; the narrow recompute is the
+    # cheaper side of that trade too (the prefix_jaccard precedent).
     old_sh = shingle_arrays(
         docs.select(F.col("doc_id").alias("old_id"), "text"), "old_id", "text"
-    ).persist()
+    )
     new_sh = shingle_arrays(
         new.select(F.col("doc_id").alias("new_id"), "text"), "new_id", "text"
-    ).persist()
+    )
     sig_o = minhash_signatures(old_sh, "old_id", _NUM_HASHES)
     sig_n = minhash_signatures(new_sh, "new_id", _NUM_HASHES)
     cand = lsh_cross_candidates(
@@ -771,8 +779,6 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "dup_of", F.col("dup_of").isNull().alias("kept"))
         .localCheckpoint()
     )
-    old_sh.unpersist()
-    new_sh.unpersist()
     return out
 
 
