@@ -494,13 +494,26 @@ def minhash_dedup_pairs(
 
     Output: (id_a, id_b, jaccard) for verified near-duplicates. Plan shape:
     one narrow scan produces (id, sh, signature); the only shuffles are the
-    band self-join and the two candidate-verification joins. ``doc_sh``
-    (feeds signatures + both verify sides) and ``sigs`` (feeds both sides
-    of the band self-join) are persisted — they are O(docs) narrow tables,
-    and without the persist every branch recomputes the shingling scan.
+    band self-join and the two candidate-verification joins.
+
+    NOT persisted (optimization r13, the cross-snapshot lesson): the
+    shingle projection is referenced three times (signatures + both
+    verify sides) and the signature table twice (band self-join sides),
+    but both re-derivations are narrow projections over the scan and the
+    signature aggregate's exchange is deduped by ReuseExchange across the
+    band-join branches — measured jobs 10→6 with identical results and
+    wall within noise at sf0.1 (AQE materializes cached subtrees as extra
+    stage jobs). At 100 TB, rescanning a cheap columnar projection three
+    times also beats writing a corpus-sized shingle cache (guide §5:
+    cache only when recompute is costlier than the memory pressure).
+    CONTRACT: ``df`` must be a deterministic derivation — the branches
+    evaluate it independently, so a nondeterministic input (a sample, a
+    shuffle-order-dependent aggregate) must be persisted or checkpointed
+    BY THE CALLER first (every registry caller passes a deterministic
+    scan/fan_out).
     """
-    doc_sh = shingle_arrays(df, id_col, text_col, shingle_n).persist()
-    sigs = minhash_signatures(doc_sh, id_col, num_hashes).persist()
+    doc_sh = shingle_arrays(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(doc_sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
     return jaccard_verify_pairs(doc_sh, cands, id_col, min_jaccard)
 
